@@ -1,0 +1,163 @@
+"""FSST codec — per-segment symbol-table text compression, codec id 20.
+
+Fills the reference's empty string specialization
+(`/root/reference/Outcompute.ColumnStore/Segments/Specialized/StringColumnSegmentBuilder.cs:9-11`)
+with the FSST idea (Boncz, Neumann, Leis: "FSST: Fast Random Access String
+Compression", VLDB 2020): a small per-segment symbol table maps frequent
+byte sequences to single-byte codes.
+
+Our variant learns the table by byte-pair merging (BPE) on a bounded
+sample, then applies the merges with C-speed ``bytes.replace`` passes:
+
+1. Bytes >= 0x80 are stripped out-of-band (positions delta-varint +
+   literal bytes), leaving a 7-bit "low stream". That frees code points
+   0x80..0xFF for up to 128 symbols with no escape byte, and makes
+   ``bytes.replace`` application collision-free by construction.
+2. Merges are applied in training order; later merges may reference
+   earlier codes, so symbols grow beyond 2 bytes (tree expansion).
+3. Decode reverses the merges (replace code -> pair, reverse order, also
+   C-speed), then re-inserts the high bytes at their stored positions.
+
+ASCII-dominant text (transcripts) pays nothing for step 1; high-byte-heavy
+text inflates and the codec chooser's trial estimate routes it to
+plain/dict instead.
+
+Body grammar (after shared segment framing):
+    varint n_merges;  2*n_merges bytes of (left, right) code pairs
+    varint n_high;    delta-varint high positions; n_high literal bytes
+    varint n_low_raw (pre-merge low-stream length)
+    varint len(enc);  enc bytes (the code stream)
+    per-value byte lengths (varint stream, n values)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitpack
+from . import values as V
+
+CODEC_ID = 20
+
+MAX_MERGES = 128  # codes 0x80..0xFF
+TRAIN_SAMPLE_BYTES = 1 << 16  # 64 KiB
+MIN_PAIR_COUNT = 4
+
+
+def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
+    """Learn BPE merges over a low-stream sample (all bytes < 0x80)."""
+    merges: list[tuple[int, int]] = []
+    blob = sample
+    for _ in range(max_merges):
+        if len(blob) < 2:
+            break
+        codes = np.frombuffer(blob, dtype=np.uint8)
+        pair_ids = codes[:-1].astype(np.int32) * np.int32(256) + codes[1:]
+        counts = np.bincount(pair_ids, minlength=65536)
+        best = int(counts.argmax())
+        if counts[best] < MIN_PAIR_COUNT:
+            break
+        a, b = best >> 8, best & 0xFF
+        new_code = 0x80 + len(merges)
+        merges.append((a, b))
+        blob = blob.replace(bytes([a, b]), bytes([new_code]))
+    return merges
+
+
+def _apply_merges(low: bytes, merges: list[tuple[int, int]]) -> bytes:
+    for i, (a, b) in enumerate(merges):
+        low = low.replace(bytes([a, b]), bytes([0x80 + i]))
+    return low
+
+
+def _reverse_merges(enc: bytes, merges: list[tuple[int, int]]) -> bytes:
+    for i in range(len(merges) - 1, -1, -1):
+        a, b = merges[i]
+        enc = enc.replace(bytes([0x80 + i]), bytes([a, b]))
+    return enc
+
+
+def _split_high(blob: bytes) -> tuple[bytes, np.ndarray, bytes]:
+    """-> (low stream bytes<0x80, high positions, high bytes)."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    mask = arr >= 0x80
+    if not mask.any():
+        return blob, np.empty(0, dtype=np.int64), b""
+    high_pos = np.flatnonzero(mask)
+    return arr[~mask].tobytes(), high_pos, arr[mask].tobytes()
+
+
+def _merge_high(low: bytes, high_pos: np.ndarray, high: bytes) -> bytes:
+    if high_pos.size == 0:
+        return low
+    n = len(low) + high_pos.size
+    out = np.empty(n, dtype=np.uint8)
+    mask = np.zeros(n, dtype=bool)
+    mask[high_pos] = True
+    out[high_pos] = np.frombuffer(high, dtype=np.uint8)
+    out[~mask] = np.frombuffer(low, dtype=np.uint8)
+    return out.tobytes()
+
+
+def encode(vals: "V.VarChunk", logical: str,
+           max_merges: int = MAX_MERGES) -> bytes:
+    low, high_pos, high = _split_high(vals.blob)
+    merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
+    enc = _apply_merges(low, merges)
+    deltas = np.diff(high_pos, prepend=0).astype(np.uint64) if high_pos.size else high_pos
+    out = [
+        bitpack.write_varint(len(merges)),
+        bytes(c for ab in merges for c in ab),
+        bitpack.write_varint(int(high_pos.size)),
+        bitpack.varint_encode_array(deltas) if high_pos.size else b"",
+        high,
+        bitpack.write_varint(len(low)),
+        bitpack.write_varint(len(enc)),
+        enc,
+        bitpack.varint_encode_array(vals.lengths.astype(np.uint64)),
+    ]
+    return b"".join(out)
+
+
+def decode(body: memoryview, n: int, logical: str) -> "V.VarChunk":
+    n_merges, pos = bitpack.read_varint(body)
+    merge_bytes = bytes(body[pos:pos + 2 * n_merges])
+    merges = [(merge_bytes[2 * i], merge_bytes[2 * i + 1]) for i in range(n_merges)]
+    pos += 2 * n_merges
+    n_high, pos = bitpack.read_varint(body, pos)
+    high_pos = np.empty(0, dtype=np.int64)
+    high = b""
+    if n_high:
+        deltas, consumed = bitpack.varint_decode_array(body[pos:], n_high)
+        pos += consumed
+        high_pos = np.cumsum(deltas.astype(np.int64))
+        high = bytes(body[pos:pos + n_high])
+        pos += n_high
+    n_low, pos = bitpack.read_varint(body, pos)
+    n_enc, pos = bitpack.read_varint(body, pos)
+    enc = bytes(body[pos:pos + n_enc])
+    pos += n_enc
+    lengths, _ = bitpack.varint_decode_array(body[pos:], n)
+    lengths = lengths.astype(np.int64)
+
+    low = _reverse_merges(enc, merges)
+    if len(low) != n_low:
+        raise ValueError(f"fsst decode: low stream {len(low)} != {n_low}")
+    blob = _merge_high(low, high_pos, high)
+    return V.VarChunk(lengths=lengths, blob=blob)
+
+
+def estimate_size(vals: "V.VarChunk", sample_bytes: int = TRAIN_SAMPLE_BYTES,
+                  max_merges: int = MAX_MERGES) -> int:
+    """Trial-encode a sample; extrapolate the ratio to the full blob."""
+    blob = vals.blob
+    if len(blob) == 0:
+        return 16
+    sample = blob[:sample_bytes]
+    low, high_pos, high = _split_high(sample)
+    merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
+    enc = _apply_merges(low, merges)
+    sample_out = len(enc) + 2 * high_pos.size
+    ratio = sample_out / max(len(sample), 1)
+    lens_bytes = int(bitpack.varint_nbytes(vals.lengths.astype(np.uint64)).sum())
+    return int(len(blob) * ratio) + lens_bytes + 2 * len(merges) + 16

@@ -1,0 +1,101 @@
+"""Per-segment statistics — the codec chooser's inputs and the manifest's
+payload.
+
+Mirrors the reference's stats tree semantics exactly but computed
+vectorized per chunk instead of per-row on ingest:
+- n_distinct / n_default (null) / n_rows: `DeltaRowGroupGenerator.cs:43-58`,
+  `ColumnSegmentStats.cs:7-12`
+- n_runs: `ColumnSegmentBuilder.cs:112-135` (run-range building)
+- min/max: the planned `Sequences/Stats.cs:3`
+  (`record Stats<T>(int Count, int DefaultCount, T Min, T Max)`).
+
+All counts are exact (each segment is one bounded chunk), not approximate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import dictrle
+from . import values as V
+
+
+@dataclass
+class SegmentStats:
+    n_rows: int
+    n_nulls: int
+    n_distinct: int          # over non-null values
+    n_runs: int              # adjacent runs over non-null values
+    min_repr: str | None     # string repr for the manifest (pruning)
+    max_repr: str | None
+    raw_bytes: int           # uncompressed non-null payload bytes
+    # transient artifacts reused by the dict codec (not serialized)
+    codes: np.ndarray | None = field(default=None, repr=False)
+    uniques: object | None = field(default=None, repr=False)
+    int_min: int | None = None
+    int_max: int | None = None
+    delta_min: int | None = None
+    delta_max: int | None = None
+    max_run_len: int = 0
+    dict_raw_bytes: int = 0
+    avg_len: float = 0.0
+
+
+_REPR_CAP = 64
+
+
+def _repr(v) -> str:
+    s = str(v)
+    return s[:_REPR_CAP]
+
+
+def collect(vals, logical: str, n_total: int, n_nulls: int) -> SegmentStats:
+    """Compute stats for the non-null values of one column chunk."""
+    raw = V.raw_size(vals, logical)
+    n = vals.size if isinstance(vals, V.VarChunk) else int(vals.size)
+    if n == 0:
+        return SegmentStats(n_total, n_nulls, 0, 0, None, None, raw)
+
+    codes, uniques = dictrle.factorize(vals, logical)
+    run_idx, run_len = dictrle.run_lengths(codes)
+    st = SegmentStats(
+        n_rows=n_total,
+        n_nulls=n_nulls,
+        n_distinct=int(len(uniques.lengths) if isinstance(uniques, V.VarChunk)
+                       else len(uniques)),
+        n_runs=int(run_idx.size),
+        min_repr=None,
+        max_repr=None,
+        raw_bytes=raw,
+        codes=codes,
+        uniques=uniques,
+        max_run_len=int(run_len.max()) if run_len.size else 0,
+    )
+    if isinstance(vals, V.VarChunk):
+        st.dict_raw_bytes = uniques.nbytes_raw()
+        st.avg_len = float(vals.lengths.mean()) if n else 0.0
+        # min/max over the dictionary (cheaper than full column)
+        arr = V.var_chunk_to_arrow(uniques, logical)
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(arr)
+        st.min_repr = _repr(mm["min"].as_py())
+        st.max_repr = _repr(mm["max"].as_py())
+    else:
+        st.dict_raw_bytes = int(np.dtype(V.FIXED_LOGICAL[logical]).itemsize) * st.n_distinct
+        if logical in V.INT_LOGICAL:
+            iv = V.as_int64(vals, logical)
+            st.int_min, st.int_max = int(iv.min()), int(iv.max())
+            if n > 1:
+                d = np.diff(iv)
+                st.delta_min, st.delta_max = int(d.min()), int(d.max())
+            else:
+                st.delta_min = st.delta_max = 0
+            st.min_repr = _repr(vals.min())
+            st.max_repr = _repr(vals.max())
+        else:
+            st.min_repr = _repr(vals.min())
+            st.max_repr = _repr(vals.max())
+    return st
