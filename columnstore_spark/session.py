@@ -1,0 +1,37 @@
+"""SparkSession factory with the engine's required configuration.
+
+UTC session timezone (bit-identical timestamp round-trips and DuckDB
+oracle parity), Arrow-batched pandas UDF transfer, AQE with skew-join
+handling for the salted conv_id-range shuffle (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "columnstore_spark", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch_rows: int = 1 << 16) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", None) or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = "".join(c for c in master if c.isdigit()) or "32"
+    shuffle = shuffle_partitions or int(os.environ.get(
+        "SPARK_SQL_SHUFFLE_PARTITIONS", cores))
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(arrow_batch_rows))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return b.getOrCreate()
