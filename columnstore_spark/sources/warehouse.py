@@ -1,0 +1,123 @@
+"""Warehouse — persisted segments + manifest with checkpoint-resume.
+
+Storage layout (parquet directories; Iceberg would use the same table
+shapes if a runtime jar were available — none is bundled in this sandbox,
+see SURVEY.md §7.2.6):
+
+    <root>/segments/   SEGMENT_SCHEMA columns + run_id       (the data)
+    <root>/manifest/   same minus payload + status, committed_at (lineage)
+
+Commit protocol: segments parquet is written first, the manifest rows
+(status='done') are appended only after that write succeeds — the
+manifest IS the commit record. Readers join segments to the manifest on
+(rowgroup_id, column, run_id), so torn segment writes are invisible.
+
+The manifest doubles as the engine's work queue, the distributed analogue
+of the reference's closed-group queue `DeltaStore.TryTakeClosed`
+(`/root/reference/Outcompute.ColumnStore/DeltaStore.cs:63-84`): resume
+left-anti-joins pending rowgroups against done ones and re-encodes only
+the missing partitions, producing byte-identical final segments
+(FIXTURES.md F5 resume fixture).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..codecs import chooser
+from ..operators.encode import default_rowgroup_expr, encode
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+        self.segments_path = f"{self.root}/segments"
+        self.manifest_path = f"{self.root}/manifest"
+
+    # -- read ---------------------------------------------------------------
+
+    def _read_or_none(self, spark: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def manifest(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_or_none(spark, self.manifest_path)
+
+    def committed_segments(self, spark: SparkSession) -> DataFrame:
+        """Segments visible under the commit protocol, deduped to the
+        latest committed run per (rowgroup_id, column)."""
+        segs = spark.read.parquet(self.segments_path)
+        m = self.manifest(spark)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.manifest_path}")
+        commits = (m.where(F.col("status") == "done")
+                    .select("rowgroup_id", "column", "run_id", "committed_at"))
+        w = Window.partitionBy("rowgroup_id", "column").orderBy(
+            F.desc("committed_at"), F.desc("run_id"))
+        latest = (commits.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn", "committed_at"))
+        return segs.join(latest, on=["rowgroup_id", "column", "run_id"],
+                         how="inner")
+
+    def done_rowgroups(self, spark: SparkSession) -> DataFrame | None:
+        m = self.manifest(spark)
+        if m is None:
+            return None
+        return (m.where(F.col("status") == "done")
+                 .select("rowgroup_id").distinct())
+
+    # -- write --------------------------------------------------------------
+
+    def encode_resumable(self, df: DataFrame, num_rowgroups: int,
+                         rows_per_segment: int = 1_000_000,
+                         mode: str = chooser.MODE_SIZE,
+                         run_id: str | None = None,
+                         fail_after_rowgroups: int | None = None) -> dict:
+        """Encode `df` into the warehouse, skipping rowgroups already
+        committed by earlier runs.
+
+        `fail_after_rowgroups` is the FIXTURES.md F5 failure-injection
+        hook: only the first k pending rowgroups are committed, simulating
+        a mid-run kill that still left a consistent manifest.
+        """
+        spark = df.sparkSession
+        run_id = run_id or uuid.uuid4().hex[:12]
+        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+        work = df.withColumn("__rg", rg_expr)
+
+        done = self.done_rowgroups(spark)
+        if done is not None:
+            work = work.join(done.withColumnRenamed("rowgroup_id", "__rg"),
+                             on="__rg", how="left_anti")
+
+        if fail_after_rowgroups is not None:
+            keep = [r["__rg"] for r in
+                    work.select("__rg").distinct()
+                        .orderBy("__rg").limit(fail_after_rowgroups).collect()]
+            work = work.where(F.col("__rg").isin(keep))
+
+        pending = work.select("__rg").distinct().count()
+        if pending == 0:
+            return {"run_id": run_id, "rowgroups_encoded": 0}
+
+        segs = (encode(work.drop("__rg"), rowgroup_expr=rg_expr,
+                       rows_per_segment=rows_per_segment, mode=mode)
+                .withColumn("run_id", F.lit(run_id)))
+        segs.write.mode("append").parquet(self.segments_path)
+
+        # manifest = read-back of what this run wrote (metadata only);
+        # writing it last is the commit point
+        committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        manifest = (spark.read.parquet(self.segments_path)
+                    .where(F.col("run_id") == run_id)
+                    .drop("payload")
+                    .withColumn("status", F.lit("done"))
+                    .withColumn("committed_at", F.lit(committed_at)))
+        manifest.write.mode("append").parquet(self.manifest_path)
+        return {"run_id": run_id, "rowgroups_encoded": pending}
