@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries map SURVEY.md §2 operators to oracle-checkable DataFrames:
+encode/decode round-trips (E1-E12, S5-S6, P1), manifest stats (T1-T4),
+segment-pruned value/range queries (E3/E7/S3, E4/E8/S4). Non-SQL
+observables (codec choice, byte counts — E13-E17) ship as a rows-only
+query. The shared transcript input derives from `events` x `documents`
+via one ANSI-SQL string both Spark and DuckDB execute identically.
 """
 
 from __future__ import annotations
@@ -12,27 +13,156 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnstore_spark.operators import decode, encode, manifest_of
+from columnstore_spark.plans.pruning import (
+    prune_rowgroups_by_range,
+    prune_rowgroups_by_value,
+)
+from columnstore_spark.sources.transcripts import (
+    TRANSCRIPTS_SQL,
+    load_transcripts,
+    register_testdata,
+)
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# SQL-expressible rowgroup assignment used wherever the oracle must
+# reproduce per-rowgroup numbers (DuckDB can't evaluate xxhash64)
+_RG_SQL = "CAST(substring(conv_id, 2) AS BIGINT) % 8"
+
+
+def _rg_expr():
+    return F.expr(_RG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir)
+
+
+def _q_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return decode(segs).select(TRANSCRIPT_COLS)
+
+
+def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    segs = encode(events, order=("event_id",),
+                  rowgroup_expr=F.pmod(F.col("event_id"), F.lit(8)))
+    return decode(segs).select(events.columns)
+
+
+def _q_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    m = manifest_of(encode(t, rowgroup_expr=_rg_expr()))
+    return m.select(
+        F.col("rowgroup_id"),
+        F.col("column").alias("col_name"),
+        F.col("n_rows"), F.col("n_nulls"), F.col("n_distinct"),
+        F.col("n_runs"),
+    )
+
+
+def _q_query_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    pruned = prune_rowgroups_by_value(segs, "role", "tool")
+    return (decode(pruned).where(F.col("role") == "tool")
+            .select("conv_id", "turn_idx"))
+
+
+def _q_query_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    pruned = prune_rowgroups_by_range(segs, "conv_id",
+                                      "c000000000000", "c000000000009")
+    return (decode(pruned)
+            .where((F.col("conv_id") <= "c000000000009")
+                   & (F.col("turn_idx") >= 10) & (F.col("turn_idx") <= 19))
+            .select(TRANSCRIPT_COLS))
+
+
+def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (codec choice + byte counts aren't SQL-expressible)."""
+    t = load_transcripts(spark, sf_dir)
+    m = manifest_of(encode(t, rowgroup_expr=_rg_expr()))
+    return (m.groupBy("column")
+            .agg(F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum("enc_bytes").alias("enc_bytes"),
+                 F.count("*").alias("n_segments"),
+                 F.array_sort(F.collect_set("codec")).alias("codecs"))
+            .withColumn("ratio", F.round(
+                F.col("enc_bytes") / F.col("raw_bytes"), 4)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode -> decode round-trip of the sf0.001 transcripts."""
+    return _q_encode_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts_build": _q_transcripts,
+        "encode_roundtrip": _q_encode_roundtrip,
+        "events_roundtrip": _q_events_roundtrip,
+        "manifest_stats": _q_manifest_stats,
+        "query_by_value": _q_query_by_value,
+        "query_by_range": _q_query_by_range,
+        "compression_summary": _q_compression_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _manifest_stats_oracle() -> str:
+    per_col = []
+    for c in TRANSCRIPT_COLS:
+        per_col.append(f"""
+SELECT s.rowgroup_id, '{c}' AS col_name, s.n_rows, s.n_nulls, s.n_distinct,
+       COALESCE(r.n_runs, 0) AS n_runs
+FROM (
+  SELECT rowgroup_id, count(*) AS n_rows,
+         count(*) - count({c}) AS n_nulls,
+         count(DISTINCT {c}) AS n_distinct
+  FROM b GROUP BY rowgroup_id
+) s
+LEFT JOIN (
+  SELECT rowgroup_id,
+         CAST(SUM(CASE WHEN prev IS DISTINCT FROM v THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM (
+    SELECT rowgroup_id, v,
+           lag(v) OVER (PARTITION BY rowgroup_id
+                        ORDER BY conv_id, turn_idx) AS prev
+    FROM (SELECT rowgroup_id, conv_id, turn_idx, {c} AS v
+          FROM b WHERE {c} IS NOT NULL) q1
+  ) q2 GROUP BY rowgroup_id
+) r USING (rowgroup_id)""")
+    union = "\nUNION ALL\n".join(per_col)
+    return (f"WITH t AS ({TRANSCRIPTS_SQL}),\n"
+            f"b AS (SELECT t.*, {_RG_SQL} AS rowgroup_id FROM t)\n{union}")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t = f"WITH t AS ({TRANSCRIPTS_SQL})"
+    return {
+        "transcripts_build": f"{t} SELECT * FROM t",
+        "encode_roundtrip": f"{t} SELECT * FROM t",
+        "events_roundtrip": "SELECT * FROM events",
+        "manifest_stats": _manifest_stats_oracle(),
+        "query_by_value":
+            f"{t} SELECT conv_id, turn_idx FROM t WHERE role = 'tool'",
+        "query_by_range":
+            f"{t} SELECT * FROM t WHERE conv_id <= 'c000000000009' "
+            "AND turn_idx BETWEEN 10 AND 19",
+        # compression_summary: rows-only (codec/bytes not SQL-expressible)
+    }
