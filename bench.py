@@ -1,0 +1,124 @@
+"""Per-round benchmark (driver contract).
+
+Runs the engine's headline operations on the transcript table derived
+from `$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1) on
+`local[$SPARK_GRAFT_CPUS]` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "throughput_gbps": ...,
+     "compression_ratio": ..., "rows": ...}
+
+The north-rule metric (BASELINE.json) is encode throughput (GB/s) +
+compression ratio with bit-identical round-trip; both are included as
+extra keys. Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py + BENCH.md — too slow to run every round.
+
+Timed work is fully materialized via the `noop` sink (no driver
+collect); encode input volume is scaled with `SPARK_GRAFT_REPLICATE`
+deterministic replicas (default 4) so the encode stage dominates Spark
+fixed overheads even at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from columnstore_spark.codecs import chooser
+from columnstore_spark.operators import decode, encode, manifest_of
+from columnstore_spark.plans.pruning import prune_rowgroups_by_value
+from columnstore_spark.session import get_spark
+from columnstore_spark.sources.transcripts import synthetic_transcripts
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(sf_dir: str, cpus: int, replicate: int) -> dict:
+    spark = get_spark(app="columnstore_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    t = synthetic_transcripts(spark, sf_dir, replicate=replicate)
+    t = t.persist()
+    rows = t.count()  # warm-up + pin the input out of the timed region
+
+    num_rowgroups = max(cpus * 2, 8)
+    tmp = tempfile.mkdtemp(prefix="csbench_")
+    seg_path = f"{tmp}/segments"
+    try:
+        # q_encode — the headline: one shuffle + partition-local encode
+        t0 = time.perf_counter()
+        segs = encode(t, num_rowgroups=num_rowgroups, mode=chooser.MODE_SIZE)
+        segs.write.mode("overwrite").parquet(seg_path)
+        timings["q_encode"] = time.perf_counter() - t0
+
+        segs_on_disk = spark.read.parquet(seg_path)
+
+        # manifest metrics for throughput / ratio (metadata-only agg)
+        t0 = time.perf_counter()
+        agg = (manifest_of(segs_on_disk)
+               .agg(F.sum("raw_bytes").alias("raw"),
+                    F.sum("enc_bytes").alias("enc")).collect()[0])
+        timings["q_manifest_agg"] = time.perf_counter() - t0
+        raw_bytes, enc_bytes = int(agg["raw"]), int(agg["enc"])
+
+        # q_decode — bit-identical inverse over the persisted segments
+        t0 = time.perf_counter()
+        _noop(decode(segs_on_disk))
+        timings["q_decode"] = time.perf_counter() - t0
+
+        # q_query_by_value — manifest-pruned equality scan (E3/E7/S3)
+        t0 = time.perf_counter()
+        pruned = prune_rowgroups_by_value(segs_on_disk, "role", "tool")
+        _noop(decode(pruned).where(F.col("role") == "tool")
+              .select("conv_id", "turn_idx"))
+        timings["q_query_by_value"] = time.perf_counter() - t0
+
+        # q_compression_summary — per-column codec/bytes rollup
+        t0 = time.perf_counter()
+        _noop(manifest_of(segs_on_disk).groupBy("column")
+              .agg(F.sum("raw_bytes"), F.sum("enc_bytes"),
+                   F.collect_set("codec")))
+        timings["q_compression_summary"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        t.unpersist()
+        spark.stop()
+
+    total = sum(timings.values())
+    enc_sec = timings["q_encode"]
+    return {
+        "metric": "headline total (encode+decode+queries) on transcripts",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "rows": rows,
+        "replicate": replicate,
+        "cpus": cpus,
+        "raw_gb": round(raw_bytes / 1e9, 4),
+        "enc_gb": round(enc_bytes / 1e9, 4),
+        "throughput_gbps": round(raw_bytes / 1e9 / enc_sec, 4),
+        "rows_per_sec": round(rows / enc_sec),
+        "compression_ratio": round(raw_bytes / max(enc_bytes, 1), 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
+    result = run(sf_dir, cpus, replicate)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,9 +45,16 @@ MIN_PAIR_COUNT = 4
 
 
 def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
-    """Learn BPE merges over a low-stream sample (all bytes < 0x80)."""
+    """Learn BPE merges over a low-stream sample (all bytes < 0x80).
+
+    Early-stops when the best pair saves < ~0.2% of the sample: each
+    accepted merge costs one C-level pass over the FULL blob at apply
+    time, so near-zero-gain merges are pure slowdown (the speed half of
+    the reference's Size/Speed tradeoff, `Encoding.cs:70-75`).
+    """
     merges: list[tuple[int, int]] = []
     blob = sample
+    min_count = max(MIN_PAIR_COUNT, len(sample) >> 9)
     for _ in range(max_merges):
         if len(blob) < 2:
             break
@@ -55,7 +62,7 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
         pair_ids = codes[:-1].astype(np.int32) * np.int32(256) + codes[1:]
         counts = np.bincount(pair_ids, minlength=65536)
         best = int(counts.argmax())
-        if counts[best] < MIN_PAIR_COUNT:
+        if counts[best] < min_count:
             break
         a, b = best >> 8, best & 0xFF
         new_code = 0x80 + len(merges)

@@ -86,6 +86,9 @@ def from_arrow(arr: pa.Array) -> tuple[str, object, np.ndarray | None]:
     logical = logical_of(arr)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
+        # session-tz metadata only; the epoch values are already UTC
+        arr = arr.cast(pa.timestamp(arr.type.unit))
     validity = None
     if arr.null_count:
         validity = np.asarray(arr.is_valid())

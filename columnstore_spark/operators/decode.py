@@ -3,19 +3,23 @@
 Reference analogue: solid row-group enumeration — one enumerator per
 column segment advanced in lockstep to rebuild rows
 (`/root/reference/Outcompute.ColumnStore.CodeGenerator/SolidRowGroupGenerator.cs:29-40`,
-full-scan S5 `Segments/ColumnSegment.cs:163-188`). Here: group the
-segments table by rowgroup, decode every column payload vectorized, and
-emit the reassembled Arrow batch with the original schema.
+full-scan S5 `Segments/ColumnSegment.cs:163-188`). Here: hash-partition
+the segments table by rowgroup, stream each rowgroup's segment rows,
+decode every column payload vectorized, and emit the reassembled Arrow
+batches with the original schema — no pandas materialization anywhere.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from collections.abc import Iterator
+
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codecs.segment import decode_segment
+from .arrow_io import arrow_schema_for, iter_groups
 
 _LOGICAL_TO_SPARK = {
     "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
@@ -24,6 +28,8 @@ _LOGICAL_TO_SPARK = {
     "timestamp_s": T.TimestampType(), "timestamp_ms": T.TimestampType(),
     "timestamp_us": T.TimestampType(), "timestamp_ns": T.TimestampType(),
 }
+
+_OUT_BATCH_ROWS = 1 << 16
 
 
 def schema_from_segments(segments: DataFrame) -> T.StructType:
@@ -39,7 +45,8 @@ def schema_from_segments(segments: DataFrame) -> T.StructType:
     ])
 
 
-def decode(segments: DataFrame, schema: T.StructType | None = None) -> DataFrame:
+def decode(segments: DataFrame, schema: T.StructType | None = None,
+           num_partitions: int | None = None) -> DataFrame:
     """segments table -> DataFrame with the original schema.
 
     Row order inside each rowgroup is the encode order; global order is
@@ -48,20 +55,30 @@ def decode(segments: DataFrame, schema: T.StructType | None = None) -> DataFrame
     if schema is None:
         schema = schema_from_segments(segments)
     names = [f.name for f in schema.fields]
+    out_pa_schema = arrow_schema_for(schema)
+    if num_partitions is None:
+        num_partitions = int(segments.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
 
-    def decode_rowgroup(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("col_idx")
-        arrays, out_names = [], []
-        for row in pdf.itertuples(index=False):
-            arr = decode_segment(row.payload, row.logical_type)
-            arrays.append(arr)
-            out_names.append(row.column)
-        tbl = pa.Table.from_arrays(arrays, names=out_names).select(names)
-        return tbl.to_pandas(types_mapper=None)
+    def decode_partition(
+            batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for _rg, tbl in iter_groups(batches, "rowgroup_id"):
+            by_name: dict[str, pa.Array] = {}
+            payloads = tbl.column("payload").combine_chunks()
+            logicals = tbl.column("logical_type").to_pylist()
+            colnames = tbl.column("column").to_pylist()
+            for i, name in enumerate(colnames):
+                arr = decode_segment(payloads[i].as_py(), logicals[i])
+                by_name[name] = arr
+            cols = [by_name[n].cast(f.type)
+                    for n, f in zip(names, out_pa_schema)]
+            out = pa.Table.from_arrays(cols, schema=out_pa_schema)
+            yield from out.to_batches(max_chunksize=_OUT_BATCH_ROWS)
 
-    return (
+    work = (
         segments.select("rowgroup_id", "column", "col_idx", "logical_type",
                         "payload")
-        .groupBy("rowgroup_id")
-        .applyInPandas(decode_rowgroup, schema=schema)
+        .repartition(num_partitions, F.col("rowgroup_id"))
+        .sortWithinPartitions("rowgroup_id", "col_idx")
     )
+    return work.mapInArrow(decode_partition, schema)

