@@ -72,12 +72,59 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
 
 
 def _apply_merges(low: bytes, merges: list[tuple[int, int]]) -> bytes:
+    """Apply the merge rules to the full low stream, vectorized.
+
+    Parallel-BPE rounds: every round finds ALL rule matches at once
+    (numpy table lookup over adjacent pairs), resolves overlaps by
+    dropping a candidate whose left neighbor is also a candidate
+    (approximate leftmost-greedy; chains resolve in later rounds), and
+    compacts. Versus per-rule ``bytes.replace`` passes this removes the
+    per-match C overhead (~0.5us x ~1 match per 5 bytes) — the text
+    kernel's hot loop. Output is any valid code stream: decode is pure
+    substitution, so which of the legal merges happened is immaterial.
+    """
+    if not merges:
+        return low
+    # prio[pair] = merge index (0 = highest priority); 255 = no rule.
+    # Everything stays uint8/uint16 — the kernels are DRAM-bandwidth
+    # bound under concurrent workers, so temporary bytes per element
+    # matter more than instruction count.
+    prio = np.full(65536, 255, dtype=np.uint8)
+    code = np.zeros(65536, dtype=np.uint8)
     for i, (a, b) in enumerate(merges):
-        low = low.replace(bytes([a, b]), bytes([0x80 + i]))
-    return low
+        prio[(a << 8) | b] = i
+        code[(a << 8) | b] = 0x80 + i
+    arr = np.frombuffer(low, dtype=np.uint8).copy()
+    rounds = 0
+    while arr.size >= 2 and rounds < 64:
+        pairs = arr[:-1].astype(np.uint16) << 8
+        pairs |= arr[1:]
+        p = prio[pairs]
+        # keep a match only if it beats both neighbor matches (ties:
+        # left wins) — no two kept matches share a byte, and the
+        # highest-frequency-first order the table was trained under is
+        # approximated by the merge-index priority
+        keep = p != 255
+        keep[1:] &= p[1:] < p[:-1]
+        keep[:-1] &= p[:-1] <= p[1:]
+        kept = np.flatnonzero(keep)
+        if kept.size < 8:
+            break
+        arr[kept] = code[pairs[kept]]
+        del_mask = keep  # reuse: mark the second byte of each kept pair
+        del_mask[:] = False
+        del_mask[kept] = True
+        arr = arr[np.concatenate(([True], ~del_mask))]
+        rounds += 1
+    return arr.tobytes()
 
 
 def _reverse_merges(enc: bytes, merges: list[tuple[int, int]]) -> bytes:
+    """Expand codes back to byte pairs (reverse merge order, C-speed).
+
+    Substitution is context-free, so this decodes any legal code stream
+    regardless of how the encoder chose among overlapping matches.
+    """
     for i in range(len(merges) - 1, -1, -1):
         a, b = merges[i]
         enc = enc.replace(bytes([0x80 + i]), bytes([a, b]))
@@ -106,10 +153,24 @@ def _merge_high(low: bytes, high_pos: np.ndarray, high: bytes) -> bytes:
     return out.tobytes()
 
 
+# (id(vals), merges) from the most recent estimate_size call: the
+# chooser always trial-estimates immediately before encoding the same
+# chunk, so the trained table is reused instead of retrained (~30% of
+# the text kernel). Any merge table is VALID for any input — worst case
+# a stale hit costs ratio, never correctness — and the id is stable
+# because the chunk object is alive across the choose->encode window.
+_last_trained: tuple[int, list[tuple[int, int]]] | None = None
+
+
 def encode(vals: "V.VarChunk", logical: str,
            max_merges: int = MAX_MERGES) -> bytes:
+    global _last_trained
     low, high_pos, high = _split_high(vals.blob)
-    merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
+    if _last_trained is not None and _last_trained[0] == id(vals):
+        merges = _last_trained[1]
+        _last_trained = None
+    else:
+        merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
     enc = _apply_merges(low, merges)
     deltas = np.diff(high_pos, prepend=0).astype(np.uint64) if high_pos.size else high_pos
     out = [
@@ -160,9 +221,11 @@ def estimate_size(vals: "V.VarChunk", sample_bytes: int = TRAIN_SAMPLE_BYTES,
     blob = vals.blob
     if len(blob) == 0:
         return 16
+    global _last_trained
     sample = blob[:sample_bytes]
     low, high_pos, high = _split_high(sample)
     merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
+    _last_trained = (id(vals), merges)
     enc = _apply_merges(low, merges)
     sample_out = len(enc) + 2 * high_pos.size
     ratio = sample_out / max(len(sample), 1)

@@ -1,0 +1,75 @@
+"""Driver program submitted to the standalone cluster via spark-submit.
+
+Runs the encode stage over the deterministic synthetic transcript table
+and prints one RESULT json line (consumed by cluster_bench.py). Session
+comes from spark-submit's conf — no master override here.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir, replicate, rowgroups = (sys.argv[1], int(sys.argv[2]),
+                                    int(sys.argv[3]))
+    spark = (
+        SparkSession.builder.appName("cluster_encode")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .getOrCreate()
+    )
+    from columnstore_spark.operators import encode
+    from columnstore_spark.session import warmup_python_workers
+    from columnstore_spark.sources.transcripts import synthetic_transcripts
+
+    total_cores = int(spark.conf.get("spark.cores.max"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(total_cores, 8)))
+
+    t = synthetic_transcripts(spark, sf_dir, replicate=replicate).persist()
+    rows = t.count()
+    warmup_python_workers(spark)
+
+    t0 = time.perf_counter()
+    # 2 partitions per core: second-wave tasks smooth stragglers
+    segs = encode(t, num_rowgroups=rowgroups,
+                  num_partitions=max(2 * total_cores, 8))
+    agg = segs.agg(F.sum("raw_bytes").alias("raw"),
+                   F.sum("enc_bytes").alias("enc")).collect()[0]
+    wall = time.perf_counter() - t0
+    raw = int(agg["raw"])
+    print("RESULT " + json.dumps({
+        "cores": total_cores, "rows": rows,
+        "raw_gb": round(raw / 1e9, 4),
+        "enc_gb": round(int(agg["enc"]) / 1e9, 4),
+        "wall_s": round(wall, 2),
+        "throughput_gbps": round(raw / 1e9 / wall, 4),
+        "rows_per_sec": round(rows / wall),
+    }))
+    if "--stages" in sys.argv:
+        import urllib.request
+        base = spark.sparkContext.uiWebUrl
+        app = json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications"))[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"))
+        for s in sorted(stages, key=lambda s: -s["executorRunTime"])[:6]:
+            print(f"STAGE id={s['stageId']} tasks={s['numCompleteTasks']} "
+                  f"run={s['executorRunTime']/1000:.1f}s "
+                  f"cpu={s['executorCpuTime']/1e9:.1f}s "
+                  f"gc={s['jvmGcTime']/1000:.1f}s "
+                  f"shufW={s['shuffleWriteBytes']>>20}MB "
+                  f"shufR={s['shuffleReadBytes']>>20}MB "
+                  f"fetchWait={s.get('shuffleFetchWaitTime',0)/1000:.1f}s "
+                  f"writeTime={s.get('shuffleWriteTime',0)/1e9:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
