@@ -1,0 +1,152 @@
+"""Query on the encoded form — the reference's segment probes.
+
+- ``query_value(payload, logical, v)`` -> list of (start, length) row
+  ranges where the column equals ``v``: the reference's
+  ``Decode(value)`` / ``QueryByValue`` inverted-index probe
+  (`/root/reference/Outcompute.ColumnStore/Encodings/DefaultEncoding.cs:84-158`,
+  `DictionaryEncoding.cs:157-210`, `Segments/ColumnSegment.cs:38-92` —
+  result shape = ``RangeQueryResult(start,end)`` runs, not values).
+- ``query_window(payload, logical, start, length)`` -> Arrow array of
+  the row window: ``Decode(start,len)`` / ``QueryByRange``
+  (`DefaultEncoding.cs:160-231`, `DictionaryEncoding.cs:212-267`,
+  `ColumnSegment.cs:95-157`).
+
+Fast paths operate on the compressed body without expansion:
+- constant: the whole segment matches or nothing does.
+- dict_rle: match the dictionary (one comparison per distinct value —
+  the reference's key->bitmap trick `DictionaryEncoding.cs:174-203`),
+  then scan run ranges; windows clip runs without expanding
+  (early-exit + clip, `DictionaryEncoding.cs:243-258`).
+Everything else decodes vectorized and scans the equality mask. In the
+distributed engine these kernels sit BEHIND manifest pruning
+(plans/pruning.py): segments whose min/max/distinct stats exclude the
+predicate are never read at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import bitpack, constant, dictrle
+from . import values as V
+from .segment import FLAG_HAS_NULLS, decode_segment
+
+
+def _parse_frame(payload: bytes | memoryview):
+    """-> (codec_id, n_rows, validity|None, body memoryview)."""
+    body = memoryview(payload)
+    codec, pos = bitpack.read_varint(body)
+    n, pos = bitpack.read_varint(body, pos)
+    flags = body[pos]
+    pos += 1
+    validity = None
+    if flags & FLAG_HAS_NULLS:
+        nb = (n + 7) // 8
+        validity = np.unpackbits(
+            np.frombuffer(body, dtype=np.uint8, count=nb, offset=pos),
+            count=n, bitorder="little").astype(bool)
+        pos += nb
+    return codec, n, validity, body[pos:]
+
+
+def _mask_to_ranges(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Boolean row mask -> [(start, length)] runs of True."""
+    if mask.size == 0 or not mask.any():
+        return []
+    m = mask.astype(np.int8)
+    diff = np.diff(m, prepend=0, append=0)
+    starts = np.flatnonzero(diff == 1)
+    ends = np.flatnonzero(diff == -1)
+    return [(int(s), int(e - s)) for s, e in zip(starts, ends)]
+
+
+def _dict_runs(body: memoryview, logical: str):
+    """Parse a dict_rle body -> (uniques, run_idx, run_starts, run_len)."""
+    dict_size, pos = bitpack.read_varint(body)
+    if logical in V.VAR_LOGICAL:
+        uniques, consumed = V.read_var(body[pos:], dict_size)
+        pos += consumed
+    else:
+        dt = np.dtype(V.FIXED_LOGICAL[logical])
+        uniques = np.frombuffer(body, dtype=dt, count=dict_size, offset=pos)
+        pos += dict_size * dt.itemsize
+    n_runs, pos = bitpack.read_varint(body, pos)
+    iw, lw = body[pos], body[pos + 1]
+    pos += 2
+    run_idx = bitpack.unpack_bits(body[pos:], n_runs, iw).astype(np.int64)
+    pos += bitpack.packed_size(n_runs, iw)
+    run_len = bitpack.unpack_bits(body[pos:], n_runs, lw).astype(np.int64) + 1
+    starts = np.zeros(n_runs, dtype=np.int64)
+    if n_runs > 1:
+        np.cumsum(run_len[:-1], out=starts[1:])
+    return uniques, run_idx, starts, run_len
+
+
+def _dict_key_index(uniques, logical: str, value) -> int:
+    if logical in V.VAR_LOGICAL:
+        arr = V.var_chunk_to_arrow(uniques, logical)
+        needle = (value.encode() if logical == "string"
+                  and isinstance(value, str) else value)
+        idx = pc.index(arr, pa.scalar(
+            value if logical == "string" else needle, type=arr.type))
+        return idx.as_py()
+    hits = np.flatnonzero(uniques == np.asarray(value, dtype=uniques.dtype))
+    return int(hits[0]) if hits.size else -1
+
+
+def query_value(payload: bytes | memoryview, logical: str,
+                value) -> list[tuple[int, int]]:
+    """Row ranges where the segment equals `value` (non-null probe)."""
+    codec, n, validity, body = _parse_frame(payload)
+
+    if validity is None and codec == constant.CODEC_ID:
+        arr = decode_segment(payload, logical)
+        if n and arr[0].as_py() == value:
+            return [(0, n)]
+        return []
+
+    if validity is None and codec == dictrle.CODEC_ID:
+        uniques, run_idx, starts, run_len = _dict_runs(body, logical)
+        key = _dict_key_index(uniques, logical, value)
+        if key is None or key < 0:
+            return []
+        hit = run_idx == key
+        return [(int(s), int(ln)) for s, ln
+                in zip(starts[hit], run_len[hit])]
+
+    # generic: decode vectorized, scan equality mask (nulls never match)
+    arr = decode_segment(payload, logical)
+    mask = pc.equal(arr, pa.scalar(value, type=arr.type))
+    mask = pc.fill_null(mask, False)
+    return _mask_to_ranges(np.asarray(mask))
+
+
+def query_window(payload: bytes | memoryview, logical: str,
+                 start: int, length: int) -> pa.Array:
+    """The row window [start, start+length) of the segment."""
+    codec, n, validity, body = _parse_frame(payload)
+    start = max(0, start)
+    length = max(0, min(length, n - start))
+    if length == 0:
+        return decode_segment(payload, logical).slice(0, 0)
+
+    if validity is None and codec == dictrle.CODEC_ID:
+        uniques, run_idx, starts, run_len = _dict_runs(body, logical)
+        end = start + length
+        # clip runs to the window without expanding the whole segment
+        # (the reference's early-exit + clip, DictionaryEncoding.cs:243-258)
+        lo = int(np.searchsorted(starts, start, side="right")) - 1
+        hi = int(np.searchsorted(starts, end, side="left"))
+        idx = run_idx[lo:hi]
+        s = starts[lo:hi].copy()
+        ln = run_len[lo:hi].copy()
+        ln = np.minimum(s + ln, end) - np.maximum(s, start)
+        codes = np.repeat(idx, ln)
+        if logical in V.VAR_LOGICAL:
+            return V.var_chunk_to_arrow(uniques, logical).take(
+                pa.array(codes))
+        return pa.array(uniques[codes])
+
+    return decode_segment(payload, logical).slice(start, length)

@@ -89,11 +89,29 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
            rows_per_segment: int = 1_000_000,
            order: tuple[str, ...] = ("conv_id", "turn_idx"),
            mode: str = chooser.MODE_SIZE,
-           num_partitions: int | None = None) -> DataFrame:
+           num_partitions: int | None = None,
+           compression_order: bool = False,
+           assume_partitioned: bool = False) -> DataFrame:
     """Encode `df` into the segments table (one row per rowgroup x column).
 
     One shuffle (hash on rowgroup_id); everything else is partition-local
     and Arrow-vectorized. Result schema: SEGMENT_SCHEMA.
+
+    `compression_order=True` re-sorts each rowgroup's ROWS by its
+    columns in ascending distinct-count order before building segments
+    — the reference's S7 optimization ("order the source data by
+    cardinality to optimize compression", generated
+    `SolidRowGroupFactoryGenerator.cs:35-53`). Default off: the
+    engine's stable (conv_id, turn_idx) order already clusters
+    role/tool runs per conversation and keeps verify order restorable
+    (SURVEY.md §2.3 S7).
+
+    `assume_partitioned=True` skips the exchange: the caller
+    guarantees the input is already partitioned by `rowgroup_expr`
+    (bucketed table layout — at 100 TB the ingest writes bucketed by
+    the salted conv_id key, so encode is a shuffle-free, purely
+    partition-local map stage). A rowgroup id must not span two input
+    partitions.
     """
     if rowgroup_expr is None:
         if num_rowgroups is None:
@@ -112,7 +130,14 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
 
     def encode_partition(
             batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         for rowgroup_id, tbl in iter_groups(batches, ROWGROUP_COL):
+            if compression_order:
+                ndv = {c: pc.count_distinct(tbl.column(c)).as_py()
+                       for c in col_order}
+                tbl = tbl.sort_by([(c, "ascending") for c in
+                                   sorted(col_order, key=ndv.get)])
             rows = []
             for idx, name in enumerate(col_order):
                 t0 = time.perf_counter()
@@ -132,14 +157,13 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
                  for c, f in zip(cols, out_pa_schema)],
                 schema=out_pa_schema)
 
-    work = (
-        df.withColumn(ROWGROUP_COL, rowgroup_expr.cast("long"))
-        .repartition(num_partitions, F.col(ROWGROUP_COL))
-        # stable per-rowgroup (conv_id, turn_idx) order: clusters role/tool
-        # runs per conversation (the reference's compression-order step S7)
-        # while keeping the bit-identical verify order restorable
-        .sortWithinPartitions(ROWGROUP_COL, *order_cols)
-    )
+    work = df.withColumn(ROWGROUP_COL, rowgroup_expr.cast("long"))
+    if not assume_partitioned:
+        work = work.repartition(num_partitions, F.col(ROWGROUP_COL))
+    # stable per-rowgroup (conv_id, turn_idx) order: clusters role/tool
+    # runs per conversation (the reference's compression-order step S7)
+    # while keeping the bit-identical verify order restorable
+    work = work.sortWithinPartitions(ROWGROUP_COL, *order_cols)
     return work.mapInArrow(encode_partition, SEGMENT_SCHEMA)
 
 

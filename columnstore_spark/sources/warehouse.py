@@ -78,17 +78,24 @@ class Warehouse:
                          rows_per_segment: int = 1_000_000,
                          mode: str = chooser.MODE_SIZE,
                          run_id: str | None = None,
-                         fail_after_rowgroups: int | None = None) -> dict:
+                         fail_after_rowgroups: int | None = None,
+                         rowgroup_offset: int = 0) -> dict:
         """Encode `df` into the warehouse, skipping rowgroups already
         committed by earlier runs.
 
         `fail_after_rowgroups` is the FIXTURES.md F5 failure-injection
         hook: only the first k pending rowgroups are committed, simulating
         a mid-run kill that still left a consistent manifest.
+
+        `rowgroup_offset` namespaces rowgroup ids per ingest batch
+        (streaming micro-batches append disjoint id ranges, so the
+        done-rowgroup anti-join never confuses two batches' groups).
         """
         spark = df.sparkSession
         run_id = run_id or uuid.uuid4().hex[:12]
         rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+        if rowgroup_offset:
+            rg_expr = rg_expr + F.lit(int(rowgroup_offset))
         work = df.withColumn("__rg", rg_expr)
 
         done = self.done_rowgroups(spark)

@@ -1,0 +1,72 @@
+"""Structured Streaming ingest — the reference's delta-store lifecycle
+as micro-batches.
+
+Reference mapping: the delta store absorbs appends into an Open row
+group and closes it at capacity
+(`/root/reference/Outcompute.ColumnStore/DeltaRowGroup.cs:108-131`,
+states Open->Closed->Solid `RowGroupState.cs:3-9`); compaction drains
+closed groups (`DeltaStore.TryTakeClosed`, `DeltaStore.cs:63-84`). In
+Spark terms each micro-batch IS a set of closed row groups: the stream
+trigger is the close event, and `foreachBatch` -> warehouse encode is
+the delta->solid compaction, committed through the same manifest
+protocol (so a crashed batch re-encodes only its missing rowgroups on
+restart — streaming checkpoint + manifest resume compose).
+
+Rowgroup ids are namespaced per batch (`batch_id << 40`) so batches
+append disjoint id ranges into one warehouse.
+
+At scale: the input is a file/Kafka stream partitioned by arrival;
+each batch shuffles once on the salted conv_id rowgroup key exactly
+like the batch path — no per-row Python, no driver state beyond the
+streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..codecs import chooser
+from ..sources.warehouse import Warehouse
+
+_BATCH_ID_SHIFT = 40  # rowgroup id namespace per micro-batch
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), False),
+])
+
+
+def encode_stream(spark: SparkSession, input_path: str, warehouse_root: str,
+                  checkpoint: str, schema: T.StructType = TRANSCRIPT_SCHEMA,
+                  num_rowgroups: int = 8,
+                  rows_per_segment: int = 1_000_000,
+                  mode: str = chooser.MODE_SIZE,
+                  available_now: bool = True) -> StreamingQuery:
+    """Stream transcript parquet files into encoded warehouse segments.
+
+    `available_now=True` drains everything currently in `input_path`
+    then stops (test/backfill mode); False runs continuously.
+    """
+    wh = Warehouse(warehouse_root)
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def close_and_compact(batch_df, batch_id: int) -> None:
+        # batch = closed row groups; encode is the delta->solid step
+        wh.encode_resumable(
+            batch_df, num_rowgroups=num_rowgroups,
+            rows_per_segment=rows_per_segment, mode=mode,
+            run_id=f"stream-{batch_id:06d}",
+            rowgroup_offset=batch_id << _BATCH_ID_SHIFT)
+
+    writer = (stream.writeStream
+              .foreachBatch(close_and_compact)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -88,7 +88,7 @@ def stop_cluster(workdir: str) -> None:
 
 
 def submit(zip_path: str, cores_max: int, sf_dir: str, replicate: int,
-           rowgroups: int) -> dict:
+           rowgroups: int, prebucketed: bool = False) -> dict:
     cmd = ["taskset", "-c", DRIVER_CORES,
            f"{SPARK_HOME}/bin/spark-submit",
            "--master", MASTER_URL,
@@ -101,6 +101,8 @@ def submit(zip_path: str, cores_max: int, sf_dir: str, replicate: int,
            "--conf", "spark.sql.session.timeZone=UTC",
            os.path.join(REPO, "scripts", "cluster_encode_job.py"),
            sf_dir, str(replicate), str(rowgroups)]
+    if prebucketed:
+        cmd.append("--prebucketed")
     proc = sh(cmd, env={"PYSPARK_PYTHON": sys.executable}, check=False,
               timeout=900)
     for line in proc.stdout.splitlines():
@@ -116,6 +118,8 @@ def main() -> None:
     ap.add_argument("--rowgroups", type=int, default=256)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--prebucketed", action="store_true",
+                    help="bucketed-table layout: encode without exchange")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -127,7 +131,7 @@ def main() -> None:
     try:
         def best(cores_max: int) -> dict:
             runs = [submit(zip_path, cores_max, args.sf_dir,
-                           args.replicate, args.rowgroups)
+                           args.replicate, args.rowgroups, args.prebucketed)
                     for _ in range(args.repeats)]
             return min(runs, key=lambda r: r["wall_s"])
 

@@ -18,28 +18,48 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir, replicate, rowgroups = (sys.argv[1], int(sys.argv[2]),
                                     int(sys.argv[3]))
+    prebucketed = "--prebucketed" in sys.argv
     spark = (
         SparkSession.builder.appName("cluster_encode")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # never split a bucketed input file: a rowgroup must not span
+        # two partitions (encode assume_partitioned contract)
+        .config("spark.sql.files.maxPartitionBytes", "1g")
         .getOrCreate()
     )
     from columnstore_spark.operators import encode
+    from columnstore_spark.operators.encode import default_rowgroup_expr
     from columnstore_spark.session import warmup_python_workers
     from columnstore_spark.sources.transcripts import synthetic_transcripts
 
     total_cores = int(spark.conf.get("spark.cores.max"))
     spark.conf.set("spark.sql.shuffle.partitions", str(max(total_cores, 8)))
 
-    t = synthetic_transcripts(spark, sf_dir, replicate=replicate).persist()
-    rows = t.count()
+    t = synthetic_transcripts(spark, sf_dir, replicate=replicate)
+    rg_expr = default_rowgroup_expr(rowgroups)
+    if prebucketed:
+        # bucketed-table layout: ingest wrote parquet partitioned by the
+        # salted rowgroup key, so encode is a shuffle-free columnar scan
+        # -> mapInArrow map stage (the production shape: parquet/Iceberg
+        # in, encoded warehouse out)
+        bdir = "/tmp/cs_cluster/bucketed_input"
+        (t.withColumn("__rg", rg_expr.cast("long"))
+         .repartition(max(2 * total_cores, 8), "__rg")
+         .write.mode("overwrite").parquet(bdir))
+        t = spark.read.parquet(bdir).drop("__rg")
+        rows = t.count()
+    else:
+        t = t.persist()
+        rows = t.count()
     warmup_python_workers(spark)
 
     t0 = time.perf_counter()
     # 2 partitions per core: second-wave tasks smooth stragglers
-    segs = encode(t, num_rowgroups=rowgroups,
-                  num_partitions=max(2 * total_cores, 8))
+    segs = encode(t, rowgroup_expr=rg_expr, num_rowgroups=rowgroups,
+                  num_partitions=max(2 * total_cores, 8),
+                  assume_partitioned=prebucketed)
     agg = segs.agg(F.sum("raw_bytes").alias("raw"),
                    F.sum("enc_bytes").alias("enc")).collect()[0]
     wall = time.perf_counter() - t0
