@@ -63,6 +63,14 @@ def logical_of(arr: pa.Array) -> str:
         return "binary"
     if pa.types.is_timestamp(t):
         return f"timestamp_{t.unit}"
+    if pa.types.is_date32(t):
+        return "date32"
+    if pa.types.is_decimal(t):
+        if t.precision > 18:
+            raise TypeError(
+                f"decimal precision {t.precision} > 18 unsupported "
+                "(unscaled value must fit int64)")
+        return f"decimal64_{t.precision}_{t.scale}"
     if t in _PA_LOGICAL:
         return _PA_LOGICAL[t]
     raise TypeError(f"unsupported arrow type {t}")
@@ -75,10 +83,45 @@ def _pa_type(logical: str, original: pa.DataType | None = None) -> pa.DataType:
         return pa.large_binary()
     if logical.startswith("timestamp_"):
         return pa.timestamp(logical.split("_", 1)[1])
+    if logical == "date32":
+        return pa.date32()
+    if logical.startswith("decimal64_"):
+        _, p, s = logical.split("_")
+        return pa.decimal128(int(p), int(s))
     for t, name in _PA_LOGICAL.items():
         if name == logical:
             return t
     raise TypeError(f"unsupported logical {logical}")
+
+
+def _decimal_to_unscaled(dense: pa.Array) -> np.ndarray:
+    """decimal128 array -> unscaled int64 (precision <= 18 guaranteed:
+    the 128-bit two's-complement value is a sign extension of its low
+    word, so the little-endian low int64 IS the value)."""
+    buf = dense.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8", count=2 * len(dense),
+                          offset=dense.offset * 16)
+    return words[0::2].copy()
+
+
+def _unscaled_to_decimal(vals: np.ndarray, typ: pa.DataType,
+                         validity: np.ndarray | None,
+                         n: int) -> pa.Array:
+    full = np.zeros(n, dtype=np.int64)
+    if validity is None:
+        full[:] = vals
+    else:
+        full[validity] = vals
+    words = np.empty(2 * n, dtype=np.int64)
+    words[0::2] = full
+    words[1::2] = full >> 63  # sign extension high word
+    bufs = [None, pa.py_buffer(words.tobytes())]
+    null_count = 0
+    if validity is not None:
+        bufs[0] = pa.py_buffer(
+            np.packbits(validity, bitorder="little").tobytes())
+        null_count = int(n - validity.sum())
+    return pa.Array.from_buffers(typ, n, bufs, null_count=null_count)
 
 
 def from_arrow(arr: pa.Array) -> tuple[str, object, np.ndarray | None]:
@@ -100,7 +143,9 @@ def from_arrow(arr: pa.Array) -> tuple[str, object, np.ndarray | None]:
         if dense.type != target:
             dense = dense.cast(target)
         vals = V.var_chunk_from_arrow(dense)
-    elif logical.startswith("timestamp_"):
+    elif logical.startswith("decimal64_"):
+        vals = _decimal_to_unscaled(dense)
+    elif logical.startswith("timestamp_") or logical == "date32":
         vals = dense.to_numpy(zero_copy_only=False)
         vals = vals.astype(V.FIXED_LOGICAL[logical])
     elif logical == "bool":
@@ -125,6 +170,8 @@ def to_arrow(vals, validity: np.ndarray | None, logical: str, n: int) -> pa.Arra
         return pa.Array.from_buffers(
             typ, n, [vbuf, pa.py_buffer(off.tobytes()), pa.py_buffer(vals.blob)],
             null_count=int(n - validity.sum()))
+    if logical.startswith("decimal64_"):
+        return _unscaled_to_decimal(vals, _pa_type(logical), validity, n)
     if validity is None:
         return pa.array(vals, type=_pa_type(logical))
     full = np.zeros(n, dtype=vals.dtype)

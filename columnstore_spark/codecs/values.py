@@ -22,8 +22,24 @@ import pyarrow as pa
 
 from . import bitpack
 
-# Canonical logical type names stored in the manifest.
-FIXED_LOGICAL = {
+# Canonical logical type names stored in the manifest. Decimal columns
+# (precision <= 18) use parametrized names "decimal64_<p>_<s>" whose
+# physical form is the unscaled int64 — resolved lazily by __missing__.
+class _LogicalMap(dict):
+    def __missing__(self, key: str) -> str:
+        if key.startswith("decimal64_"):
+            self[key] = "<i8"
+            return "<i8"
+        raise KeyError(key)
+
+
+class _IntLogicalSet(set):
+    def __contains__(self, key) -> bool:  # noqa: D105
+        return (set.__contains__(self, key)
+                or (isinstance(key, str) and key.startswith("decimal64_")))
+
+
+FIXED_LOGICAL = _LogicalMap({
     "int8": "<i1",
     "int16": "<i2",
     "int32": "<i4",
@@ -40,14 +56,15 @@ FIXED_LOGICAL = {
     "timestamp_us": "<M8[us]",
     "timestamp_ns": "<M8[ns]",
     "date32": "<M8[D]",
-}
+})
 VAR_LOGICAL = {"string", "binary"}
 
 _NP_TO_LOGICAL = {np.dtype(v): k for k, v in FIXED_LOGICAL.items()}
 
-INT_LOGICAL = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
-               "uint64", "bool", "timestamp_s", "timestamp_ms", "timestamp_us",
-               "timestamp_ns", "date32"}
+INT_LOGICAL = _IntLogicalSet({
+    "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+    "uint64", "bool", "timestamp_s", "timestamp_ms", "timestamp_us",
+    "timestamp_ns", "date32"})
 
 
 @dataclass

@@ -27,7 +27,15 @@ _LOGICAL_TO_SPARK = {
     "bool": T.BooleanType(), "string": T.StringType(), "binary": T.BinaryType(),
     "timestamp_s": T.TimestampType(), "timestamp_ms": T.TimestampType(),
     "timestamp_us": T.TimestampType(), "timestamp_ns": T.TimestampType(),
+    "date32": T.DateType(),
 }
+
+
+def _spark_type_of(logical: str) -> T.DataType:
+    if logical.startswith("decimal64_"):
+        _, p, s = logical.split("_")
+        return T.DecimalType(int(p), int(s))
+    return _LOGICAL_TO_SPARK[logical]
 
 _OUT_BATCH_ROWS = 1 << 16
 
@@ -39,7 +47,7 @@ def schema_from_segments(segments: DataFrame) -> T.StructType:
             .max("n_nulls").collect())
     fields = sorted(cols, key=lambda r: r["col_idx"])
     return T.StructType([
-        T.StructField(r["column"], _LOGICAL_TO_SPARK[r["logical_type"]],
+        T.StructField(r["column"], _spark_type_of(r["logical_type"]),
                       bool(r["max(n_nulls)"] > 0) or True)
         for r in fields
     ])

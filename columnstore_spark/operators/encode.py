@@ -61,7 +61,7 @@ SEGMENT_SCHEMA = T.StructType([
 _SUPPORTED_SPARK = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
     T.DoubleType, T.BooleanType, T.StringType, T.BinaryType,
-    T.TimestampType, T.TimestampNTZType,
+    T.TimestampType, T.TimestampNTZType, T.DateType, T.DecimalType,
 )
 
 
@@ -69,6 +69,10 @@ def pa_type_for(spark_type: T.DataType) -> None:
     """Validate a Spark type is encodable (raises TypeError otherwise)."""
     if not isinstance(spark_type, _SUPPORTED_SPARK):
         raise TypeError(f"unsupported Spark type {spark_type}")
+    if isinstance(spark_type, T.DecimalType) and spark_type.precision > 18:
+        raise TypeError(
+            f"decimal precision {spark_type.precision} > 18 unsupported "
+            "(unscaled value must fit int64)")
 
 
 def default_rowgroup_expr(num_rowgroups: int,
