@@ -114,8 +114,9 @@ def _pipeline_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     """Training-data op (functions/pipeline.py): one SQL spine run by
     Spark here and by DuckDB in oracle_sql() — parity by construction."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from columnstore_spark.functions.pipeline import spark_pipeline_df
         register_testdata(spark, sf_dir, ("documents", "embeddings"))
-        return spark.sql(_PIPELINE_SQL[name]["spark"])
+        return spark_pipeline_df(spark, name, _EMB_DIM)
     run.__name__ = f"q_{name}"
     return run
 

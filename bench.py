@@ -97,6 +97,16 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
               .agg(F.sum("raw_bytes"), F.sum("enc_bytes"),
                    F.collect_set("codec")))
         timings["q_compression_summary"] = time.perf_counter() - t0
+
+        # training-data pipeline ops over documents/embeddings
+        from columnstore_spark.functions.pipeline import spark_pipeline_df
+        from columnstore_spark.sources.transcripts import register_testdata
+        register_testdata(spark, sf_dir, ("documents", "embeddings"))
+        for name in ("dedup_minhash_lsh", "dedup_simhash",
+                     "ann_cosine_topk", "text_metrics"):
+            t0 = time.perf_counter()
+            _noop(spark_pipeline_df(spark, name, 64))
+            timings[f"q_{name}"] = time.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         t.unpersist()

@@ -122,9 +122,64 @@ _N_PERMS = 16
 _BANDS = 4  # 4 rows per band
 
 
+def _perm_key(p: int) -> int:
+    """Deterministic 63-bit xor key for minhash permutation p."""
+    h = hashlib.md5(f"perm:{p}".encode()).hexdigest()
+    return int(h[:16], 16) & 0x7FFFFFFFFFFFFFFF
+
+
 def _minhash_cte(d: Dialect, table: str) -> str:
-    """CTE producing (doc_id, shingles, sig_0..15, band_0..3)."""
+    """CTE chain ending in banded(doc_id, shingles, sig_0..15,
+    band_0..3).
+
+    The two engines get structurally different but result-identical
+    spines. DuckDB vectorizes list lambdas natively, so it builds
+    shingles/sigs with array transforms. Spark interprets higher-order
+    array lambdas row-at-a-time (no codegen — measured ~190 s at sf0.1
+    for ~8M lambda evals), so its spine is posexplode + lead() window +
+    one hash aggregate with 16 min()s — every operator whole-stage
+    codegen'd. The permutation family is x XOR K_p over the md5-uniform
+    shingle hashes (a bijection per perm; md5-rehashing per
+    (shingle, perm) costs ~40x more for no detection-quality gain).
+    min() ignores duplicates, so multiset-vs-set shingle handling
+    cannot diverge, and the shingles array is only ever consumed
+    order-insensitively (size / intersect size).
+    """
     toks = d.tokens("text")
+    bands = ", ".join(
+        d.ph("concat(" + ", '_', ".join(
+            f"CAST(sig_{p} AS STRING)"
+            for p in range(b * 4, b * 4 + 4)) + ")") + f" AS band_{b}"
+        for b in range(_BANDS))
+
+    if d.spark:
+        sigs = ", ".join(
+            f"min({d.xor('sh', str(_perm_key(p)))}) AS sig_{p}"
+            for p in range(_N_PERMS))
+        return f"""
+tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+tokp AS (
+  SELECT doc_id, pos, t FROM tok
+  LATERAL VIEW posexplode(toks) _e AS pos, t
+),
+tric AS (
+  SELECT doc_id, {d.ph("concat(t, ' ', t1, ' ', t2)")} AS sh
+  FROM (SELECT doc_id, t,
+               lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM tokp) x
+  WHERE t2 IS NOT NULL
+),
+banded0 AS (
+  SELECT doc_id, collect_set(sh) AS shingles, {sigs}
+  FROM tric GROUP BY doc_id
+),
+banded AS (
+  SELECT *, {bands} FROM banded0
+)"""
+
     tri = ("concat(" + d.element("toks", "CAST(i AS INT)") + ", ' ', "
            + d.element("toks", "CAST(i AS INT) + 1") + ", ' ', "
            + d.element("toks", "CAST(i AS INT) + 2") + ")")
@@ -133,15 +188,10 @@ def _minhash_cte(d: Dialect, table: str) -> str:
         f"i -> {d.ph(tri)}"))
     sigs = ", ".join(
         d.amin(d.transform(
-            "shingles", f"s -> {d.ph(f_per)}")) + f" AS sig_{p}"
+            "shingles", f"s -> {d.xor('s', str(_perm_key(p)))}"))
+        + f" AS sig_{p}"
         for p in range(_N_PERMS)
-        for f_per in [f"concat(CAST(s AS STRING), '#', '{p}')"]
     )
-    bands = ", ".join(
-        d.ph("concat(" + ", '_', ".join(
-            f"CAST(sig_{p} AS STRING)"
-            for p in range(b * 4, b * 4 + 4)) + ")") + f" AS band_{b}"
-        for b in range(_BANDS))
     return f"""
 tok AS (
   SELECT doc_id, {toks} AS toks FROM {table}
@@ -158,24 +208,27 @@ banded AS (
 )"""
 
 
-def minhash_pairs_sql(d: Dialect, table: str = "documents",
-                      threshold: float = 0.5) -> str:
-    """MinHash+LSH near-duplicate pairs.
+def minhash_banded_sql(d: Dialect, table: str = "documents") -> str:
+    """(doc_id, shingles, sig_*, band_*) — the expensive md5-heavy half
+    of the LSH pipeline, separated so Spark can materialize it ONCE.
+    Both engines inline CTEs referenced from every band-join branch, so
+    running the combined spine recomputes 16 signatures x 8 branches;
+    persisting this frame first makes the band joins metadata-cheap."""
+    return f"WITH {_minhash_cte(d, table)} SELECT * FROM banded"
 
-    shingle(word-3-gram) -> 16 minhash sigs -> 4 bands of 4 -> same-band
-    bucket self-join -> exact jaccard verify >= threshold. The band
-    join is the scale path: candidates only within equal band hashes
-    (shuffle key), never all pairs. Output: (doc_a, doc_b, jaccard).
-    """
+
+def minhash_pairs_over(d: Dialect, banded: str = "banded",
+                       threshold: float = 0.5) -> str:
+    """Band-bucket self-joins + exact-jaccard verify over a
+    materialized `banded` table (minhash_banded_sql)."""
     band_joins = "\nUNION ALL\n".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        f"FROM banded a JOIN banded b ON a.band_{b} = b.band_{b} "
+        f"FROM {banded} a JOIN {banded} b ON a.band_{b} = b.band_{b} "
         f"AND a.doc_id < b.doc_id"
         for b in range(_BANDS))
     inter = d.size(d.intersect("a.shingles", "b.shingles"))
     return f"""
-WITH {_minhash_cte(d, table)},
-cand AS (
+WITH cand AS (
   SELECT DISTINCT doc_a, doc_b FROM (
 {band_joins}
   ) u
@@ -185,8 +238,8 @@ verified AS (
          {inter} AS n_inter,
          {d.size('a.shingles')} AS n_a, {d.size('b.shingles')} AS n_b
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b
+  JOIN {banded} a ON a.doc_id = c.doc_a
+  JOIN {banded} b ON b.doc_id = c.doc_b
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        CAST(round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4)
@@ -194,6 +247,23 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
 FROM verified
 WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
 """
+
+
+def minhash_pairs_sql(d: Dialect, table: str = "documents",
+                      threshold: float = 0.5) -> str:
+    """MinHash+LSH near-duplicate pairs (single combined spine — used
+    by the DuckDB oracle; the Spark runner materializes
+    minhash_banded_sql first and runs minhash_pairs_over on it).
+
+    shingle(word-3-gram) -> 16 minhash sigs -> 4 bands of 4 -> same-band
+    bucket self-join -> exact jaccard verify >= threshold. The band
+    join is the scale path: candidates only within equal band hashes
+    (shuffle key), never all pairs. Output: (doc_a, doc_b, jaccard).
+    """
+    over = minhash_pairs_over(d, "banded", threshold)
+    assert over.startswith("\nWITH ")
+    rest = over[len("\nWITH "):]
+    return f"\nWITH {_minhash_cte(d, table)},\n{rest}"
 
 
 _SIM_BITS = 48  # stay clear of BIGINT sign issues in both engines
@@ -226,30 +296,29 @@ FROM votes
 """
 
 
-def simhash_pairs_sql(d: Dialect, table: str = "documents",
-                      max_hamming: int = 6) -> str:
-    """SimHash near-dup pairs: 4x12-bit band self-join, hamming verify.
-
-    A pair within hamming distance 3 must agree on at least one 12-bit
-    band (pigeonhole over 4 bands); max_hamming=6 keeps recall high in
-    practice while the band join keeps the candidate set bucket-local.
-    """
+def simhash_chunked_sql(d: Dialect, table: str = "documents") -> str:
+    """(doc_id, simhash, chunk_0..3) — the explode-heavy half of the
+    SimHash pipeline, separated so Spark can materialize it once
+    (same CTE-inlining rationale as minhash_banded_sql)."""
     sim = simhash_sql(d, table)
     bands = ", ".join(
         f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
         for b in range(4))
+    return f"WITH sim AS ({sim}) SELECT doc_id, simhash, {bands} FROM sim"
+
+
+def simhash_pairs_over(d: Dialect, chunked: str = "chunked",
+                       max_hamming: int = 6) -> str:
+    """Band self-joins + hamming verify over a materialized `chunked`
+    table (simhash_chunked_sql)."""
     band_joins = "\nUNION ALL\n".join(
         f"SELECT a.doc_id AS doc_a, a.simhash AS sim_a, "
         f"b.doc_id AS doc_b, b.simhash AS sim_b\n"
-        f"FROM chunked a JOIN chunked b ON a.chunk_{b} = b.chunk_{b} "
+        f"FROM {chunked} a JOIN {chunked} b ON a.chunk_{b} = b.chunk_{b} "
         f"AND a.doc_id < b.doc_id"
         for b in range(4))
     return f"""
-WITH sim AS ({sim}),
-chunked AS (
-  SELECT doc_id, simhash, {bands} FROM sim
-),
-cand AS (
+WITH cand AS (
   SELECT DISTINCT doc_a, sim_a, doc_b, sim_b FROM (
 {band_joins}
   ) u
@@ -259,6 +328,24 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
 FROM cand
 WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {max_hamming}
 """
+
+
+def simhash_pairs_sql(d: Dialect, table: str = "documents",
+                      max_hamming: int = 6) -> str:
+    """SimHash near-dup pairs: 4x12-bit band self-join, hamming verify
+    (combined spine for the oracle; Spark materializes the chunked half
+    first). A pair within hamming distance 3 must agree on at least one
+    12-bit band (pigeonhole over 4 bands); max_hamming=6 keeps recall
+    high while the band join keeps the candidate set bucket-local."""
+    sim = simhash_sql(d, table)
+    bands = ", ".join(
+        f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
+        for b in range(4))
+    over = simhash_pairs_over(d, "chunked", max_hamming)
+    rest = over[len("\nWITH "):]
+    return (f"\nWITH sim AS ({sim}),\n"
+            f"chunked AS (\n  SELECT doc_id, simhash, {bands} FROM sim\n),\n"
+            f"{rest}")
 
 
 def embedding_dedup_sql(d: Dialect, table: str = "embeddings",
@@ -367,6 +454,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM {table}
 """
+
+
+def spark_pipeline_df(spark, name: str, dim: int):
+    """Run pipeline query `name` on Spark. The two LSH queries
+    materialize (persist) their signature half first — both engines
+    inline CTEs into every band-join branch, so the combined spine
+    recomputes the md5-heavy signatures 8x (measured 243 s -> seconds
+    at sf0.1). Results are identical to the combined spine the DuckDB
+    oracle runs."""
+    if name == "dedup_minhash_lsh":
+        banded = spark.sql(minhash_banded_sql(SPARK)).persist()
+        banded.createOrReplaceTempView("__cs_minhash_banded")
+        return spark.sql(minhash_pairs_over(SPARK, "__cs_minhash_banded"))
+    if name == "dedup_simhash":
+        chunked = spark.sql(simhash_chunked_sql(SPARK)).persist()
+        chunked.createOrReplaceTempView("__cs_simhash_chunked")
+        return spark.sql(simhash_pairs_over(SPARK, "__cs_simhash_chunked"))
+    return spark.sql(all_pipeline_sql(dim)[name]["spark"])
 
 
 # The queries()/oracle_sql() surface: name -> builder(d) closure

@@ -1,0 +1,98 @@
+"""Physical-plan quality gates — the scale behaviors the engine
+promises must be visible in `.explain` / the executed plan, not just
+produce correct rows:
+
+- predicate pushdown reaches the parquet scan of the warehouse
+  (PushedFilters), and column pruning keeps payload bytes out of
+  metadata-only queries (ReadSchema);
+- manifest pruning eliminates rowgroups before any decode;
+- the encode plan contains exactly one exchange (and none at all under
+  the bucketed `assume_partitioned` contract);
+- the LSH band join is an equi-hash join, never a cartesian product.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnstore_spark.functions.pipeline import minhash_pairs_sql
+from columnstore_spark.functions.dialect import SPARK
+from columnstore_spark.operators import decode, encode
+from columnstore_spark.plans.pruning import prune_rowgroups_by_value
+from columnstore_spark.sources.transcripts import (
+    load_transcripts,
+    register_testdata,
+)
+from columnstore_spark.sources.warehouse import Warehouse
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # force AQE to finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh"))
+    t = load_transcripts(spark, SF_DIR)
+    Warehouse(root).encode_resumable(t, num_rowgroups=8)
+    return Warehouse(root)
+
+
+def test_parquet_pushdown_on_segments(spark, warehouse):
+    segs = (spark.read.parquet(warehouse.segments_path)
+            .where(F.col("column") == "role"))
+    plan = segs._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(column,role)" in plan.replace(" ", "")
+
+
+def test_column_pruning_keeps_payload_out_of_metadata(spark, warehouse):
+    meta = (spark.read.parquet(warehouse.segments_path)
+            .groupBy("column").agg(F.sum("enc_bytes")))
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "payload" not in scan
+
+
+def test_manifest_pruning_reduces_rowgroups(spark, warehouse):
+    segs = warehouse.committed_segments(spark)
+    total = segs.select("rowgroup_id").distinct().count()
+    pruned = prune_rowgroups_by_value(segs, "conv_id", "c000000000001")
+    kept = pruned.select("rowgroup_id").distinct().count()
+    assert 0 < kept < total
+    # pruning never changes results
+    a = (decode(pruned).where(F.col("conv_id") == "c000000000001")
+         .count())
+    b = (decode(segs).where(F.col("conv_id") == "c000000000001").count())
+    assert a == b > 0
+
+
+def test_encode_has_single_exchange(spark):
+    t = load_transcripts(spark, SF_DIR)
+    segs = encode(t, num_rowgroups=4)
+    plan = segs._jdf.queryExecution().executedPlan().toString()
+    tail = plan[plan.index("MapInArrow"):]  # below the encode operator
+    assert tail.count("Exchange hashpartitioning(__rowgroup_id") == 1
+
+
+def test_bucketed_encode_is_shuffle_free(spark):
+    from columnstore_spark.operators.encode import default_rowgroup_expr
+    t = load_transcripts(spark, SF_DIR)
+    rg = default_rowgroup_expr(4)
+    pre = t.repartition(4, rg.cast("long"))
+    segs = encode(pre, rowgroup_expr=rg, assume_partitioned=True)
+    plan = segs._jdf.queryExecution().executedPlan().toString()
+    tail = plan[plan.index("MapInArrow"):]
+    assert "Exchange hashpartitioning(__rowgroup_id" not in tail
+
+
+def test_lsh_join_is_hash_join_not_cartesian(spark):
+    register_testdata(spark, SF_DIR, ("documents",))
+    df = spark.sql(minhash_pairs_sql(SPARK))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
