@@ -141,7 +141,10 @@ class DuckDialect(Dialect):
         return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
     def num_lit_array(self, vals):
         return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in vals) + "]"
-    def join(self, arr, sep): return f"array_to_string({arr}, '{sep}')"
+    def join(self, arr, sep):
+        # duckdb array_to_string([]) is NULL where spark array_join([])
+        # is '' — coalesce to keep empty-document behavior identical
+        return f"COALESCE(array_to_string({arr}, '{sep}'), '')"
     def union(self, a, b):
         return f"list_distinct(list_concat({a}, {b}))"
     def explode_select(self, keys, arr, alias, from_):

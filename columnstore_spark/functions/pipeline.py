@@ -68,9 +68,28 @@ def text_metrics_sql(d: Dialect, table: str = "documents") -> str:
         f"WHEN s_de >= s_fr AND s_de > 0 THEN 'de' "
         f"WHEN s_fr > 0 THEN 'fr' ELSE 'und' END"
     )
-    gram_hash = d.ph("substring(norm_text, CAST(p AS INT), 8)")
-    winnow = d.amin(d.transform(d.seq("1", "length(norm_text) - 7"),
-                                f"p -> {gram_hash}"))
+    # winnow fingerprint = min over char-8-gram hashes. Spark gets an
+    # exploded codegen aggregate (higher-order array lambdas are
+    # interpreted row-at-a-time there); DuckDB vectorizes the list
+    # transform natively. Identical values either way.
+    if d.spark:
+        winnow_cte = f""",
+winnow AS (
+  SELECT doc_id, min({d.ph('substring(norm_text, pos, 8)')}) AS winnow_min
+  FROM (SELECT doc_id, norm_text, pos
+        FROM feat
+        LATERAL VIEW explode(sequence(1, length(norm_text) - 7)) _w AS pos
+        WHERE length(norm_text) >= 8) g
+  GROUP BY doc_id
+)"""
+        from_clause = "FROM feat LEFT JOIN winnow USING (doc_id)"
+        winnow_expr = "winnow_min"
+    else:
+        winnow_cte = ""
+        from_clause = "FROM feat"
+        gram_hash = d.ph("substring(norm_text, CAST(p AS INT), 8)")
+        winnow_expr = d.amin(d.transform(
+            d.seq("1", "length(norm_text) - 7"), f"p -> {gram_hash}"))
     return f"""
 WITH tok AS (
   SELECT doc_id, text, {toks} AS toks FROM {table}
@@ -80,7 +99,7 @@ feat AS (
          {scores['en']} AS s_en, {scores['es']} AS s_es,
          {scores['de']} AS s_de, {scores['fr']} AS s_fr
   FROM tok
-)
+){winnow_cte}
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -94,9 +113,9 @@ SELECT doc_id,
     AS stopword_ratio,
   {lang_case} AS lang_guess,
   md5(norm_text) AS fingerprint,
-  CAST(CASE WHEN length(norm_text) >= 8 THEN {winnow}
+  CAST(CASE WHEN length(norm_text) >= 8 THEN {winnow_expr}
        ELSE {d.ph('norm_text')} END AS BIGINT) AS winnow_fp
-FROM feat
+{from_clause}
 """
 
 
