@@ -105,7 +105,10 @@ def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("raw_bytes").alias("raw_bytes"),
                  F.sum("enc_bytes").alias("enc_bytes"),
                  F.count("*").alias("n_segments"),
-                 F.array_sort(F.collect_set("codec")).alias("codecs"))
+                 # string, not array: the driver's rows-only canonicalizer
+                 # factorizes column values and can't hash lists
+                 F.array_join(F.array_sort(F.collect_set("codec")), ",")
+                 .alias("codecs"))
             .withColumn("ratio", F.round(
                 F.col("enc_bytes") / F.col("raw_bytes"), 4)))
 
@@ -122,8 +125,18 @@ def _pipeline_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing (rows-only: byte stats via numpy over
-    Arrow batches aren't SQL-expressible in the oracle)."""
+    """Multimodal decode plumbing — the integer byte stats, oracle-checked
+    against an independent DuckDB hex-expansion reimplementation
+    (pipeline.media_decode_oracle_sql)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fake_decode_features(media_frame(docs)).select(
+        "doc_id", "n_bytes", "first_byte", "byte_sum")
+
+
+def _q_media_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only companion: the derived-double stats (byte_mean,
+    byte_entropy) from the same numpy kernel — float formatting keeps
+    them out of the value-hash oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return fake_decode_features(media_frame(docs))
 
@@ -143,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_range": _q_query_by_range,
         "compression_summary": _q_compression_summary,
         "media_decode": _q_media_decode,
+        "media_entropy": _q_media_entropy,
     }
     for name in _PIPELINE_SQL:
         q[name] = _pipeline_query(name)
@@ -183,10 +197,13 @@ LEFT JOIN (
 
 
 def oracle_sql() -> dict[str, str]:
+    from columnstore_spark.functions.pipeline import media_decode_oracle_sql
+
     t = f"WITH t AS ({TRANSCRIPTS_SQL})"
     pipeline = {name: sqls["duck"] for name, sqls in _PIPELINE_SQL.items()}
-    # media_decode: rows-only (no oracle entry) — numpy byte stats
+    # media_entropy: rows-only (no oracle entry) — derived float stats
     return pipeline | {
+        "media_decode": media_decode_oracle_sql(),
         "transcripts_build": f"{t} SELECT * FROM t",
         "encode_roundtrip": f"{t} SELECT * FROM t",
         "events_roundtrip": "SELECT * FROM events",

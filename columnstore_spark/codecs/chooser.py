@@ -59,4 +59,7 @@ def choose(st: SegmentStats, logical: str, vals, mode: str = MODE_SIZE) -> int:
             and st.n_distinct > (st.n_rows - st.n_nulls) // 4):
         candidates[fsst.CODEC_ID] = fsst.estimate_size(vals)
 
-    return min(candidates.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    winner = min(candidates.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    if fsst.CODEC_ID in candidates and winner != fsst.CODEC_ID:
+        fsst.clear_cache()  # never let a recycled id() reuse this table
+    return winner

@@ -162,6 +162,15 @@ def _merge_high(low: bytes, high_pos: np.ndarray, high: bytes) -> bytes:
 _last_trained: tuple[int, list[tuple[int, int]]] | None = None
 
 
+def clear_cache() -> None:
+    """Drop the trial-trained table. The chooser calls this whenever it
+    rejects FSST for a chunk: a stale entry keyed by a recycled id()
+    could otherwise silently encode a later chunk with a merge table
+    trained on unrelated data (correct but ratio-degrading)."""
+    global _last_trained
+    _last_trained = None
+
+
 def encode(vals: "V.VarChunk", logical: str,
            max_merges: int = MAX_MERGES) -> bytes:
     global _last_trained

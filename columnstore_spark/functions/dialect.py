@@ -60,6 +60,14 @@ class Dialect:
     def to_utf8(self, s: str) -> str: raise NotImplementedError
     def byte_length(self, s: str) -> str: raise NotImplementedError
 
+    def first_utf8_byte(self, s: str) -> str:
+        """First UTF-8 byte of string expression `s` as INT (0 if empty).
+
+        Byte-based (not code-point-based ascii()) so it agrees with
+        binary-side decoders for non-ASCII-leading text.
+        """
+        raise NotImplementedError
+
     def norm(self, x: str) -> str:
         return f"sqrt({self.dot(x, x)})"
 
@@ -112,6 +120,10 @@ class SparkDialect(Dialect):
                 f"(acc, v) -> acc + v)")
     def to_utf8(self, s): return f"encode({s}, 'utf-8')"
     def byte_length(self, s): return f"length(encode({s}, 'utf-8'))"
+    def first_utf8_byte(self, s):
+        return (f"CAST(CASE WHEN length({s}) > 0 THEN "
+                f"conv(substr(hex(encode({s}, 'utf-8')), 1, 2), 16, 10) "
+                f"ELSE 0 END AS INT)")
 
 
 class DuckDialect(Dialect):
@@ -152,6 +164,10 @@ class DuckDialect(Dialect):
     def dot(self, a, b): return f"list_dot_product({a}, {b})"
     def to_utf8(self, s): return f"encode({s})"
     def byte_length(self, s): return f"octet_length(encode({s}))"
+    def first_utf8_byte(self, s):
+        return (f"CAST(CASE WHEN octet_length(encode({s})) > 0 THEN "
+                f"CAST(concat('0x', substr(hex(encode({s})), 1, 2)) AS INT) "
+                f"ELSE 0 END AS INT)")
 
 
 SPARK = SparkDialect()

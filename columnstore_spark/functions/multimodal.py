@@ -36,6 +36,7 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("n_bytes", T.LongType(), False),
     T.StructField("first_byte", T.IntegerType(), False),
+    T.StructField("byte_sum", T.LongType(), False),
     T.StructField("byte_mean", T.DoubleType(), False),
     T.StructField("byte_entropy", T.DoubleType(), False),
 ])
@@ -77,9 +78,12 @@ def fake_decode_features(media: DataFrame,
     """Deterministic 'decode': per-blob byte statistics via numpy over
     Arrow batches — the real plumbing with a fake kernel.
 
-    byte_mean / byte_entropy are computed vectorized from the
-    concatenated blob buffer (np.frombuffer + bincount); no per-row
-    Python beyond the blob boundary offsets.
+    Fully vectorized: per-blob sums via int64 cumsum differences (exact
+    for any blob arrangement, including zero-length blobs anywhere) and
+    per-blob byte histograms via one flat ``np.bincount`` over
+    ``row_id*256 + byte`` — no per-row Python anywhere. ``byte_sum`` is
+    the exact integer sum (the oracle-checkable stat); ``byte_mean`` /
+    ``byte_entropy`` are derived doubles.
     """
     if num_partitions is None:
         num_partitions = int(media.sparkSession.conf.get(
@@ -90,34 +94,38 @@ def fake_decode_features(media: DataFrame,
         for pdf in it:
             blobs = pdf["payload"]
             lengths = blobs.str.len().to_numpy(dtype=np.int64)
+            n = len(lengths)
             blob = b"".join(blobs)
             arr = np.frombuffer(blob, dtype=np.uint8)
-            off = np.zeros(len(lengths) + 1, dtype=np.int64)
+            off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lengths, out=off[1:])
-            # clamp start indices: reduceat/fancy-index reject index ==
-            # len(arr) (zero-length blob at the tail); clamped lanes are
-            # masked by the lengths > 0 guard below
-            start = np.minimum(off[:-1], max(arr.size - 1, 0))
+            # exact per-blob sums as cumsum differences (no reduceat
+            # index clamping: a zero-length blob yields sum 0 without
+            # shortening its neighbor's segment)
+            cs = np.zeros(arr.size + 1, dtype=np.int64)
+            np.cumsum(arr, dtype=np.int64, out=cs[1:])
+            sums = cs[off[1:]] - cs[off[:-1]]
             if arr.size:
-                means = np.add.reduceat(arr.astype(np.float64), start)
-                first = arr[start].astype(np.int32)
+                # clamp only the first-byte gather (fancy-index rejects
+                # index == len(arr)); clamped lanes are masked below
+                first = arr[np.minimum(off[:-1], arr.size - 1)].astype(np.int32)
             else:
-                means = np.zeros(len(lengths))
-                first = np.zeros(len(lengths), dtype=np.int32)
-            means = np.where(lengths > 0, means / np.maximum(lengths, 1), 0.0)
-            ent = np.empty(len(lengths))
-            for i in range(len(lengths)):  # per-blob histogram: bounded
-                seg = arr[off[i]:off[i + 1]]  # by batch, vectorized inside
-                if seg.size == 0:
-                    ent[i] = 0.0
-                    continue
-                counts = np.bincount(seg, minlength=256)
-                p = counts[counts > 0] / seg.size
-                ent[i] = float(-(p * np.log2(p)).sum())
+                first = np.zeros(n, dtype=np.int32)
+            means = np.where(lengths > 0,
+                             sums / np.maximum(lengths, 1), 0.0)
+            # per-blob 256-bin histograms in one flat bincount
+            row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            hist = np.bincount(row_id * 256 + arr,
+                               minlength=n * 256).reshape(n, 256)
+            p = hist / np.maximum(lengths, 1)[:, None]
+            logp = np.zeros_like(p)
+            np.log2(p, out=logp, where=hist > 0)
+            ent = -(p * logp).sum(axis=1)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
                 "n_bytes": lengths,
                 "first_byte": np.where(lengths > 0, first, 0).astype(np.int32),
+                "byte_sum": sums,
                 "byte_mean": np.round(means, 4),
                 "byte_entropy": np.round(ent, 4),
             })

@@ -469,9 +469,34 @@ def media_meta_sql(d: Dialect, table: str = "documents") -> str:
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        'text/plain' AS mime,
        CAST({d.byte_length('text')} AS BIGINT) AS n_bytes,
-       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte,
+       {d.first_utf8_byte('text')} AS first_byte,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM {table}
+"""
+
+
+def media_decode_oracle_sql(table: str = "documents") -> str:
+    """DuckDB-only oracle for the numpy media decoder
+    (multimodal.fake_decode_features): n_bytes / first_byte / byte_sum
+    recomputed independently from the hex expansion of the utf-8 blob.
+    Deliberately NOT a shared spine — an independent reimplementation
+    that cross-checks the vectorized kernel's values. All-integer
+    outputs, so the driver's value hash has zero float-formatting risk.
+    """
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM {table}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN n > 0
+            THEN CAST(concat('0x', substr(h, 1, 2)) AS INT)
+            ELSE 0 END AS INT) AS first_byte,
+       CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+            i -> CAST(concat('0x', substr(h, CAST(2*i-1 AS BIGINT), 2))
+                 AS BIGINT))), 0) AS BIGINT) AS byte_sum
+FROM b
 """
 
 

@@ -119,6 +119,9 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
     """
     if rowgroup_expr is None:
         if num_rowgroups is None:
+            # one extra metadata pass over the input to size the groups;
+            # callers on a hot path should pass num_rowgroups or
+            # rowgroup_expr explicitly (every driver query does)
             n = df.count()
             num_rowgroups = max(1, -(-n // rows_per_segment))
         rowgroup_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)

@@ -53,16 +53,20 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-def test_media_decode_rows_only(spark):
-    """Multimodal plumbing: fake decode stats agree with the strong-
-    oracle metadata query on the shared columns."""
-    dec = entrymod.queries()["media_decode"](spark, SF_DIR).toPandas()
+def test_media_entropy_rows_only(spark):
+    """Multimodal plumbing: the derived-double stats agree with the
+    oracle-checked integer stats and the metadata query."""
+    dec = entrymod.queries()["media_entropy"](spark, SF_DIR).toPandas()
     meta = _duck(SF_DIR, entrymod.oracle_sql()["media_meta"])
     m = dec.merge(meta, on="doc_id", suffixes=("", "_meta"))
     assert len(m) == len(meta) > 0
     assert (m["n_bytes"] == m["n_bytes_meta"]).all()
     assert (m["first_byte"] == m["first_byte_meta"]).all()
-    assert ((m["byte_mean"] > 0) & (m["byte_mean"] < 256)).all()
+    # byte_mean is byte_sum/n_bytes by construction
+    nz = m[m["n_bytes"] > 0]
+    assert np.allclose(nz["byte_mean"],
+                       np.round(nz["byte_sum"] / nz["n_bytes"], 4))
+    assert ((m["byte_mean"] >= 0) & (m["byte_mean"] < 256)).all()
     assert (m["byte_entropy"] >= 0).all()
 
 
