@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from . import bitpack, constant, dictrle
 from . import values as V
-from .segment import FLAG_HAS_NULLS, decode_segment
+from .segment import FLAG_HAS_NULLS, decode_segment, to_arrow
 
 
 def _parse_frame(payload: bytes | memoryview):
@@ -84,6 +84,22 @@ def _dict_runs(body: memoryview, logical: str):
     return uniques, run_idx, starts, run_len
 
 
+def _decimal_probe_unscaled(logical: str, value):
+    """Rescale a decimal probe to the stored unscaled-int domain.
+    Returns None when the probe can't be represented at the column's
+    scale (then nothing can match)."""
+    from decimal import Decimal, InvalidOperation
+
+    scale = int(logical.rsplit("_", 1)[1])
+    try:
+        d = Decimal(value).scaleb(scale)
+    except (InvalidOperation, ValueError, TypeError):
+        return None
+    if d != d.to_integral_value():
+        return None
+    return int(d)
+
+
 def _dict_key_index(uniques, logical: str, value) -> int:
     if logical in V.VAR_LOGICAL:
         arr = V.var_chunk_to_arrow(uniques, logical)
@@ -92,6 +108,14 @@ def _dict_key_index(uniques, logical: str, value) -> int:
         idx = pc.index(arr, pa.scalar(
             value if logical == "string" else needle, type=arr.type))
         return idx.as_py()
+    if logical.startswith("decimal64_"):
+        # stored form is the unscaled int64; rescale the probe instead
+        # of truncating it (Decimal('1.23') must hit 123 at scale 2)
+        unscaled = _decimal_probe_unscaled(logical, value)
+        if unscaled is None:
+            return -1
+        hits = np.flatnonzero(uniques == np.int64(unscaled))
+        return int(hits[0]) if hits.size else -1
     hits = np.flatnonzero(uniques == np.asarray(value, dtype=uniques.dtype))
     return int(hits[0]) if hits.size else -1
 
@@ -147,6 +171,9 @@ def query_window(payload: bytes | memoryview, logical: str,
         if logical in V.VAR_LOGICAL:
             return V.var_chunk_to_arrow(uniques, logical).take(
                 pa.array(codes))
-        return pa.array(uniques[codes])
+        # route through the shared reassembly so parametrized logicals
+        # (decimal64_* unscaled ints) come back as their Arrow type,
+        # matching decode_segment's output exactly
+        return to_arrow(uniques[codes], None, logical, int(codes.size))
 
     return decode_segment(payload, logical).slice(start, length)

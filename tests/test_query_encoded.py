@@ -80,6 +80,51 @@ def test_query_window_strings_dict():
         ["y", "z", "z"]
 
 
+def test_query_value_decimal_dict():
+    """ADVICE round-1: Decimal probes on dict_rle decimal segments must
+    rescale to the unscaled domain, not truncate (Decimal('1.23') -> 123
+    at scale 2)."""
+    from decimal import Decimal
+
+    D = pa.decimal128(10, 2)
+    values = [Decimal("1.23"), Decimal("1.23"), Decimal("4.56"),
+              Decimal("1.23"), Decimal("-7.89"), Decimal("-7.89")]
+    s = seg(values, D, "dict_rle")
+    log = "decimal64_10_2"
+    assert query_value(s.payload, log, Decimal("1.23")) == [(0, 2), (3, 1)]
+    assert query_value(s.payload, log, Decimal("-7.89")) == [(4, 2)]
+    assert query_value(s.payload, log, Decimal("9.99")) == []
+    # probe finer than the column scale can never match
+    assert query_value(s.payload, log, Decimal("1.234")) == []
+
+
+def test_query_window_decimal_dict():
+    """Window over a dict decimal segment must come back as decimal128
+    (same type as decode_segment), not raw unscaled int64."""
+    from decimal import Decimal
+
+    D = pa.decimal128(10, 2)
+    values = [Decimal("1.00"), Decimal("1.00"), Decimal("2.50"),
+              Decimal("2.50"), Decimal("3.75")]
+    s = seg(values, D, "dict_rle")
+    out = query_window(s.payload, "decimal64_10_2", 1, 3)
+    assert pa.types.is_decimal(out.type)
+    assert out.to_pylist() == values[1:4]
+
+
+def test_query_value_decimal_generic_codecs():
+    from decimal import Decimal
+
+    D = pa.decimal128(12, 3)
+    values = [Decimal("0.001") * i for i in range(50)]
+    for codec in ("plain", "for_bitpack", "delta_bitpack"):
+        s = seg(values, D, codec)
+        assert query_value(s.payload, "decimal64_12_3",
+                           Decimal("0.007")) == [(7, 1)]
+        assert query_window(s.payload, "decimal64_12_3",
+                            10, 5).to_pylist() == values[10:15]
+
+
 def test_query_value_fsst_text():
     values = ["the quick brown fox jumps over the lazy dog " * 8,
               "lorem ipsum dolor sit amet consectetur adipiscing " * 8] * 40
