@@ -369,8 +369,11 @@ def simhash_pairs_sql(d: Dialect, table: str = "documents",
 
 def embedding_dedup_sql(d: Dialect, table: str = "embeddings",
                         threshold: float = 0.35) -> str:
-    """Embedding-cosine near-duplicate pairs (brute force; the LSH
-    variant in ann_lsh_sql is the scale path)."""
+    """Embedding-cosine near-duplicate pairs — brute-force all-pairs
+    (non-equi join -> BroadcastNestedLoopJoin, O(n^2) compares). This
+    is the exact-recall CORRECTNESS BASELINE only; the scale path is
+    embedding_lsh_pairs_sql (banded sign-bucket equi-joins, plan-gated
+    no-BNLJ in tests/test_plans.py)."""
     cos = d.cosine("a.e", "b.e")
     return f"""
 WITH emb AS (
@@ -381,6 +384,80 @@ SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
+
+
+_EMB_BANDS = 4
+_EMB_PLANES_PER_BAND = 6
+_EMB_THRESHOLD = 0.35  # shared with the brute baseline
+
+
+def embedding_bucketed_sql(d: Dialect, dim: int, table: str = "embeddings",
+                           n_bands: int = _EMB_BANDS,
+                           planes_per_band: int = _EMB_PLANES_PER_BAND) -> str:
+    """(vec_id, e, band_0..n) — the hyperplane-sign half of the pairwise
+    LSH dedup, separated so Spark can materialize it ONCE (the band
+    joins would otherwise re-inline the dot-product CTE per branch).
+
+    Each band is an independent sign-bucket over `planes_per_band`
+    deterministic hyperplanes — the banding trades recall for candidate
+    count exactly like MinHash bands. At 100 TB, planes_per_band grows
+    with log2(corpus) to keep per-bucket candidate counts bounded."""
+    planes = _planes(dim, n_bands * planes_per_band)
+    band_exprs = ", ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN {d.dot('e', d.num_lit_array(planes[b * planes_per_band + p]))}"
+            f" > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_band)) + f") AS band_{b}"
+        for b in range(n_bands))
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e FROM {table}
+)
+SELECT vec_id, e, {band_exprs} FROM emb
+"""
+
+
+def embedding_lsh_pairs_over(d: Dialect, bucketed: str = "bucketed",
+                             threshold: float = _EMB_THRESHOLD,
+                             n_bands: int = _EMB_BANDS) -> str:
+    """Band-bucket self-joins + exact-cosine verify over a materialized
+    `bucketed` table (embedding_bucketed_sql). The 100-TB replacement
+    for the brute all-pairs join: every join is an equi-join on a band
+    bucket (shuffle key), never a BroadcastNestedLoopJoin — gated in
+    tests/test_plans.py. Recall is the standard banded-LSH curve
+    (high-cosine pairs collide in >=1 band w.h.p.); the brute spine
+    remains the exact-recall correctness baseline."""
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"FROM {bucketed} a JOIN {bucketed} b ON a.band_{b} = b.band_{b} "
+        f"AND a.vec_id < b.vec_id"
+        for b in range(n_bands))
+    cos = d.cosine("a.e", "b.e")
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+{band_joins}
+  ) u
+)
+SELECT CAST(c.vec_a AS BIGINT) AS vec_a, CAST(c.vec_b AS BIGINT) AS vec_b,
+       CAST(round({cos}, 4) AS DOUBLE) AS cosine
+FROM cand c
+JOIN {bucketed} a ON a.vec_id = c.vec_a
+JOIN {bucketed} b ON b.vec_id = c.vec_b
+WHERE {cos} >= {threshold}
+"""
+
+
+def embedding_lsh_pairs_sql(d: Dialect, dim: int,
+                            table: str = "embeddings",
+                            threshold: float = _EMB_THRESHOLD) -> str:
+    """Combined spine (DuckDB oracle side; Spark materializes the
+    bucketed half first and runs embedding_lsh_pairs_over on it)."""
+    bucketed = embedding_bucketed_sql(d, dim, table)
+    over = embedding_lsh_pairs_over(d, "bucketed", threshold)
+    assert over.startswith("\nWITH ")
+    rest = over[len("\nWITH "):]
+    return (f"\nWITH bucketed AS ({bucketed}),\n{rest}")
 
 
 # ---------------------------------------------------------------------------
@@ -515,6 +592,10 @@ def spark_pipeline_df(spark, name: str, dim: int):
         chunked = spark.sql(simhash_chunked_sql(SPARK)).persist()
         chunked.createOrReplaceTempView("__cs_simhash_chunked")
         return spark.sql(simhash_pairs_over(SPARK, "__cs_simhash_chunked"))
+    if name == "dedup_embedding_lsh":
+        bucketed = spark.sql(embedding_bucketed_sql(SPARK, dim)).persist()
+        bucketed.createOrReplaceTempView("__cs_emb_bucketed")
+        return spark.sql(embedding_lsh_pairs_over(SPARK, "__cs_emb_bucketed"))
     return spark.sql(all_pipeline_sql(dim)[name]["spark"])
 
 
@@ -527,6 +608,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "dedup_minhash_lsh": minhash_pairs_sql,
         "dedup_simhash": simhash_pairs_sql,
         "dedup_embedding": embedding_dedup_sql,
+        "dedup_embedding_lsh": lambda d: embedding_lsh_pairs_sql(d, dim),
         "ann_cosine_topk": ann_brute_sql,
         "ann_lsh": lambda d: ann_lsh_sql(d, dim),
         "media_meta": media_meta_sql,

@@ -96,3 +96,17 @@ def test_lsh_join_is_hash_join_not_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_dedup_is_hash_join_not_cartesian(spark):
+    """The pairwise embedding dedup scale path must never fall back to
+    the brute all-pairs BroadcastNestedLoopJoin (round-1 verdict #3)."""
+    from columnstore_spark.functions.pipeline import embedding_lsh_pairs_sql
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    df = spark.sql(embedding_lsh_pairs_sql(SPARK, 64))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and it is a real equi-join on the band buckets
+    assert "band_" in plan
