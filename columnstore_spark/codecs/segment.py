@@ -31,6 +31,8 @@ from .stats import SegmentStats, collect
 
 FLAG_HAS_NULLS = 1
 
+SPLIT128_CODEC_ID = 30  # wide decimals: two int64 word columns
+
 CODEC_NAMES = {
     plain.CODEC_ID: "plain",
     dictrle.CODEC_ID: "dict_rle",
@@ -39,6 +41,7 @@ CODEC_NAMES = {
     forpack.FOR_CODEC_ID: "for_bitpack",
     forpack.DELTA_CODEC_ID: "delta_bitpack",
     fsst.CODEC_ID: "fsst",
+    SPLIT128_CODEC_ID: "decimal_split",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -66,10 +69,13 @@ def logical_of(arr: pa.Array) -> str:
     if pa.types.is_date32(t):
         return "date32"
     if pa.types.is_decimal(t):
-        if t.precision > 18:
+        # decimal256 would be silently mis-read by the 16-byte-stride
+        # extractors below — reject it outright (round-1 advice)
+        if not pa.types.is_decimal128(t):
             raise TypeError(
-                f"decimal precision {t.precision} > 18 unsupported "
-                "(unscaled value must fit int64)")
+                f"unsupported decimal width {t} (precision <= 38 only)")
+        if t.precision > 18:
+            return f"decimal128_{t.precision}_{t.scale}"
         return f"decimal64_{t.precision}_{t.scale}"
     if t in _PA_LOGICAL:
         return _PA_LOGICAL[t]
@@ -85,7 +91,7 @@ def _pa_type(logical: str, original: pa.DataType | None = None) -> pa.DataType:
         return pa.timestamp(logical.split("_", 1)[1])
     if logical == "date32":
         return pa.date32()
-    if logical.startswith("decimal64_"):
+    if logical.startswith("decimal64_") or logical.startswith("decimal128_"):
         _, p, s = logical.split("_")
         return pa.decimal128(int(p), int(s))
     for t, name in _PA_LOGICAL.items():
@@ -94,28 +100,41 @@ def _pa_type(logical: str, original: pa.DataType | None = None) -> pa.DataType:
     raise TypeError(f"unsupported logical {logical}")
 
 
+def _decimal_words(dense: pa.Array) -> np.ndarray:
+    """decimal128 array -> (n, 2) int64 words [lo, hi] (little-endian
+    128-bit two's complement: value = hi * 2^64 + uint64(lo))."""
+    buf = dense.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8", count=2 * len(dense),
+                          offset=dense.offset * 16)
+    return words.reshape(-1, 2).copy()
+
+
 def _decimal_to_unscaled(dense: pa.Array) -> np.ndarray:
     """decimal128 array -> unscaled int64 (precision <= 18 guaranteed:
     the 128-bit two's-complement value is a sign extension of its low
     word, so the little-endian low int64 IS the value)."""
-    buf = dense.buffers()[1]
-    words = np.frombuffer(buf, dtype="<i8", count=2 * len(dense),
-                          offset=dense.offset * 16)
-    return words[0::2].copy()
+    return np.ascontiguousarray(_decimal_words(dense)[:, 0])
 
 
 def _unscaled_to_decimal(vals: np.ndarray, typ: pa.DataType,
                          validity: np.ndarray | None,
                          n: int) -> pa.Array:
-    full = np.zeros(n, dtype=np.int64)
+    words = np.empty((len(vals), 2), dtype=np.int64)
+    words[:, 0] = vals
+    words[:, 1] = vals >> 63  # sign extension high word
+    return _words_to_decimal(words, typ, validity, n)
+
+
+def _words_to_decimal(words: np.ndarray, typ: pa.DataType,
+                      validity: np.ndarray | None,
+                      n: int) -> pa.Array:
+    """(n_valid, 2) int64 [lo, hi] words -> decimal128 Arrow array."""
+    full = np.zeros((n, 2), dtype=np.int64)
     if validity is None:
-        full[:] = vals
+        full[:] = words
     else:
-        full[validity] = vals
-    words = np.empty(2 * n, dtype=np.int64)
-    words[0::2] = full
-    words[1::2] = full >> 63  # sign extension high word
-    bufs = [None, pa.py_buffer(words.tobytes())]
+        full[validity] = words
+    bufs = [None, pa.py_buffer(np.ascontiguousarray(full).tobytes())]
     null_count = 0
     if validity is not None:
         bufs[0] = pa.py_buffer(
@@ -145,6 +164,8 @@ def from_arrow(arr: pa.Array) -> tuple[str, object, np.ndarray | None]:
         vals = V.var_chunk_from_arrow(dense)
     elif logical.startswith("decimal64_"):
         vals = _decimal_to_unscaled(dense)
+    elif logical.startswith("decimal128_"):
+        vals = _decimal_words(dense)
     elif logical.startswith("timestamp_") or logical == "date32":
         vals = dense.to_numpy(zero_copy_only=False)
         vals = vals.astype(V.FIXED_LOGICAL[logical])
@@ -172,6 +193,8 @@ def to_arrow(vals, validity: np.ndarray | None, logical: str, n: int) -> pa.Arra
             null_count=int(n - validity.sum()))
     if logical.startswith("decimal64_"):
         return _unscaled_to_decimal(vals, _pa_type(logical), validity, n)
+    if logical.startswith("decimal128_"):
+        return _words_to_decimal(vals, _pa_type(logical), validity, n)
     if validity is None:
         return pa.array(vals, type=_pa_type(logical))
     full = np.zeros(n, dtype=vals.dtype)
@@ -203,6 +226,85 @@ _DECODERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Wide decimals (18 < p <= 38): the 128-bit unscaled value is split into
+# lo/hi int64 word columns, each routed through the ordinary int64 codec
+# family (chooser included). Matches the reference's full-`decimal`
+# TestModel coverage (`Outcompute.ColumnStore.Tests/TestModel.cs`,
+# exercised throughout `DeltaRowGroupTests.cs`) without widening the
+# fast kernels: real-world wide decimals have a constant/low-cardinality
+# hi word (sign extension), which the constant/dict codecs erase, and a
+# FoR/delta-friendly lo word. All int64 word arithmetic is mod-2^64
+# self-consistent, so full-range words round-trip exactly.
+#
+# Body grammar: for each of (lo, hi):  varint codec_id; varint len; body
+# ---------------------------------------------------------------------------
+
+
+def _encode_word(w: np.ndarray, mode: str) -> bytes:
+    st = collect(w, "int64", int(w.size), 0)
+    codec = chooser.choose(st, "int64", w, mode)
+    if codec == dictrle.CODEC_ID:
+        body = dictrle.encode(w, "int64", codes=st.codes, uniques=st.uniques)
+    else:
+        body = _ENCODERS[codec](w, "int64")
+    return bitpack.write_varint(codec) + bitpack.write_varint(len(body)) + body
+
+
+def _encode_split128(words: np.ndarray, logical: str,
+                     mode: str = chooser.MODE_SIZE) -> bytes:
+    lo = np.ascontiguousarray(words[:, 0])
+    hi = np.ascontiguousarray(words[:, 1])
+    return _encode_word(lo, mode) + _encode_word(hi, mode)
+
+
+def _decode_split128(body: memoryview, n: int, logical: str) -> np.ndarray:
+    out = np.empty((n, 2), dtype=np.int64)
+    pos = 0
+    for col in range(2):
+        codec, pos = bitpack.read_varint(body, pos)
+        ln, pos = bitpack.read_varint(body, pos)
+        if codec not in _DECODERS or codec == SPLIT128_CODEC_ID:
+            raise ValueError(f"unknown word codec id {codec}")
+        out[:, col] = _DECODERS[codec](body[pos:pos + ln], n, "int64")
+        pos += ln
+    return out
+
+
+_DECODERS[SPLIT128_CODEC_ID] = _decode_split128
+
+
+def _int128(row: np.ndarray) -> int:
+    """[lo, hi] int64 words -> signed 128-bit Python int."""
+    return (int(row[1]) << 64) | (int(row[0]) & 0xFFFFFFFFFFFFFFFF)
+
+
+def _collect_decimal128(words: np.ndarray, n_total: int,
+                        n_nulls: int) -> SegmentStats:
+    """Exact stats over (n, 2) word pairs (vectorized: void-view unique,
+    two-word run detection, lexsort min/max — no per-row Python)."""
+    n = int(words.shape[0])
+    raw = 16 * n
+    if n == 0:
+        return SegmentStats(n_total, n_nulls, 0, 0, None, None, raw)
+    pairs = np.ascontiguousarray(words).view(
+        [("lo", "<i8"), ("hi", "<i8")]).reshape(-1)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (words[1:] != words[:-1]).any(axis=1)
+    # 128-bit two's-complement order = (hi signed, lo unsigned) lexicographic
+    order = np.lexsort((words[:, 0].view(np.uint64), words[:, 1]))
+    return SegmentStats(
+        n_rows=n_total, n_nulls=n_nulls,
+        n_distinct=int(np.unique(pairs).size),
+        n_runs=int(change.sum()),
+        # unscaled-int reprs, matching the decimal64 manifest convention
+        min_repr=str(_int128(words[order[0]])),
+        max_repr=str(_int128(words[order[-1]])),
+        raw_bytes=raw)
+
+
 @dataclass
 class EncodedSegment:
     payload: bytes
@@ -230,13 +332,19 @@ def encode_segment(arr: pa.Array, mode: str = chooser.MODE_SIZE,
     logical, vals, validity = from_arrow(arr)
     n = len(arr)
     n_nulls = int(n - validity.sum()) if validity is not None else 0
-    st = collect(vals, logical, n, n_nulls)
-    if codec is None:
-        codec = chooser.choose(st, logical, vals, mode)
-    if codec == dictrle.CODEC_ID:
-        body = dictrle.encode(vals, logical, codes=st.codes, uniques=st.uniques)
+    if logical.startswith("decimal128_"):
+        st = _collect_decimal128(vals, n, n_nulls)
+        codec = SPLIT128_CODEC_ID
+        body = _encode_split128(vals, logical, mode)
     else:
-        body = _ENCODERS[codec](vals, logical)
+        st = collect(vals, logical, n, n_nulls)
+        if codec is None:
+            codec = chooser.choose(st, logical, vals, mode)
+        if codec == dictrle.CODEC_ID:
+            body = dictrle.encode(vals, logical,
+                                  codes=st.codes, uniques=st.uniques)
+        else:
+            body = _ENCODERS[codec](vals, logical)
     flags = FLAG_HAS_NULLS if validity is not None else 0
     head = [bitpack.write_varint(codec), bitpack.write_varint(n), bytes([flags])]
     if validity is not None:

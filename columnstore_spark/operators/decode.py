@@ -32,7 +32,7 @@ _LOGICAL_TO_SPARK = {
 
 
 def _spark_type_of(logical: str) -> T.DataType:
-    if logical.startswith("decimal64_"):
+    if logical.startswith("decimal64_") or logical.startswith("decimal128_"):
         _, p, s = logical.split("_")
         return T.DecimalType(int(p), int(s))
     return _LOGICAL_TO_SPARK[logical]

@@ -69,10 +69,10 @@ def pa_type_for(spark_type: T.DataType) -> None:
     """Validate a Spark type is encodable (raises TypeError otherwise)."""
     if not isinstance(spark_type, _SUPPORTED_SPARK):
         raise TypeError(f"unsupported Spark type {spark_type}")
-    if isinstance(spark_type, T.DecimalType) and spark_type.precision > 18:
+    if isinstance(spark_type, T.DecimalType) and spark_type.precision > 38:
         raise TypeError(
-            f"decimal precision {spark_type.precision} > 18 unsupported "
-            "(unscaled value must fit int64)")
+            f"decimal precision {spark_type.precision} > 38 unsupported "
+            "(unscaled value must fit two int64 words)")
 
 
 def default_rowgroup_expr(num_rowgroups: int,

@@ -55,6 +55,90 @@ def test_testmodel_roundtrip(spark):
     assert a == b
 
 
+def test_decimal128_kernel_roundtrip():
+    """p > 18 decimals: split-word codec, exact round-trip at the
+    int128 extremes, nulls included."""
+    import pyarrow as pa
+
+    from columnstore_spark.codecs.segment import (
+        CODEC_NAMES,
+        decode_segment,
+        encode_segment,
+    )
+
+    typ = pa.decimal128(38, 10)
+    big = Decimal("100000000000000000.0000000000")
+    values = [
+        Decimal("12345678901234567890.0123456789"),
+        Decimal("-1234567890123456789012345678.0000000001"),
+        None,
+        big, big, big,                       # run for the stats
+        Decimal("0E-10"),
+        # the unscaled-int128 extremes at p=38 (string-built: scaleb
+        # would round through the 28-digit default decimal context)
+        Decimal("9999999999999999999999999999.9999999999"),
+        Decimal("-9999999999999999999999999999.9999999999"),
+        None,
+    ]
+    arr = pa.array(values, type=typ)
+    seg = encode_segment(arr)
+    assert CODEC_NAMES[seg.codec_id] == "decimal_split"
+    assert seg.stats.n_nulls == 2
+    assert seg.stats.n_distinct == 6
+    assert seg.stats.min_repr == str(-(10**38 - 1))
+    assert seg.stats.max_repr == str(10**38 - 1)
+    out = decode_segment(seg.payload, seg.logical)
+    assert out.type == typ
+    assert out.to_pylist() == values
+
+
+def test_decimal128_hi_word_compresses_away():
+    """Realistic wide decimals (small magnitudes at p=38) must not pay
+    16 bytes/value: the sign-extension hi word is constant."""
+    import pyarrow as pa
+
+    from columnstore_spark.codecs.segment import encode_segment
+
+    typ = pa.decimal128(38, 6)
+    values = [Decimal(i).scaleb(-6) for i in range(2000)]
+    seg = encode_segment(pa.array(values, type=typ))
+    # delta/FoR on the lo word + constant hi word: way under raw 16 B/val
+    assert len(seg.payload) < 2000 * 16 / 4
+
+
+def test_decimal128_query_on_encoded():
+    import pyarrow as pa
+
+    from columnstore_spark.codecs.query import query_value, query_window
+    from columnstore_spark.codecs.segment import encode_segment
+
+    typ = pa.decimal128(38, 2)
+    values = [Decimal("1.25") * i for i in range(40)]
+    seg = encode_segment(pa.array(values, type=typ))
+    assert query_value(seg.payload, seg.logical, Decimal("6.25")) == [(5, 1)]
+    assert query_window(seg.payload, seg.logical, 7, 4).to_pylist() == \
+        values[7:11]
+
+
+def test_decimal128_p38_spark_roundtrip(spark):
+    sch = T.StructType([
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("d", T.DecimalType(38, 10), True),
+    ])
+    # keep every operand within the 28-digit default decimal context
+    # (and the p=38 unscaled cap): 3**57 has 28 digits
+    rows = [(i,
+             None if i % 7 == 0 else
+             (Decimal(3**i) - Decimal(10**25)).scaleb(-10) * (-1) ** i)
+            for i in range(58)]
+    df = spark.createDataFrame(rows, sch)
+    out = decode(encode(df, rowgroup_expr=F.pmod(F.col("k"), F.lit(2)),
+                        order=("k",)))
+    assert dict((f.name, f.dataType) for f in out.schema.fields) == \
+        dict((f.name, f.dataType) for f in df.schema.fields)
+    assert sorted(out.collect()) == sorted(df.collect())
+
+
 def test_decimal_negative_and_null(spark):
     sch = T.StructType([
         T.StructField("k", T.IntegerType(), False),
