@@ -20,7 +20,7 @@ from columnstore_spark.functions.multimodal import (
     media_frame,
 )
 from columnstore_spark.functions.pipeline import all_pipeline_sql
-from columnstore_spark.operators import decode, encode, manifest_of
+from columnstore_spark.operators import decode, decode_window, encode, manifest_of
 from columnstore_spark.plans.pruning import (
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
@@ -97,6 +97,21 @@ def _q_query_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(TRANSCRIPT_COLS))
 
 
+# window query constants, shared by the Spark query and its oracle
+_WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
+
+
+def _q_query_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E8/S4: row-window selection on the encoded form — decode only
+    rows [start, start+len) of one rowgroup under its stable
+    (conv_id, turn_idx) encode order, clipping runs on the compressed
+    payloads (operators.decode_window)."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return (decode_window(segs, _WIN_RG, _WIN_START, _WIN_LEN)
+            .select(TRANSCRIPT_COLS))
+
+
 def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (codec choice + byte counts aren't SQL-expressible)."""
     t = load_transcripts(spark, sf_dir)
@@ -154,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
         "query_by_range": _q_query_by_range,
+        "query_by_window": _q_query_by_window,
         "compression_summary": _q_compression_summary,
         "media_decode": _q_media_decode,
         "media_entropy": _q_media_entropy,
@@ -213,5 +229,11 @@ def oracle_sql() -> dict[str, str]:
         "query_by_range":
             f"{t} SELECT * FROM t WHERE conv_id <= 'c000000000009' "
             "AND turn_idx BETWEEN 10 AND 19",
+        "query_by_window":
+            f"WITH t AS ({TRANSCRIPTS_SQL}) "
+            f"SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            f"WHERE {_RG_SQL} = {_WIN_RG} "
+            f"ORDER BY conv_id, turn_idx "
+            f"LIMIT {_WIN_LEN} OFFSET {_WIN_START}",
         # compression_summary: rows-only (codec/bytes not SQL-expressible)
     }

@@ -54,13 +54,11 @@ def schema_from_segments(segments: DataFrame) -> T.StructType:
     ])
 
 
-def decode(segments: DataFrame, schema: T.StructType | None = None,
-           num_partitions: int | None = None) -> DataFrame:
-    """segments table -> DataFrame with the original schema.
-
-    Row order inside each rowgroup is the encode order; global order is
-    restored by the verifier's (conv_id, turn_idx) sort (SURVEY.md §3.2).
-    """
+def _decode_stage(segments: DataFrame, schema: T.StructType | None,
+                  num_partitions: int | None, kernel) -> DataFrame:
+    """Shared decode stage: hash-partition by rowgroup, apply
+    `kernel(payload, logical) -> pa.Array` to every column segment, zip
+    the columns back into the original schema."""
     if schema is None:
         schema = schema_from_segments(segments)
     names = [f.name for f in schema.fields]
@@ -77,8 +75,7 @@ def decode(segments: DataFrame, schema: T.StructType | None = None,
             logicals = tbl.column("logical_type").to_pylist()
             colnames = tbl.column("column").to_pylist()
             for i, name in enumerate(colnames):
-                arr = decode_segment(payloads[i].as_py(), logicals[i])
-                by_name[name] = arr
+                by_name[name] = kernel(payloads[i].as_py(), logicals[i])
             cols = [by_name[n].cast(f.type)
                     for n, f in zip(names, out_pa_schema)]
             out = pa.Table.from_arrays(cols, schema=out_pa_schema)
@@ -91,3 +88,34 @@ def decode(segments: DataFrame, schema: T.StructType | None = None,
         .sortWithinPartitions("rowgroup_id", "col_idx")
     )
     return work.mapInArrow(decode_partition, schema)
+
+
+def decode(segments: DataFrame, schema: T.StructType | None = None,
+           num_partitions: int | None = None) -> DataFrame:
+    """segments table -> DataFrame with the original schema.
+
+    Row order inside each rowgroup is the encode order; global order is
+    restored by the verifier's (conv_id, turn_idx) sort (SURVEY.md §3.2).
+    """
+    return _decode_stage(segments, schema, num_partitions, decode_segment)
+
+
+def decode_window(segments: DataFrame, rowgroup_id: int, start: int,
+                  length: int, schema: T.StructType | None = None) -> DataFrame:
+    """Row-window selection on the encoded form — E4/E8/S4
+    (`DefaultEncoding.Decode(start,len)` `DefaultEncoding.cs:160-231`,
+    `DictionaryEncoding.Decode(start,len)` run clipping
+    `DictionaryEncoding.cs:212-267`, `ColumnSegment.QueryByRange`
+    `ColumnSegment.cs:95-157`) lifted to the DataFrame level: decode
+    only rows [start, start+length) of one rowgroup under its stable
+    encode order, clipping runs on the compressed body instead of
+    expanding whole segments. Scale path: the rowgroup filter prunes at
+    the parquet scan, so exactly one rowgroup's payloads move."""
+    from ..codecs.query import query_window
+
+    segs = segments.where(F.col("rowgroup_id") == int(rowgroup_id))
+
+    def kernel(payload, logical):
+        return query_window(payload, logical, start, length)
+
+    return _decode_stage(segs, schema, None, kernel)
