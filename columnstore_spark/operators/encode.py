@@ -91,7 +91,7 @@ def default_rowgroup_expr(num_rowgroups: int,
 def encode(df: DataFrame, rowgroup_expr: Column | None = None,
            num_rowgroups: int | None = None,
            rows_per_segment: int = 1_000_000,
-           order: tuple[str, ...] = ("conv_id", "turn_idx"),
+           order: tuple[str | Column, ...] = ("conv_id", "turn_idx"),
            mode: str = chooser.MODE_SIZE,
            num_partitions: int | None = None,
            compression_order: bool = False,
@@ -128,7 +128,14 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
 
     for f in df.schema.fields:
         pa_type_for(f.dataType)
-    order_cols = [c for c in order if c in df.columns]
+    # `order` entries may be Column expressions (F.desc(...), arbitrary
+    # sort expressions) — the per-column custom-comparer analogue of the
+    # reference's `[ColumnStoreProperty(typeof(ReverseComparer<>))]`
+    # (`ColumnStorePropertyAttribute.cs:15-23`, demo
+    # `Outcompute.TestApp/Program.cs:124,131-137`); string entries are
+    # plain column names and are dropped when absent from the frame
+    order_cols = [c for c in order
+                  if isinstance(c, Column) or c in df.columns]
     col_order = list(df.columns)
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get(

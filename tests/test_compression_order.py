@@ -26,3 +26,30 @@ def test_compression_order_roundtrip_and_ratio(spark):
     source = t.orderBy("conv_id", "turn_idx").collect()
     assert decoded == source
     t.unpersist()
+
+
+def test_custom_sort_expression_order(spark):
+    """encode(order=...) accepts Column expressions — the per-column
+    custom-comparer option (`ColumnStorePropertyAttribute.cs:15-23`,
+    ReverseComparer demo in `Outcompute.TestApp/Program.cs:124-137`):
+    a descending expression changes the stored row order (visible in
+    the decode, which preserves encode order) and still round-trips
+    bit-identical after the verify re-sort."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rg = F.pmod(F.col("event_id"), F.lit(4))
+    segs = encode(events, order=(F.col("event_id").desc(),),
+                  rowgroup_expr=rg)
+
+    # stored order inside each rowgroup is descending event_id
+    import pandas as pd
+    dec = decode(segs).select("event_id").toPandas()["event_id"]
+    rowgroup = (dec % 4).to_numpy()
+    ids = dec.to_numpy()
+    import numpy as np
+    same_group = rowgroup[1:] == rowgroup[:-1]
+    assert (ids[1:][same_group] < ids[:-1][same_group]).all()
+
+    # bit-identical after the verifier's stable re-sort
+    a = decode(segs).orderBy("event_id").collect()
+    b = events.orderBy("event_id").collect()
+    assert a == b
