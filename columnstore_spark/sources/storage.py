@@ -1,0 +1,125 @@
+"""Storage capability layer — Iceberg when a runtime jar is on the
+classpath, parquet directories otherwise, behind one backend interface.
+
+The north rule names Iceberg-backed transcript tables; PySpark 4.1.2
+bundles no iceberg-spark-runtime jar and this sandbox has no network,
+so the capability is detected at runtime (`Class.forName`) and the
+warehouse falls back to parquet dirs with the identical table shapes.
+Either way the engine-level behaviors (manifest commit protocol,
+checkpoint-resume, stats) are byte-identical; which backend ran is
+recorded in every `encode_resumable` result and in BENCH.md.
+
+Iceberg path (exercised when a jar is provided via
+``spark.jars.packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13``):
+a per-warehouse Hadoop catalog whose warehouse dir is the same root the
+parquet backend would use, tables ``<catalog>.db.segments`` /
+``<catalog>.db.manifest``, appends via the V2 ``writeTo`` API (atomic
+snapshot commits — the manifest-last commit protocol is kept anyway so
+both backends share one consistency argument).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class ParquetBackend:
+    """Parquet-directory tables + manifest-last commit (the fallback)."""
+
+    name = "parquet"
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+        self.segments_path = f"{self.root}/segments"
+        self.manifest_path = f"{self.root}/manifest"
+
+    def read_segments(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.segments_path)
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.manifest_path)
+        except Exception:
+            return None
+
+    def append_segments(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.segments_path)
+
+    def append_manifest(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.manifest_path)
+
+
+class IcebergBackend:
+    """Iceberg Hadoop-catalog tables (requires the runtime jar)."""
+
+    name = "iceberg"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.root = root.rstrip("/")
+        # one catalog per warehouse root: catalog confs are session-global
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        self.catalog = f"cs_iceberg_{tag}"
+        spark.conf.set(f"spark.sql.catalog.{self.catalog}",
+                       "org.apache.iceberg.spark.SparkCatalog")
+        spark.conf.set(f"spark.sql.catalog.{self.catalog}.type", "hadoop")
+        spark.conf.set(f"spark.sql.catalog.{self.catalog}.warehouse",
+                       self.root)
+        self.segments_table = f"{self.catalog}.db.segments"
+        self.manifest_table = f"{self.catalog}.db.manifest"
+
+    def _exists(self, spark: SparkSession, table: str) -> bool:
+        try:
+            spark.read.table(table).schema
+            return True
+        except Exception:
+            return False
+
+    def read_segments(self, spark: SparkSession) -> DataFrame:
+        return spark.read.table(self.segments_table)
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame | None:
+        if not self._exists(spark, self.manifest_table):
+            return None
+        return spark.read.table(self.manifest_table)
+
+    def _append(self, df: DataFrame, table: str) -> None:
+        if self._exists(df.sparkSession, table):
+            df.writeTo(table).append()
+        else:
+            df.writeTo(table).create()
+
+    def append_segments(self, df: DataFrame) -> None:
+        self._append(df, self.segments_table)
+
+    def append_manifest(self, df: DataFrame) -> None:
+        self._append(df, self.manifest_table)
+
+
+def resolve_backend(spark: SparkSession, root: str, fmt: str = "auto"):
+    """fmt: 'auto' (iceberg if the jar is present, else parquet),
+    'iceberg' (hard requirement), or 'parquet'."""
+    if fmt == "parquet":
+        return ParquetBackend(root)
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "format='iceberg' requires iceberg-spark-runtime on the "
+                "classpath (spark.jars.packages); none detected")
+        return IcebergBackend(spark, root)
+    if fmt != "auto":
+        raise ValueError(f"unknown warehouse format {fmt!r}")
+    if iceberg_available(spark):
+        return IcebergBackend(spark, root)
+    return ParquetBackend(root)

@@ -1,11 +1,11 @@
 """Warehouse — persisted segments + manifest with checkpoint-resume.
 
-Storage layout (parquet directories; Iceberg would use the same table
-shapes if a runtime jar were available — none is bundled in this sandbox,
-see SURVEY.md §7.2.6):
+Storage goes through the capability layer in `storage.py`: Iceberg
+tables when a runtime jar is on the classpath (the north rule's named
+backend), parquet directories otherwise — same table shapes either way:
 
-    <root>/segments/   SEGMENT_SCHEMA columns + run_id       (the data)
-    <root>/manifest/   same minus payload + status, committed_at (lineage)
+    segments   SEGMENT_SCHEMA columns + run_id              (the data)
+    manifest   same minus payload + status, committed_at    (lineage)
 
 Commit protocol: segments parquet is written first, the manifest rows
 (status='done') are appended only after that write succeeds — the
@@ -30,29 +30,35 @@ from pyspark.sql import functions as F
 
 from ..codecs import chooser
 from ..operators.encode import default_rowgroup_expr, encode
+from .storage import resolve_backend
 
 
 class Warehouse:
-    def __init__(self, root: str):
+    def __init__(self, root: str, format: str = "auto"):
         self.root = root.rstrip("/")
+        self._format = format
+        self._backend = None
+        # parquet-layout paths (meaningful for the parquet backend;
+        # kept as attributes so plan tests can scan them directly)
         self.segments_path = f"{self.root}/segments"
         self.manifest_path = f"{self.root}/manifest"
 
+    def backend(self, spark: SparkSession):
+        """Resolve the storage backend once per warehouse (iceberg when
+        the jar is present and format='auto', else parquet)."""
+        if self._backend is None:
+            self._backend = resolve_backend(spark, self.root, self._format)
+        return self._backend
+
     # -- read ---------------------------------------------------------------
 
-    def _read_or_none(self, spark: SparkSession, path: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            return None
-
     def manifest(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_or_none(spark, self.manifest_path)
+        return self.backend(spark).read_manifest(spark)
 
     def committed_segments(self, spark: SparkSession) -> DataFrame:
         """Segments visible under the commit protocol, deduped to the
         latest committed run per (rowgroup_id, column)."""
-        segs = spark.read.parquet(self.segments_path)
+        segs = self.backend(spark).read_segments(spark)
         m = self.manifest(spark)
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.manifest_path}")
@@ -109,22 +115,26 @@ class Warehouse:
                         .orderBy("__rg").limit(fail_after_rowgroups).collect()]
             work = work.where(F.col("__rg").isin(keep))
 
+        backend = self.backend(spark)
         pending = work.select("__rg").distinct().count()
         if pending == 0:
-            return {"run_id": run_id, "rowgroups_encoded": 0}
+            return {"run_id": run_id, "rowgroups_encoded": 0,
+                    "storage": backend.name}
 
         segs = (encode(work.drop("__rg"), rowgroup_expr=rg_expr,
                        rows_per_segment=rows_per_segment, mode=mode)
                 .withColumn("run_id", F.lit(run_id)))
-        segs.write.mode("append").parquet(self.segments_path)
+        backend.append_segments(segs)
 
         # manifest = read-back of what this run wrote (metadata only);
-        # writing it last is the commit point
+        # writing it last is the commit point (on Iceberg, additionally
+        # an atomic snapshot commit)
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        manifest = (spark.read.parquet(self.segments_path)
+        manifest = (backend.read_segments(spark)
                     .where(F.col("run_id") == run_id)
                     .drop("payload")
                     .withColumn("status", F.lit("done"))
                     .withColumn("committed_at", F.lit(committed_at)))
-        manifest.write.mode("append").parquet(self.manifest_path)
-        return {"run_id": run_id, "rowgroups_encoded": pending}
+        backend.append_manifest(manifest)
+        return {"run_id": run_id, "rowgroups_encoded": pending,
+                "storage": backend.name}

@@ -1,0 +1,64 @@
+"""Storage capability layer: Iceberg when a runtime jar is present,
+parquet fallback otherwise — the warehouse behaviors must be identical
+through either backend."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnstore_spark.operators import decode
+from columnstore_spark.sources.storage import (
+    IcebergBackend,
+    ParquetBackend,
+    iceberg_available,
+    resolve_backend,
+)
+from columnstore_spark.sources.transcripts import load_transcripts
+from columnstore_spark.sources.warehouse import Warehouse
+
+SF_DIR = __import__("os").environ.get("SPARK_GRAFT_TEST_SF",
+                                      "/root/testdata/sf0.001")
+
+
+def test_auto_resolution_matches_capability(spark, tmp_path):
+    b = resolve_backend(spark, str(tmp_path), "auto")
+    if iceberg_available(spark):
+        assert isinstance(b, IcebergBackend)
+    else:
+        assert isinstance(b, ParquetBackend)
+
+
+def test_explicit_iceberg_requires_jar(spark, tmp_path):
+    if iceberg_available(spark):
+        pytest.skip("jar present — requirement satisfied")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        resolve_backend(spark, str(tmp_path), "iceberg")
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError):
+        resolve_backend(spark, str(tmp_path), "orc")
+
+
+def _roundtrip_through(spark, root, fmt):
+    t = load_transcripts(spark, SF_DIR)
+    wh = Warehouse(root, format=fmt)
+    info = wh.encode_resumable(t, num_rowgroups=4)
+    assert info["storage"] == fmt
+    assert info["rowgroups_encoded"] > 0
+    # resume is a no-op on a complete warehouse
+    again = wh.encode_resumable(t, num_rowgroups=4)
+    assert again["rowgroups_encoded"] == 0
+    decoded = decode(wh.committed_segments(spark))
+    a = decoded.orderBy("conv_id", "turn_idx").collect()
+    b = t.orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+
+
+def test_parquet_warehouse_roundtrip(spark, tmp_path):
+    _roundtrip_through(spark, str(tmp_path / "wh"), "parquet")
+
+
+def test_iceberg_warehouse_roundtrip(spark, tmp_path):
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    _roundtrip_through(spark, str(tmp_path / "wh_ice"), "iceberg")
