@@ -78,6 +78,40 @@ class Warehouse:
         return (m.where(F.col("status") == "done")
                  .select("rowgroup_id").distinct())
 
+    def read_unified(self, delta_df: DataFrame, num_rowgroups: int,
+                     rows_per_segment: int = 1_000_000,
+                     rowgroup_offset: int = 0) -> DataFrame:
+        """The reference's whole-store enumeration — solid row groups
+        first, then delta rows still awaiting compaction
+        (`ColumnStore.GetEnumerator`, `ColumnStore.cs:76-87`: solid
+        groups, then `DeltaStore` groups): rows whose rowgroup has been
+        committed are decoded from the warehouse; rows of pending
+        rowgroups are served raw from the delta frame. Mid-ingest
+        readers therefore see EVERY row exactly once (committed ones in
+        their encoded form), not just what the manifest has closed.
+
+        `delta_df` must be the same frame (and rowgroup parameters)
+        the in-flight `encode_resumable` run is consuming. Scale: the
+        anti-join ships only the manifest's rowgroup ids (metadata);
+        the raw side is a pruned scan of the ingest table.
+        """
+        from ..operators.decode import decode
+
+        spark = delta_df.sparkSession
+        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+        if rowgroup_offset:
+            rg_expr = rg_expr + F.lit(int(rowgroup_offset))
+        done = self.done_rowgroups(spark)
+        if done is None:
+            return delta_df
+        solid = decode(self.committed_segments(spark),
+                       schema=delta_df.schema)
+        pending = (delta_df.withColumn("__rg", rg_expr.cast("long"))
+                   .join(done.withColumnRenamed("rowgroup_id", "__rg"),
+                         on="__rg", how="left_anti")
+                   .drop("__rg"))
+        return solid.unionByName(pending)
+
     # -- write --------------------------------------------------------------
 
     def encode_resumable(self, df: DataFrame, num_rowgroups: int,

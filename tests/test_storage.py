@@ -62,3 +62,27 @@ def test_iceberg_warehouse_roundtrip(spark, tmp_path):
     if not iceberg_available(spark):
         pytest.skip("iceberg-spark-runtime jar not on the classpath")
     _roundtrip_through(spark, str(tmp_path / "wh_ice"), "iceberg")
+
+
+def test_read_unified_mid_ingest(spark, tmp_path):
+    """The reference's whole-store enumeration (solid + delta,
+    `ColumnStore.cs:76-87`): a reader during a half-finished ingest
+    sees every row exactly once — committed rowgroups decoded from the
+    warehouse, pending ones raw from the delta frame."""
+    t = load_transcripts(spark, SF_DIR)
+    wh = Warehouse(str(tmp_path / "wh"))
+    info = wh.encode_resumable(t, num_rowgroups=8, fail_after_rowgroups=3)
+    assert info["rowgroups_encoded"] == 3
+
+    uni = wh.read_unified(t, num_rowgroups=8)
+    assert (uni.orderBy("conv_id", "turn_idx").collect()
+            == t.orderBy("conv_id", "turn_idx").collect())
+    # the solid part genuinely comes from the encoded warehouse
+    n_solid = decode(wh.committed_segments(spark)).count()
+    assert 0 < n_solid < t.count()
+
+    # after ingest completes, unified == fully-decoded warehouse
+    wh.encode_resumable(t, num_rowgroups=8)
+    uni2 = wh.read_unified(t, num_rowgroups=8)
+    assert (uni2.orderBy("conv_id", "turn_idx").collect()
+            == t.orderBy("conv_id", "turn_idx").collect())
