@@ -17,6 +17,11 @@ Timed work is fully materialized via the `noop` sink (no driver
 collect); encode input volume is scaled with `SPARK_GRAFT_REPLICATE`
 deterministic replicas (default 4) so the encode stage dominates Spark
 fixed overheads even at sf0.1.
+
+Every query is timed best-of-`SPARK_GRAFT_BENCH_REPEATS` (default 2):
+this box shows 1.5-4x wall-time jitter from invisible co-tenants
+(BENCH.md preamble), and the min of two runs is the cheapest estimator
+that survives a noise spike landing on one of them.
 """
 
 from __future__ import annotations
@@ -41,6 +46,19 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+
+def _best(fn, repeats: int = REPEATS) -> float:
+    """Best-of-k wall time of fn() (k=1 honors a single-run request)."""
+    best = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run(sf_dir: str, cpus: int, replicate: int) -> dict:
     spark = get_spark(app="columnstore_bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
@@ -63,40 +81,45 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         # slots to memory bandwidth, not cores.
         enc_parts = int(os.environ.get("SPARK_GRAFT_ENCODE_PARTITIONS",
                                        str(min(cpus, 12))))
-        t0 = time.perf_counter()
-        segs = encode(t, num_rowgroups=num_rowgroups, mode=chooser.MODE_SIZE,
-                      num_partitions=enc_parts)
-        segs.write.mode("overwrite").parquet(seg_path)
-        timings["q_encode"] = time.perf_counter() - t0
+
+        def q_encode():
+            segs = encode(t, num_rowgroups=num_rowgroups,
+                          mode=chooser.MODE_SIZE, num_partitions=enc_parts)
+            segs.write.mode("overwrite").parquet(seg_path)
+
+        timings["q_encode"] = _best(q_encode)
 
         segs_on_disk = spark.read.parquet(seg_path)
 
         # manifest metrics for throughput / ratio (metadata-only agg)
-        t0 = time.perf_counter()
-        agg = (manifest_of(segs_on_disk)
-               .agg(F.sum("raw_bytes").alias("raw"),
-                    F.sum("enc_bytes").alias("enc")).collect()[0])
-        timings["q_manifest_agg"] = time.perf_counter() - t0
-        raw_bytes, enc_bytes = int(agg["raw"]), int(agg["enc"])
+        agg_out = {}
+
+        def q_manifest_agg():
+            agg_out["row"] = (manifest_of(segs_on_disk)
+                              .agg(F.sum("raw_bytes").alias("raw"),
+                                   F.sum("enc_bytes").alias("enc"))
+                              .collect()[0])
+
+        timings["q_manifest_agg"] = _best(q_manifest_agg)
+        raw_bytes = int(agg_out["row"]["raw"])
+        enc_bytes = int(agg_out["row"]["enc"])
 
         # q_decode — bit-identical inverse over the persisted segments
-        t0 = time.perf_counter()
-        _noop(decode(segs_on_disk))
-        timings["q_decode"] = time.perf_counter() - t0
+        timings["q_decode"] = _best(lambda: _noop(decode(segs_on_disk)))
 
         # q_query_by_value — manifest-pruned equality scan (E3/E7/S3)
-        t0 = time.perf_counter()
-        pruned = prune_rowgroups_by_value(segs_on_disk, "role", "tool")
-        _noop(decode(pruned).where(F.col("role") == "tool")
-              .select("conv_id", "turn_idx"))
-        timings["q_query_by_value"] = time.perf_counter() - t0
+        def q_query_by_value():
+            pruned = prune_rowgroups_by_value(segs_on_disk, "role", "tool")
+            _noop(decode(pruned).where(F.col("role") == "tool")
+                  .select("conv_id", "turn_idx"))
+
+        timings["q_query_by_value"] = _best(q_query_by_value)
 
         # q_compression_summary — per-column codec/bytes rollup
-        t0 = time.perf_counter()
-        _noop(manifest_of(segs_on_disk).groupBy("column")
-              .agg(F.sum("raw_bytes"), F.sum("enc_bytes"),
-                   F.collect_set("codec")))
-        timings["q_compression_summary"] = time.perf_counter() - t0
+        timings["q_compression_summary"] = _best(
+            lambda: _noop(manifest_of(segs_on_disk).groupBy("column")
+                          .agg(F.sum("raw_bytes"), F.sum("enc_bytes"),
+                               F.collect_set("codec"))))
 
         # training-data pipeline ops over documents/embeddings
         from columnstore_spark.functions.pipeline import spark_pipeline_df
@@ -104,9 +127,11 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         register_testdata(spark, sf_dir, ("documents", "embeddings"))
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "ann_cosine_topk", "text_metrics"):
-            t0 = time.perf_counter()
-            _noop(spark_pipeline_df(spark, name, 64))
-            timings[f"q_{name}"] = time.perf_counter() - t0
+            timings[f"q_{name}"] = _best(
+                lambda n=name: _noop(spark_pipeline_df(spark, n, 64)))
+
+        from columnstore_spark.sources.storage import iceberg_available
+        storage = "iceberg" if iceberg_available(spark) else "parquet"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         t.unpersist()
@@ -123,6 +148,8 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         "rows": rows,
         "replicate": replicate,
         "cpus": cpus,
+        "bench_repeats": REPEATS,
+        "warehouse_storage": storage,
         "raw_gb": round(raw_bytes / 1e9, 4),
         "enc_gb": round(enc_bytes / 1e9, 4),
         "throughput_gbps": round(raw_bytes / 1e9 / enc_sec, 4),

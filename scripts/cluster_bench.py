@@ -88,7 +88,8 @@ def stop_cluster(workdir: str) -> None:
 
 
 def submit(zip_path: str, cores_max: int, sf_dir: str, replicate: int,
-           rowgroups: int, prebucketed: bool = False) -> dict:
+           rowgroups: int, prebucketed: bool = False,
+           reuse_bucketed: bool = False, buckets: int = 16) -> dict:
     cmd = ["taskset", "-c", DRIVER_CORES,
            f"{SPARK_HOME}/bin/spark-submit",
            "--master", MASTER_URL,
@@ -103,11 +104,20 @@ def submit(zip_path: str, cores_max: int, sf_dir: str, replicate: int,
            sf_dir, str(replicate), str(rowgroups)]
     if prebucketed:
         cmd.append("--prebucketed")
+    if reuse_bucketed:
+        cmd.append("--reuse-bucketed")
+    cmd.extend(["--buckets", str(buckets)])
+    cmd.append("--stages")  # per-stage task counts to stderr (diagnosis)
     proc = sh(cmd, env={"PYSPARK_PYTHON": sys.executable}, check=False,
               timeout=900)
+    result = None
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[7:])
+            result = json.loads(line[7:])
+        elif line.startswith("STAGE "):
+            print(f"[cores.max={cores_max}] {line}", file=sys.stderr)
+    if result is not None:
+        return result
     raise RuntimeError(
         f"submit failed (cores.max={cores_max}):\n{proc.stderr[-3000:]}")
 
@@ -118,6 +128,8 @@ def main() -> None:
     ap.add_argument("--rowgroups", type=int, default=256)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="bucket-file count (bounds per-task working set)")
     ap.add_argument("--prebucketed", action="store_true",
                     help="bucketed-table layout: encode without exchange")
     ap.add_argument("--out", default=None)
@@ -129,20 +141,30 @@ def main() -> None:
     stop_cluster(workdir)  # clean any stale daemons
     start_cluster(workdir)
     try:
-        def best(cores_max: int) -> dict:
-            runs = [submit(zip_path, cores_max, args.sf_dir,
-                           args.replicate, args.rowgroups, args.prebucketed)
-                    for _ in range(args.repeats)]
-            return min(runs, key=lambda r: r["wall_s"])
-
-        rN = best(2)
-        r4N = best(8)
+        # interleave the two cluster sizes (N,4N,N,4N,...) so a host
+        # noise burst cannot sink every sample of one level — this box
+        # shows multi-minute co-tenant bursts that best-of-k at one
+        # level does not survive
+        runs: dict[int, list[dict]] = {2: [], 8: []}
+        reuse = False
+        for _ in range(args.repeats):
+            for cores in (2, 8):
+                runs[cores].append(
+                    submit(zip_path, cores, args.sf_dir, args.replicate,
+                           args.rowgroups, args.prebucketed,
+                           reuse_bucketed=reuse, buckets=args.buckets))
+                reuse = args.prebucketed  # bucketed input written once
+        rN = min(runs[2], key=lambda r: r["wall_s"])
+        r4N = min(runs[8], key=lambda r: r["wall_s"])
     finally:
         stop_cluster(workdir)
 
     eff = r4N["throughput_gbps"] / (4 * rN["throughput_gbps"])
     result = {"N_1_executor": rN, "4N_4_executors": r4N,
-              "scaling_efficiency": round(eff, 3)}
+              "scaling_efficiency": round(eff, 3),
+              "all_runs": {
+                  "N": [r["wall_s"] for r in runs[2]],
+                  "4N": [r["wall_s"] for r in runs[8]]}}
     print(json.dumps(result))
 
     if args.out:

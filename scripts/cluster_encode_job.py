@@ -19,6 +19,9 @@ def main() -> None:
     sf_dir, replicate, rowgroups = (sys.argv[1], int(sys.argv[2]),
                                     int(sys.argv[3]))
     prebucketed = "--prebucketed" in sys.argv
+    buckets = 16
+    if "--buckets" in sys.argv:
+        buckets = int(sys.argv[sys.argv.index("--buckets") + 1])
     spark = (
         SparkSession.builder.appName("cluster_encode")
         .config("spark.sql.session.timeZone", "UTC")
@@ -27,6 +30,14 @@ def main() -> None:
         # never split a bucketed input file: a rowgroup must not span
         # two partitions (encode assume_partitioned contract)
         .config("spark.sql.files.maxPartitionBytes", "1g")
+        # ...and never PACK two bucket files into one scan partition
+        # either: bin-packing the small bucket files into 1-2 partitions
+        # silently serializes the whole encode (measured: 4N ran at N's
+        # speed, the round-1 "0.33-0.53 efficiency" artifact). An open
+        # cost equal to maxPartitionBytes makes every file its own
+        # partition (two padded files can never fit one bin) while
+        # files below 1g are still never split.
+        .config("spark.sql.files.openCostInBytes", str(1 << 30))
         .getOrCreate()
     )
     from columnstore_spark.operators import encode
@@ -45,9 +56,16 @@ def main() -> None:
         # -> mapInArrow map stage (the production shape: parquet/Iceberg
         # in, encoded warehouse out)
         bdir = "/tmp/cs_cluster/bucketed_input"
-        (t.withColumn("__rg", rg_expr.cast("long"))
-         .repartition(max(2 * total_cores, 8), "__rg")
-         .write.mode("overwrite").parquet(bdir))
+        import os as _os
+        if not ("--reuse-bucketed" in sys.argv and _os.path.exists(
+                f"{bdir}/_SUCCESS")):
+            # bucket-file count bounds the per-task working set: each
+            # task holds one bucket's rowgroups in flight, and streams
+            # beyond ~100 MB working set thrash this host's memory
+            # hierarchy when 8 run concurrently (BENCH.md §3d)
+            (t.withColumn("__rg", rg_expr.cast("long"))
+             .repartition(buckets, "__rg")
+             .write.mode("overwrite").parquet(bdir))
         t = spark.read.parquet(bdir).drop("__rg")
         rows = t.count()
     else:
