@@ -126,9 +126,19 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         from columnstore_spark.sources.transcripts import register_testdata
         register_testdata(spark, sf_dir, ("documents", "embeddings"))
         for name in ("dedup_minhash_lsh", "dedup_simhash",
-                     "ann_cosine_topk", "text_metrics"):
+                     "dedup_embedding_lsh", "ann_cosine_topk",
+                     "text_metrics"):
             timings[f"q_{name}"] = _best(
                 lambda n=name: _noop(spark_pipeline_df(spark, n, 64)))
+
+        # multimodal decode plumbing: numpy byte stats over Arrow batches
+        from columnstore_spark.functions.multimodal import (
+            fake_decode_features,
+            media_frame,
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timings["q_media_decode"] = _best(
+            lambda: _noop(fake_decode_features(media_frame(docs))))
 
         from columnstore_spark.sources.storage import iceberg_available
         storage = "iceberg" if iceberg_available(spark) else "parquet"
