@@ -532,6 +532,64 @@ LIMIT {k}
 """
 
 
+def ann_ivf_sql(d: Dialect, dim: int, table: str = "embeddings",
+                query_vec_id: int = 0, k: int = 10,
+                n_cells: int = 8, nprobe: int = 2,
+                seed_stride: int = 61) -> str:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next
+    to the hyperplane LSH variant (`ann_lsh_sql`).
+
+    Cells are seeded from actual corpus vectors (every `seed_stride`-th
+    vec_id, the k-means-init shape) so the whole index is expressible
+    relationally and identically in both engines: one broadcast-sized
+    `cents` table, assignment = argmax dot(e, cell) via a deterministic
+    row_number window (ties -> lowest cell_id), query probes its
+    `nprobe` nearest cells, exact cosine re-rank inside them.
+
+    At 100 TB: `cents` broadcasts (n_cells rows), assignment is one
+    map-side join + per-key window (shuffle key vec_id), and the probe
+    touches ~nprobe/n_cells of the corpus — n_cells grows ~sqrt(n) and
+    the seed stride with it. Recall rises with nprobe at linear cost.
+    """
+    cos = d.cosine("c.e", "q.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
+),
+cents AS (
+  SELECT vec_id AS cell_id, e AS w FROM emb
+  WHERE vec_id % {seed_stride} = 0
+  ORDER BY vec_id LIMIT {n_cells}
+),
+scored AS (
+  SELECT a.vec_id, a.e, a.label, ct.cell_id,
+         {d.dot('a.e', 'ct.w')} AS dv
+  FROM emb a CROSS JOIN cents ct
+),
+assigned AS (
+  SELECT vec_id, e, label, cell_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dv DESC, cell_id) AS rn
+        FROM scored) s
+  WHERE rn = 1
+),
+qcells AS (
+  SELECT cell_id FROM scored WHERE vec_id = {query_vec_id}
+  ORDER BY dv DESC, cell_id LIMIT {nprobe}
+),
+q AS (SELECT e FROM emb WHERE vec_id = {query_vec_id})
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(round({cos}, 4) AS DOUBLE) AS cosine,
+       CAST(c.label AS INT) AS label
+FROM assigned c
+JOIN qcells USING (cell_id)
+CROSS JOIN q
+WHERE c.vec_id != {query_vec_id}
+ORDER BY round({cos}, 4) DESC, c.vec_id
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (metadata side; binary decode plumbing in multimodal.py)
 # ---------------------------------------------------------------------------
@@ -611,6 +669,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "dedup_embedding_lsh": lambda d: embedding_lsh_pairs_sql(d, dim),
         "ann_cosine_topk": ann_brute_sql,
         "ann_lsh": lambda d: ann_lsh_sql(d, dim),
+        "ann_ivf": lambda d: ann_ivf_sql(d, dim),
         "media_meta": media_meta_sql,
     }
     return {name: {"spark": fn(SPARK), "duck": fn(DUCK)}
