@@ -285,6 +285,107 @@ def minhash_pairs_sql(d: Dialect, table: str = "documents",
     return f"\nWITH {_minhash_cte(d, table)},\n{rest}"
 
 
+def ngram_jaccard_sql(d: Dialect, table: str = "documents",
+                      threshold: float = 0.5) -> str:
+    """EXACT n-gram Jaccard near-duplicate pairs via prefix filtering
+    (PPJoin-style) — the lossless scale path for an exact similarity
+    threshold, complementing the approximate MinHash family.
+
+    Shingles are hashed word-3-grams (the md5-prefix hash, identical in
+    both engines; a hash collision merges shingles consistently on both
+    sides). Prefix filter: under one global shingle order (ascending
+    document frequency, rarest first), two sets with Jaccard >= t must
+    share an element within each set's first `sz - ceil(t*sz) + 1`
+    shingles — so candidates come from an equi-self-join on PREFIX
+    shingles only, never all pairs, and no qualifying pair is lost.
+    Exact Jaccard verify runs on the candidates.
+
+    At 100 TB: the frequency table is a shingle-keyed aggregate
+    (map-side partial), the prefix join's shuffle key is the shingle
+    hash (rare shingles -> tiny buckets; the frequency ordering is
+    exactly what keeps hot shingles OUT of prefixes), and the verify
+    join carries only (doc_id, shingles).
+    """
+    toks = d.tokens("text")
+    prefix_len = f"sz - CAST(ceil({threshold} * sz) AS INT) + 1"
+
+    if d.spark:
+        shingle_cte = f"""
+tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+tokp AS (
+  SELECT doc_id, pos, t FROM tok
+  LATERAL VIEW posexplode(toks) _e AS pos, t
+),
+tric AS (
+  SELECT doc_id, {d.ph("concat(t, ' ', t1, ' ', t2)")} AS h
+  FROM (SELECT doc_id, t,
+               lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM tokp) x
+  WHERE t2 IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, collect_set(h) AS shingles FROM tric GROUP BY doc_id
+)"""
+    else:
+        tri = ("concat(" + d.element("toks", "CAST(i AS INT)") + ", ' ', "
+               + d.element("toks", "CAST(i AS INT) + 1") + ", ' ', "
+               + d.element("toks", "CAST(i AS INT) + 2") + ")")
+        shingles = d.distinct(d.transform(
+            d.seq("1", d.size("toks") + " - 2"), f"i -> {d.ph(tri)}"))
+        shingle_cte = f"""
+tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+sh AS (
+  SELECT doc_id, {shingles} AS shingles
+  FROM tok WHERE {d.size('toks')} >= 3
+)"""
+
+    inter = d.size(d.intersect("a.shingles", "b.shingles"))
+    return f"""
+WITH {shingle_cte},
+ex AS (
+  {d.explode_select('doc_id', 'shingles', 'h', 'sh')}
+),
+freq AS (
+  SELECT h, count(*) AS cnt FROM ex GROUP BY h
+),
+ranked AS (
+  SELECT e.doc_id, e.h,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY f.cnt, e.h) AS rn
+  FROM ex e JOIN freq f ON e.h = f.h
+),
+szs AS (
+  SELECT doc_id, {d.size('shingles')} AS sz FROM sh
+),
+prefix AS (
+  SELECT r.doc_id, r.h
+  FROM ranked r JOIN szs s ON r.doc_id = s.doc_id
+  WHERE rn <= {prefix_len}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, {inter} AS n_inter,
+         {d.size('a.shingles')} AS n_a, {d.size('b.shingles')} AS n_b
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4)
+            AS DOUBLE) AS jaccard
+FROM verified
+WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
 _SIM_BITS = 48  # stay clear of BIGINT sign issues in both engines
 
 
@@ -664,6 +765,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "text_metrics": text_metrics_sql,
         "dedup_exact": exact_dedup_sql,
         "dedup_minhash_lsh": minhash_pairs_sql,
+        "dedup_ngram_jaccard": ngram_jaccard_sql,
         "dedup_simhash": simhash_pairs_sql,
         "dedup_embedding": embedding_dedup_sql,
         "dedup_embedding_lsh": lambda d: embedding_lsh_pairs_sql(d, dim),

@@ -98,6 +98,26 @@ def test_lsh_join_is_hash_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_jaccard_prefix_join_is_hash_join(spark):
+    """The exact-Jaccard prefix-filter join must be an equi-join on the
+    prefix shingle hash — never an all-pairs plan — and minhash must
+    agree with its exact results (cross-validation of two independent
+    dedup implementations)."""
+    from columnstore_spark.functions.pipeline import ngram_jaccard_sql
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    df = spark.sql(ngram_jaccard_sql(SPARK))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in spark_pipeline_df(spark, "dedup_minhash_lsh", 64).collect()}
+    assert mh <= exact  # approximate results never invent pairs
+
+
 def test_embedding_lsh_dedup_is_hash_join_not_cartesian(spark):
     """The pairwise embedding dedup scale path must never fall back to
     the brute all-pairs BroadcastNestedLoopJoin (round-1 verdict #3)."""
