@@ -1,0 +1,198 @@
+"""TranscriptColumnStore — the reference's ``IColumnStore<TRow>``
+surface (`/root/reference/Outcompute.ColumnStore.Abstractions/IColumnStore.cs:6-34`,
+impl `ColumnStore.cs:6-100`) over the distributed warehouse.
+
+Method mapping (reference -> here):
+
+    Add / AddRange      -> add_range(df)        delta append (I1/I2)
+    Close               -> close()              compact pending delta
+                                                batches to solid (I3+I5)
+    GetEnumerator       -> rows()               solid then delta
+                                                (`ColumnStore.cs:76-87`)
+    Rebuild             -> rebuild()            re-encode everything as
+                                                a fresh generation (I6)
+    Stats               -> stats()              stats tree rollup
+                                                (T1-T4, lazy via the
+                                                manifest)
+    QueryByValue/Range  -> query_by_value(),    segment probes behind
+                           query_by_window()    manifest pruning (S3/S4)
+
+The delta store is a directory of raw parquet batch appends; ``close``
+compacts every pending batch through ``Warehouse.encode_resumable``
+(manifest commit protocol, so a crashed compact resumes); rowgroup ids
+are namespaced per batch exactly like the streaming ingest. All state
+lives in storage — two TranscriptColumnStore objects opened on the
+same root see the same store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codecs import chooser
+from .operators import decode, decode_window
+from .plans.pruning import prune_rowgroups_by_range, prune_rowgroups_by_value
+from .sources.warehouse import Warehouse
+
+_BATCH_SHIFT = 40  # rowgroup namespace per delta batch (as streaming)
+
+
+class TranscriptColumnStore:
+    def __init__(self, spark: SparkSession, root: str,
+                 num_rowgroups: int = 8,
+                 rows_per_segment: int = 1_000_000,
+                 mode: str = chooser.MODE_SIZE,
+                 format: str = "auto"):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.num_rowgroups = num_rowgroups
+        self.rows_per_segment = rows_per_segment
+        self.mode = mode
+        self._format = format
+        self._generation = self._latest_generation()
+        self.warehouse = Warehouse(self._gen_root(), format=format)
+        os.makedirs(self._delta_root(), exist_ok=True)
+
+    # -- layout --------------------------------------------------------------
+
+    def _gen_root(self) -> str:
+        return f"{self.root}/gen_{self._generation:04d}"
+
+    def _delta_root(self) -> str:
+        return f"{self.root}/delta"
+
+    def _latest_generation(self) -> int:
+        try:
+            gens = [int(d.split("_")[1]) for d in os.listdir(self.root)
+                    if d.startswith("gen_")]
+            return max(gens) if gens else 0
+        except FileNotFoundError:
+            return 0
+
+    def _batches(self) -> list[str]:
+        root = self._delta_root()
+        return sorted(d for d in os.listdir(root) if d.startswith("batch_"))
+
+    def _retired_batches(self) -> set[str]:
+        """Delta batches folded into this generation by a rebuild."""
+        try:
+            with open(f"{self._gen_root()}/retired_batches.txt") as f:
+                return set(f.read().split())
+        except FileNotFoundError:
+            return set()
+
+    def _pending_batches(self) -> list[str]:
+        m = self.warehouse.manifest(self.spark)
+        done = (set() if m is None else
+                {r["run_id"] for r in m.select("run_id").distinct().collect()})
+        done |= self._retired_batches()
+        return [b for b in self._batches() if b not in done]
+
+    # -- ingest (I1/I2/I3/I5) ------------------------------------------------
+
+    def add_range(self, df: DataFrame) -> int:
+        """Append a batch of rows to the delta store (reference
+        `AddRange`: one version bump per batch)."""
+        idx = len(self._batches())
+        df.write.mode("errorifexists").parquet(
+            f"{self._delta_root()}/batch_{idx:06d}")
+        return idx
+
+    def close(self) -> int:
+        """Compact every pending delta batch to solid segments
+        (`Close` + the intended `TryCompact`); returns the number of
+        batches compacted. Idempotent and crash-resumable (manifest)."""
+        compacted = 0
+        for name in self._pending_batches():
+            batch_idx = int(name.split("_")[1])
+            df = self.spark.read.parquet(f"{self._delta_root()}/{name}")
+            self.warehouse.encode_resumable(
+                df, num_rowgroups=self.num_rowgroups,
+                rows_per_segment=self.rows_per_segment, mode=self.mode,
+                run_id=name,
+                rowgroup_offset=batch_idx << _BATCH_SHIFT)
+            compacted += 1
+        return compacted
+
+    # -- read (GetEnumerator) ------------------------------------------------
+
+    def solid_rows(self) -> DataFrame:
+        return decode(self.warehouse.committed_segments(self.spark))
+
+    def rows(self) -> DataFrame:
+        """Every row exactly once: solid row groups decoded from the
+        warehouse, then delta batches not yet compacted — the
+        reference's enumeration order (`ColumnStore.cs:76-87`)."""
+        pending = self._pending_batches()
+        delta = None
+        if pending:
+            delta = self.spark.read.parquet(
+                *[f"{self._delta_root()}/{b}" for b in pending])
+        m = self.warehouse.manifest(self.spark)
+        if m is None:
+            if delta is None:
+                raise ValueError("empty store")
+            return delta
+        solid = self.solid_rows()
+        return solid if delta is None else solid.unionByName(delta)
+
+    # -- rebuild (I6) --------------------------------------------------------
+
+    def rebuild(self, num_rowgroups: int | None = None) -> None:
+        """Re-encode the whole store as a fresh generation
+        (`Rebuild`: "re-encode entire dataset as one compressed
+        group"); the old generation stays on disk for readers holding
+        it, the store object switches to the new one."""
+        all_rows = self.rows()
+        folded = self._batches()
+        self._generation += 1
+        self.warehouse = Warehouse(self._gen_root(), format=self._format)
+        self.warehouse.encode_resumable(
+            all_rows, num_rowgroups=num_rowgroups or 1,
+            rows_per_segment=self.rows_per_segment, mode=self.mode,
+            run_id="rebuild")
+        # every existing delta batch is now solid in this generation
+        with open(f"{self._gen_root()}/retired_batches.txt", "w") as f:
+            f.write("\n".join(folded))
+
+    # -- stats (T1-T4) -------------------------------------------------------
+
+    def stats(self) -> DataFrame:
+        """Per-column stats tree rollup from the manifest (metadata
+        only — never touches payload bytes)."""
+        m = self.warehouse.manifest(self.spark)
+        if m is None:
+            raise ValueError("empty store (no committed segments)")
+        return (m.groupBy("column")
+                .agg(F.sum("n_rows").alias("n_rows"),
+                     F.sum("n_nulls").alias("n_nulls"),
+                     F.sum("n_distinct").alias("distinct_upper_bound"),
+                     F.sum("n_runs").alias("n_runs"),
+                     F.min("min_repr").alias("min_repr"),
+                     F.max("max_repr").alias("max_repr"),
+                     F.sum("raw_bytes").alias("raw_bytes"),
+                     F.sum("enc_bytes").alias("enc_bytes")))
+
+    # -- queries (S3/S4) -----------------------------------------------------
+
+    def query_by_value(self, column: str, value) -> DataFrame:
+        """Rows where `column` equals `value`, reading only segments
+        whose manifest stats admit the probe (the reference's
+        `QueryByValue` inverted-index idea at warehouse scale)."""
+        segs = self.warehouse.committed_segments(self.spark)
+        pruned = prune_rowgroups_by_value(segs, column, value)
+        return decode(pruned).where(F.col(column) == value)
+
+    def query_by_range(self, column: str, lo, hi) -> DataFrame:
+        segs = self.warehouse.committed_segments(self.spark)
+        pruned = prune_rowgroups_by_range(segs, column, lo, hi)
+        return decode(pruned).where(F.col(column).between(lo, hi))
+
+    def query_by_window(self, rowgroup_id: int, start: int,
+                        length: int) -> DataFrame:
+        """Row window of one rowgroup via the run-clipping kernels."""
+        segs = self.warehouse.committed_segments(self.spark)
+        return decode_window(segs, rowgroup_id, start, length)

@@ -1,0 +1,81 @@
+"""TranscriptColumnStore facade — the reference's IColumnStore surface
+end to end: AddRange -> Close -> enumerate -> stats -> queries ->
+Rebuild, mirroring the reference's store-level test flow
+(`DeltaStoreTests.cs:43-187`: add, close, second row group, stats)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnstore_spark.store import TranscriptColumnStore
+from columnstore_spark.sources.transcripts import load_transcripts
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def t(spark):
+    return load_transcripts(spark, SF_DIR).persist()
+
+
+def _sorted(df, cols):
+    return df.orderBy("conv_id", "turn_idx").select(cols).collect()
+
+
+def test_store_lifecycle(spark, tmp_path, t):
+    cols = t.columns
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    first = t.where(F.col("turn_idx") % 2 == 0)
+    second = t.where(F.col("turn_idx") % 2 == 1)
+
+    # AddRange + mid-ingest enumeration: delta rows visible before close
+    store.add_range(first)
+    assert _sorted(store.rows(), cols) == _sorted(first, cols)
+
+    # Close compacts; enumeration now reads the solid form
+    assert store.close() == 1
+    assert _sorted(store.solid_rows(), cols) == _sorted(first, cols)
+
+    # second batch: solid + delta union (reference enumeration order)
+    store.add_range(second)
+    assert _sorted(store.rows(), cols) == _sorted(t, cols)
+    assert store.close() == 1
+    assert _sorted(store.rows(), cols) == _sorted(t, cols)
+    # close is idempotent
+    assert store.close() == 0
+
+    # stats tree rollup (metadata only)
+    st = {r["column"]: r for r in store.stats().collect()}
+    assert st["conv_id"]["n_rows"] == t.count()
+    assert st["tool"]["n_nulls"] == t.where(F.col("tool").isNull()).count()
+    assert st["text"]["enc_bytes"] < st["text"]["raw_bytes"]
+
+    # queries behind manifest pruning
+    got = store.query_by_value("role", "tool").count()
+    assert got == t.where(F.col("role") == "tool").count() > 0
+
+    lo, hi = "c000000000000", "c000000000005"
+    got = store.query_by_range("conv_id", lo, hi).count()
+    assert got == t.where(F.col("conv_id").between(lo, hi)).count() > 0
+
+    # a second handle on the same root sees the same store
+    store2 = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                   num_rowgroups=4)
+    assert _sorted(store2.rows(), cols) == _sorted(t, cols)
+
+
+def test_store_rebuild(spark, tmp_path, t):
+    cols = t.columns
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t.where(F.col("turn_idx") % 2 == 0))
+    store.close()
+    store.add_range(t.where(F.col("turn_idx") % 2 == 1))  # left in delta
+
+    store.rebuild(num_rowgroups=2)
+    # everything (solid + pending delta) is solid in the new generation
+    assert _sorted(store.solid_rows(), cols) == _sorted(t, cols)
+    assert store.close() == 0  # nothing pending after rebuild
+    assert _sorted(store.rows(), cols) == _sorted(t, cols)
