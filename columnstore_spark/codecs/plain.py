@@ -11,7 +11,6 @@ smaller than the reference's Default encoding on every profile.
 
 from __future__ import annotations
 
-import numpy as np
 
 from . import values as V
 

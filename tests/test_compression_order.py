@@ -41,7 +41,6 @@ def test_custom_sort_expression_order(spark):
                   rowgroup_expr=rg)
 
     # stored order inside each rowgroup is descending event_id
-    import pandas as pd
     dec = decode(segs).select("event_id").toPandas()["event_id"]
     rowgroup = (dec % 4).to_numpy()
     ids = dec.to_numpy()

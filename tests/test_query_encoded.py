@@ -5,7 +5,6 @@ hand-written vectors with expected (start, length) run lists covering
 first / middle / last / run / mixed positions, across every codec the
 chooser can pick, plus window slices with clipping."""
 
-import numpy as np
 import pyarrow as pa
 import pytest
 

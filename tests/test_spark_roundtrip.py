@@ -3,7 +3,6 @@
 (FIXTURES.md F5) and the skew splitter.
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from columnstore_spark.operators import (
