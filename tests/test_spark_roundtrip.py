@@ -107,3 +107,24 @@ def test_warehouse_resume(spark, transcripts, tmp_path):
          for r in wh2.committed_segments(spark)
          .select("rowgroup_id", "column", "checksum").collect()}
     assert a == b
+
+
+def test_empty_and_single_row_edges(spark, transcripts):
+    """Degenerate inputs the skill's edge probes call out: fully-pruned
+    (empty) segment decode, empty-input encode, single-row encode."""
+    from columnstore_spark.plans.pruning import prune_rowgroups_by_value
+
+    t = transcripts
+    segs = encode(t, rowgroup_expr=F.expr(
+        "CAST(substring(conv_id, 2) AS BIGINT) % 4"))
+    pruned = prune_rowgroups_by_value(segs, "conv_id", "zzz_not_there")
+    assert decode(pruned, schema=t.schema).count() == 0
+
+    empty = t.where(F.lit(False))
+    es = encode(empty, rowgroup_expr=F.lit(0))
+    assert es.count() == 0
+    assert decode(es, schema=t.schema).count() == 0
+
+    one = t.limit(1)
+    assert decode(encode(one, rowgroup_expr=F.lit(0))).collect() == \
+        one.collect()
