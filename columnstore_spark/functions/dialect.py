@@ -83,6 +83,16 @@ class Dialect:
             "x -> x != ''")
 
 
+    def rlit(self, pattern: str) -> str:
+        """Regex pattern as a SQL string literal (engines differ on
+        backslash handling inside single quotes)."""
+        raise NotImplementedError
+
+    def regexp_count(self, s: str, pattern: str) -> str:
+        """Number of non-overlapping matches of `pattern` in `s`."""
+        raise NotImplementedError
+
+
 class SparkDialect(Dialect):
     spark = True
 
@@ -118,6 +128,11 @@ class SparkDialect(Dialect):
     def dot(self, a, b):
         return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
                 f"(acc, v) -> acc + v)")
+    def rlit(self, pattern):
+        # Spark string literals process backslash escapes
+        return "'" + pattern.replace("\\", "\\\\") + "'"
+    def regexp_count(self, s, pattern):
+        return f"size(regexp_extract_all({s}, {self.rlit(pattern)}, 0))"
     def to_utf8(self, s): return f"encode({s}, 'utf-8')"
     def byte_length(self, s): return f"length(encode({s}, 'utf-8'))"
     def first_utf8_byte(self, s):
@@ -162,6 +177,11 @@ class DuckDialect(Dialect):
     def explode_select(self, keys, arr, alias, from_):
         return f"SELECT {keys}, unnest({arr}) AS {alias} FROM {from_}"
     def dot(self, a, b): return f"list_dot_product({a}, {b})"
+    def rlit(self, pattern):
+        # DuckDB string literals keep backslashes verbatim
+        return "'" + pattern + "'"
+    def regexp_count(self, s, pattern):
+        return f"len(regexp_extract_all({s}, {self.rlit(pattern)}))"
     def to_utf8(self, s): return f"encode({s})"
     def byte_length(self, s): return f"octet_length(encode({s}))"
     def first_utf8_byte(self, s):

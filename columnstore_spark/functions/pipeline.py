@@ -119,6 +119,29 @@ SELECT doc_id,
 """
 
 
+# GPT-2-ish pre-tokenizer classes: letter runs, single digits,
+# punctuation runs (whitespace-separated) — a deterministic upper-proxy
+# for BPE token counts without a vocabulary
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+
+def token_stats_sql(d: Dialect, table: str = "documents") -> str:
+    """Token counting both ways the brief names: whitespace tokens and
+    a BPE-ish regex count (letter runs / single digits / punct runs —
+    the GPT-2 pre-tokenizer shape, which upper-bounds real BPE counts
+    deterministically with no vocabulary)."""
+    ws = (f"split(trim(text), ' +')" if d.spark
+          else "regexp_split_to_array(trim(text), ' +')")
+    ws_n = d.size(d.filter(ws, "x -> x != ''"))
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({ws_n} AS BIGINT) AS n_ws_tokens,
+       CAST({d.regexp_count('text', _BPE_RE)} AS BIGINT) AS n_bpe_tokens,
+       CAST({d.byte_length('text')} AS BIGINT) AS n_bytes
+FROM {table}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -763,6 +786,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
     """{query_name: {"spark": sql, "duck": sql}} for every operator."""
     builders = {
         "text_metrics": text_metrics_sql,
+        "token_stats": token_stats_sql,
         "dedup_exact": exact_dedup_sql,
         "dedup_minhash_lsh": minhash_pairs_sql,
         "dedup_ngram_jaccard": ngram_jaccard_sql,
