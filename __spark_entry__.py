@@ -128,6 +128,35 @@ def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("enc_bytes") / F.col("raw_bytes"), 4)))
 
 
+def _q_raw_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the compression accounting: the
+    manifest's per-column raw_bytes (computed by the codec layer over
+    non-null values: var = utf8 blob + 4 B/offset, fixed = itemsize x
+    n_valid) must equal DuckDB recomputing the same arithmetic from the
+    source data."""
+    t = load_transcripts(spark, sf_dir)
+    m = manifest_of(encode(t, rowgroup_expr=_rg_expr()))
+    return (m.groupBy(F.col("column").alias("col_name"))
+            .agg(F.sum("raw_bytes").alias("raw_bytes")))
+
+
+def _raw_sizes_oracle() -> str:
+    per_col = {
+        "conv_id": "SUM(octet_length(encode(conv_id))) + 4 * COUNT(conv_id)",
+        "turn_idx": "4 * COUNT(turn_idx)",
+        "role": "SUM(octet_length(encode(role))) + 4 * COUNT(role)",
+        "text": "SUM(octet_length(encode(text))) + 4 * COUNT(text)",
+        "tool": "COALESCE(SUM(octet_length(encode(tool))), 0) "
+                "+ 4 * COUNT(tool)",
+        "ts": "8 * COUNT(ts)",
+    }
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({expr} AS BIGINT) AS raw_bytes "
+        f"FROM t"
+        for c, expr in per_col.items())
+    return f"WITH t AS ({TRANSCRIPTS_SQL})\n{selects}"
+
+
 def _pipeline_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     """Training-data op (functions/pipeline.py): one SQL spine run by
     Spark here and by DuckDB in oracle_sql() — parity by construction."""
@@ -171,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_range": _q_query_by_range,
         "query_by_window": _q_query_by_window,
         "compression_summary": _q_compression_summary,
+        "raw_sizes": _q_raw_sizes,
         "media_decode": _q_media_decode,
         "media_entropy": _q_media_entropy,
     }
@@ -235,5 +265,6 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_RG_SQL} = {_WIN_RG} "
             f"ORDER BY conv_id, turn_idx "
             f"LIMIT {_WIN_LEN} OFFSET {_WIN_START}",
+        "raw_sizes": _raw_sizes_oracle(),
         # compression_summary: rows-only (codec/bytes not SQL-expressible)
     }
