@@ -97,7 +97,12 @@ def _decimal_probe_unscaled(logical: str, value):
         return None
     if d != d.to_integral_value():
         return None
-    return int(d)
+    unscaled = int(d)
+    # out-of-int64 probes can't exist in a decimal64 column — no match
+    # (not an OverflowError from np.int64() downstream)
+    if not -(1 << 63) <= unscaled < (1 << 63):
+        return None
+    return unscaled
 
 
 def _dict_key_index(uniques, logical: str, value) -> int:

@@ -32,6 +32,7 @@ from .stats import SegmentStats, collect
 FLAG_HAS_NULLS = 1
 
 SPLIT128_CODEC_ID = 30  # wide decimals: two int64 word columns
+ARROW_IPC_CODEC_ID = 31  # nested types: Arrow IPC stream body
 
 CODEC_NAMES = {
     plain.CODEC_ID: "plain",
@@ -42,6 +43,7 @@ CODEC_NAMES = {
     forpack.DELTA_CODEC_ID: "delta_bitpack",
     fsst.CODEC_ID: "fsst",
     SPLIT128_CODEC_ID: "decimal_split",
+    ARROW_IPC_CODEC_ID: "arrow_ipc",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -58,8 +60,20 @@ _PA_LOGICAL = {
 }
 
 
+def _is_nested(t: pa.DataType) -> bool:
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t) or pa.types.is_map(t)
+            or pa.types.is_struct(t))
+
+
 def logical_of(arr: pa.Array) -> str:
     t = arr.type
+    if _is_nested(t):
+        # nested logicals carry the Spark DDL so decode can rebuild the
+        # schema from manifest metadata alone (`nested:array<double>`)
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        return f"nested:{from_arrow_type(t).simpleString()}"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -295,14 +309,70 @@ def _collect_decimal128(words: np.ndarray, n_total: int,
         change[1:] = (words[1:] != words[:-1]).any(axis=1)
     # 128-bit two's-complement order = (hi signed, lo unsigned) lexicographic
     order = np.lexsort((words[:, 0].view(np.uint64), words[:, 1]))
+    mn, mx = _int128(words[order[0]]), _int128(words[order[-1]])
+    in64 = -(1 << 63) <= mn and mx <= (1 << 63) - 1
     return SegmentStats(
         n_rows=n_total, n_nulls=n_nulls,
         n_distinct=int(np.unique(pairs).size),
         n_runs=int(change.sum()),
         # unscaled-int reprs, matching the decimal64 manifest convention
-        min_repr=str(_int128(words[order[0]])),
-        max_repr=str(_int128(words[order[-1]])),
-        raw_bytes=raw)
+        min_repr=str(mn),
+        max_repr=str(mx),
+        raw_bytes=raw,
+        # typed bounds only when the unscaled range fits the manifest's
+        # int64 columns; wider segments fall back to no-op pruning
+        min_num=mn if in64 else None,
+        max_num=mx if in64 else None)
+
+
+# ---------------------------------------------------------------------------
+# Nested types (array/map/struct): the Arrow IPC body codec. The
+# reference's DefaultEncoding explicitly covers "complex types, including
+# heap based object graphs" via the Orleans serializer
+# (`/root/reference/Outcompute.ColumnStore/Encodings/DefaultEncoding.cs:6-11`);
+# here the child buffers (offsets + values + validity) ship as one Arrow
+# IPC stream — zero per-row work, bit-exact round-trip for any nested
+# shape, nulls carried natively by the IPC validity bitmaps.
+# ---------------------------------------------------------------------------
+
+
+def _ipc_bytes(arr: pa.Array) -> bytes:
+    import io
+
+    batch = pa.record_batch([arr], names=["v"])
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    return sink.getvalue()
+
+
+def _ipc_read(body: bytes | memoryview) -> pa.Array:
+    with pa.ipc.open_stream(pa.py_buffer(bytes(body))) as r:
+        tbl = r.read_all()
+    return tbl.column(0).combine_chunks()
+
+
+def _encode_nested(arr: pa.Array, logical: str) -> EncodedSegment:
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    n_nulls = int(arr.null_count)
+    # canonical body: serialize once, read back (compacts slice offsets
+    # from upstream batch splitting), re-serialize — makes the payload
+    # and its checksum independent of the input array's buffer layout
+    body = _ipc_bytes(_ipc_read(_ipc_bytes(arr)))
+    try:
+        ndv = int(pc.count_distinct(arr.drop_null()).as_py())
+    except pa.ArrowNotImplementedError:
+        ndv = 0  # not all nested types support hashing
+    st = SegmentStats(n_rows=n, n_nulls=n_nulls, n_distinct=ndv,
+                      n_runs=0, min_repr=None, max_repr=None,
+                      raw_bytes=int(arr.nbytes))
+    payload = (bitpack.write_varint(ARROW_IPC_CODEC_ID)
+               + bitpack.write_varint(n) + bytes([0]) + body)
+    return EncodedSegment(payload=payload, codec_id=ARROW_IPC_CODEC_ID,
+                          logical=logical, stats=st,
+                          checksum=hashlib.sha256(body).hexdigest())
 
 
 @dataclass
@@ -329,6 +399,10 @@ def _raw_checksum(vals, validity: np.ndarray | None, logical: str) -> str:
 def encode_segment(arr: pa.Array, mode: str = chooser.MODE_SIZE,
                    codec: int | None = None) -> EncodedSegment:
     """Encode one Arrow column chunk into a framed segment payload."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _is_nested(arr.type):
+        return _encode_nested(arr, logical_of(arr))
     logical, vals, validity = from_arrow(arr)
     n = len(arr)
     n_nulls = int(n - validity.sum()) if validity is not None else 0
@@ -359,6 +433,9 @@ def decode_segment(payload: bytes | memoryview, logical: str) -> pa.Array:
     """Inverse of encode_segment: framed payload -> Arrow array."""
     body = memoryview(payload)
     codec, pos = bitpack.read_varint(body)
+    if codec == ARROW_IPC_CODEC_ID:
+        n, pos = bitpack.read_varint(body, pos)
+        return _ipc_read(body[pos + 1:])  # +1: flags byte (nulls in IPC)
     if codec not in _DECODERS:
         raise ValueError(f"unknown codec id {codec}")
     n, pos = bitpack.read_varint(body, pos)
@@ -379,5 +456,9 @@ def decode_segment(payload: bytes | memoryview, logical: str) -> pa.Array:
 
 def verify_checksum(payload: bytes, logical: str, expected: str) -> bool:
     arr = decode_segment(payload, logical)
+    if _is_nested(arr.type):
+        # nested checksums hash the canonical IPC body; re-serializing
+        # the decoded (already-canonical) array reproduces it exactly
+        return hashlib.sha256(_ipc_bytes(arr)).hexdigest() == expected
     logical2, vals, validity = from_arrow(arr)
     return _raw_checksum(vals, validity, logical2) == expected

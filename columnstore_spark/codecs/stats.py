@@ -28,9 +28,18 @@ class SegmentStats:
     n_nulls: int
     n_distinct: int          # over non-null values
     n_runs: int              # adjacent runs over non-null values
-    min_repr: str | None     # string repr for the manifest (pruning)
-    max_repr: str | None
+    min_repr: str | None     # string repr for the manifest (display; pruning
+    max_repr: str | None     # uses it only for ASCII string columns)
     raw_bytes: int           # uncompressed non-null payload bytes
+    # typed value-domain bounds for the integer family (ints, bool,
+    # timestamps/dates as epoch units, decimals as unscaled ints) — the
+    # reference's typed `Stats<T>(…, T Min, T Max)` (`Sequences/Stats.cs:3`).
+    # None when the logical has no sound int64 bounds (floats, strings,
+    # uint64 values above int64, wide decimals beyond int64): numeric
+    # pruning then degrades to a no-op for the segment, never to a
+    # lexicographic compare (round-2 verdict #1 wrong-answer hazard).
+    min_num: int | None = None
+    max_num: int | None = None
     # transient artifacts reused by the dict codec (not serialized)
     codes: np.ndarray | None = field(default=None, repr=False)
     uniques: object | None = field(default=None, repr=False)
@@ -44,6 +53,7 @@ class SegmentStats:
 
 
 _REPR_CAP = 64
+_INT64_MAX = (1 << 63) - 1
 
 
 def _repr(v) -> str:
@@ -95,6 +105,11 @@ def collect(vals, logical: str, n_total: int, n_nulls: int) -> SegmentStats:
                 st.delta_min = st.delta_max = 0
             st.min_repr = _repr(vals.min())
             st.max_repr = _repr(vals.max())
+            # value-domain bounds: the int64 view is the stored domain
+            # for every int-family logical; uint64 values above int64
+            # wrap in that view, so their bounds are unusable
+            if logical != "uint64" or int(vals.max()) <= _INT64_MAX:
+                st.min_num, st.max_num = st.int_min, st.int_max
         else:
             st.min_repr = _repr(vals.min())
             st.max_repr = _repr(vals.max())

@@ -35,6 +35,9 @@ def _spark_type_of(logical: str) -> T.DataType:
     if logical.startswith("decimal64_") or logical.startswith("decimal128_"):
         _, p, s = logical.split("_")
         return T.DecimalType(int(p), int(s))
+    if logical.startswith("nested:"):
+        # nested logicals carry their Spark DDL (`nested:array<double>`)
+        return T._parse_datatype_string(logical[len("nested:"):])
     return _LOGICAL_TO_SPARK[logical]
 
 _OUT_BATCH_ROWS = 1 << 16

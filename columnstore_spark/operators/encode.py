@@ -52,6 +52,10 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("n_runs", T.LongType(), False),
     T.StructField("min_repr", T.StringType(), True),
     T.StructField("max_repr", T.StringType(), True),
+    # typed value-domain bounds (int family / epoch units / unscaled
+    # decimals) — null when the logical has no sound int64 bounds
+    T.StructField("min_num", T.LongType(), True),
+    T.StructField("max_num", T.LongType(), True),
     T.StructField("raw_bytes", T.LongType(), False),
     T.StructField("enc_bytes", T.LongType(), False),
     T.StructField("checksum", T.StringType(), False),
@@ -62,6 +66,10 @@ _SUPPORTED_SPARK = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
     T.DoubleType, T.BooleanType, T.StringType, T.BinaryType,
     T.TimestampType, T.TimestampNTZType, T.DateType, T.DecimalType,
+    # nested types route through the Arrow-IPC body codec
+    # (codecs/segment.py ARROW_IPC_CODEC_ID; reference
+    # `DefaultEncoding.cs:6-11` "complex types")
+    T.ArrayType, T.MapType, T.StructType,
 )
 
 
@@ -163,7 +171,8 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
                              CODEC_NAMES[seg.codec_id], seg.codec_id,
                              seg.logical, seg.payload, st.n_rows, st.n_nulls,
                              st.n_distinct, st.n_runs, st.min_repr,
-                             st.max_repr, st.raw_bytes, len(seg.payload),
+                             st.max_repr, st.min_num, st.max_num,
+                             st.raw_bytes, len(seg.payload),
                              seg.checksum, ms))
             cols = list(zip(*rows))
             yield pa.RecordBatch.from_arrays(

@@ -9,31 +9,233 @@ segment in the manifest; an equality/range predicate eliminates whole
 rowgroups *before* any decode work — the same role Parquet row-group
 statistics play. Pruning is conservative: it never changes results, only
 skips provably-non-matching segments.
+
+Bound domains (round-2 verdict #1: lexicographic compare on numeric
+reprs is NOT order-preserving and could drop matching rowgroups):
+
+- integer family (ints, bool, timestamps/dates as epoch units, decimals
+  as unscaled ints): typed ``min_num``/``max_num`` int64 manifest
+  columns, compared in the value domain — the reference's typed
+  ``Stats<T>(…, T Min, T Max)`` (`Sequences/Stats.cs:3`). Probes are
+  rescaled into the stored domain (epoch unit, decimal scale) and
+  clamped to int64 — clamping only ever widens the keep set.
+- strings: ``min_repr``/``max_repr`` compare, gated to pure-ASCII
+  bounds (Arrow computed min/max in UTF-8 byte order; Java compares
+  UTF-16 units — the orders agree whenever one side is ASCII) and
+  treating a repr at the 64-char truncation cap as unbounded.
+- everything else (floats, binary, non-ASCII strings, out-of-int64
+  numerics): no pruning — every segment is kept.
+
+Segments whose bounds are NULL because every value is null
+(``n_nulls == n_rows``) can never match a non-null probe and are
+always pruned.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import datetime as dt
+from decimal import ROUND_CEILING, ROUND_FLOOR, Decimal, InvalidOperation
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..codecs.stats import _REPR_CAP
 
-def prune_rowgroups_by_value(segments: DataFrame, column: str,
-                             value: str) -> DataFrame:
-    """Keep only rowgroups whose `column` segment may contain `value`
-    (string-repr min/max bounds, exact for string columns)."""
+_INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+#: sentinel: the probe provably matches nothing at this column's type
+#: (e.g. an equality probe not representable at the decimal's scale)
+CANNOT_MATCH = object()
+
+_PLAIN_INT_LOGICALS = ["int8", "int16", "int32", "int64",
+                       "uint8", "uint16", "uint32", "uint64", "bool"]
+_TS_UNIT_US = {"timestamp_s": 1_000_000, "timestamp_ms": 1_000,
+               "timestamp_us": 1}
+_ASCII_RE = "^[\\x00-\\x7F]*$"
+
+
+def _clamp(v: int) -> int:
+    return min(max(int(v), _INT64_MIN), _INT64_MAX)
+
+
+def _epoch_us(value: dt.datetime) -> int:
+    """Exact microseconds since epoch (naive datetimes read as UTC —
+    the engine pins spark.sql.session.timeZone=UTC, session.py)."""
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=dt.timezone.utc)
+    td = value - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+
+def _div_round(v: int, unit: int, side: str):
+    """v/unit rounded toward the conservative side ('lo' up, 'hi' down);
+    'eq' returns CANNOT_MATCH when inexact."""
+    q, r = divmod(v, unit)
+    if r == 0:
+        return q
+    if side == "eq":
+        return CANNOT_MATCH
+    return q + 1 if side == "lo" else q
+
+
+def _to_stored_num(logical: str, value, side: str):
+    """Probe -> the column's stored int64 domain.
+
+    Returns an int (clamped to int64 — sound: clamping widens the keep
+    test), None when no sound conversion exists (pruning becomes a
+    no-op), or CANNOT_MATCH for an equality probe provably absent.
+    `side`: 'eq' | 'lo' | 'hi' — rounding direction for inexact probes.
+    """
+    if isinstance(value, bool):
+        value = int(value)
+    if logical in _PLAIN_INT_LOGICALS:
+        if isinstance(value, (int, np.integer)):
+            return _clamp(int(value))
+        if isinstance(value, float):
+            if value != value or value in (float("inf"), float("-inf")):
+                return (CANNOT_MATCH if side == "eq"
+                        else _clamp(_INT64_MAX if value > 0 else _INT64_MIN))
+            iv = int(value)
+            if iv == value:
+                return _clamp(iv)
+            if side == "eq":
+                return CANNOT_MATCH
+            import math
+            return _clamp(math.ceil(value) if side == "lo"
+                          else math.floor(value))
+        return None
+    if logical == "date32":
+        if isinstance(value, dt.datetime):
+            return None  # ambiguous (time-of-day) — skip pruning
+        if isinstance(value, dt.date):
+            return (value - dt.date(1970, 1, 1)).days
+        return None
+    if logical in _TS_UNIT_US:
+        if isinstance(value, dt.datetime):
+            return _div_round(_epoch_us(value), _TS_UNIT_US[logical], side)
+    if logical == "timestamp_ns":
+        if isinstance(value, dt.datetime):
+            return _clamp(_epoch_us(value) * 1000)
+    if logical.startswith("decimal64_") or logical.startswith("decimal128_"):
+        scale = int(logical.rsplit("_", 1)[1])
+        try:
+            d = Decimal(value).scaleb(scale)
+        except (InvalidOperation, ValueError, TypeError):
+            return None
+        if d != d.to_integral_value():
+            if side == "eq":
+                return CANNOT_MATCH
+            d = d.to_integral_value(
+                rounding=ROUND_CEILING if side == "lo" else ROUND_FLOOR)
+        return _clamp(int(d))
+    return None
+
+
+def _num_bounds_cond(plo, phi) -> Column:
+    """Keep condition over segment rows given stored-domain probe
+    bounds (Column or int literals). Segments without typed bounds are
+    kept unless provably all-null."""
+    plo = plo if isinstance(plo, Column) else F.lit(int(plo))
+    phi = phi if isinstance(phi, Column) else F.lit(int(phi))
+    return (F.when(F.col("min_num").isNotNull(),
+                   (F.col("min_num") <= phi) & (F.col("max_num") >= plo))
+            .otherwise(F.col("n_nulls") < F.col("n_rows")))
+
+
+def _string_bounds_cond(lo: str, hi: str) -> Column:
+    """Keep condition for string-repr bounds: exact only when both
+    reprs are pure ASCII; a repr at the truncation cap acts as an open
+    bound on its side (a truncated min prefix is still a valid lower
+    bound; a truncated max is not a valid upper bound)."""
+    ascii_ok = (F.col("min_repr").rlike(_ASCII_RE)
+                & F.col("max_repr").rlike(_ASCII_RE))
+    in_bounds = ((F.col("min_repr") <= F.lit(hi))
+                 & ((F.length("max_repr") >= _REPR_CAP)
+                    | (F.col("max_repr") >= F.lit(lo))))
+    return (F.when(F.col("min_repr").isNull(),
+                   F.col("n_nulls") < F.col("n_rows"))
+            .when(~ascii_ok, F.lit(True))
+            .otherwise(in_bounds))
+
+
+def _typed_cond(logical: str, lo, hi, eq: bool) -> Column | None:
+    """Keep condition for one known logical type; None = cannot prune."""
+    if logical == "string":
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            return None
+        return _string_bounds_cond(lo, hi)
+    side_lo, side_hi = ("eq", "eq") if eq else ("lo", "hi")
+    plo = _to_stored_num(logical, lo, side_lo)
+    phi = plo if eq else _to_stored_num(logical, hi, side_hi)
+    if plo is CANNOT_MATCH or phi is CANNOT_MATCH:
+        return F.lit(False)
+    if plo is None or phi is None:
+        return None
+    return _num_bounds_cond(plo, phi)
+
+
+def _generic_cond(lo, hi, eq: bool) -> Column | None:
+    """Keep condition when the column's logical type is unknown:
+    dispatch on the manifest's logical_type per segment row, covering
+    the probe-type/logical pairs convertible without a declared type.
+    Rows of any other logical fall through to 'keep'."""
+    if isinstance(lo, str) and isinstance(hi, str):
+        return (F.when(F.col("logical_type") == "string",
+                       _string_bounds_cond(lo, hi))
+                .otherwise(F.lit(True)))
+
+    branches: list[tuple[Column, Column]] = []
+
+    def add(logicals: list[str], cond: Column | None) -> None:
+        if cond is not None:
+            branches.append((F.col("logical_type").isin(logicals), cond))
+
+    side_lo, side_hi = ("eq", "eq") if eq else ("lo", "hi")
+    for logicals in ([*_PLAIN_INT_LOGICALS], ["date32"],
+                     ["timestamp_s"], ["timestamp_ms"],
+                     ["timestamp_us"], ["timestamp_ns"]):
+        logical = logicals[0]
+        plo = _to_stored_num(logical, lo, side_lo)
+        phi = plo if eq else _to_stored_num(logical, hi, side_hi)
+        if plo is CANNOT_MATCH or phi is CANNOT_MATCH:
+            add(logicals, F.lit(False))
+        elif plo is not None and phi is not None:
+            add(logicals, _num_bounds_cond(plo, phi))
+    if not branches:
+        return None
+    cond: Column = F.lit(True)
+    for match, c in reversed(branches):
+        cond = F.when(match, c).otherwise(cond)
+    return cond
+
+
+def _prune(segments: DataFrame, column: str, lo, hi, eq: bool,
+           logical_type: str | None) -> DataFrame:
+    cond = (_typed_cond(logical_type, lo, hi, eq)
+            if logical_type is not None else _generic_cond(lo, hi, eq))
+    if cond is None:
+        return segments
     keep = (segments
-            .where((F.col("column") == column)
-                   & (F.col("min_repr") <= value)
-                   & (F.col("max_repr") >= value))
+            .where((F.col("column") == column) & cond)
             .select("rowgroup_id").distinct())
     return segments.join(keep, on="rowgroup_id", how="left_semi")
+
+
+def prune_rowgroups_by_value(segments: DataFrame, column: str, value,
+                             logical_type: str | None = None) -> DataFrame:
+    """Keep only rowgroups whose `column` segment may contain `value`.
+
+    Pass `logical_type` (the column's manifest logical) for full typed
+    pruning — the facade looks it up from the manifest; without it,
+    pruning falls back to the probe-type dispatch in `_generic_cond`.
+    """
+    return _prune(segments, column, value, value, eq=True,
+                  logical_type=logical_type)
 
 
 def prune_rowgroups_by_range(segments: DataFrame, column: str,
-                             lo: str, hi: str) -> DataFrame:
-    keep = (segments
-            .where((F.col("column") == column)
-                   & (F.col("min_repr") <= hi)
-                   & (F.col("max_repr") >= lo))
-            .select("rowgroup_id").distinct())
-    return segments.join(keep, on="rowgroup_id", how="left_semi")
+                             lo, hi, logical_type: str | None = None,
+                             ) -> DataFrame:
+    return _prune(segments, column, lo, hi, eq=False,
+                  logical_type=logical_type)

@@ -28,12 +28,14 @@ same root see the same store.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codecs import chooser
 from .operators import decode, decode_window
+from .operators.decode import schema_from_segments
 from .plans.pruning import prune_rowgroups_by_range, prune_rowgroups_by_value
 from .sources.warehouse import Warehouse
 
@@ -145,51 +147,99 @@ class TranscriptColumnStore:
         """Re-encode the whole store as a fresh generation
         (`Rebuild`: "re-encode entire dataset as one compressed
         group"); the old generation stays on disk for readers holding
-        it, the store object switches to the new one."""
+        it, the store object switches to the new one.
+
+        Atomicity: the new generation is staged under a dot-prefixed
+        temp dir (invisible to `_latest_generation`) holding BOTH the
+        manifest commit and `retired_batches.txt`, then renamed into
+        place in one `os.rename`. A crash at any point leaves either
+        the old state (stale temp dir, reclaimed on retry) or the
+        complete new generation — never a committed generation whose
+        folded delta batches still look pending (which would
+        double-count every folded row on the next close)."""
         all_rows = self.rows()
         folded = self._batches()
-        self._generation += 1
-        self.warehouse = Warehouse(self._gen_root(), format=self._format)
-        self.warehouse.encode_resumable(
+        gen = self._generation + 1
+        final_root = f"{self.root}/gen_{gen:04d}"
+        tmp_root = f"{self.root}/.gen_{gen:04d}.tmp"
+        shutil.rmtree(tmp_root, ignore_errors=True)  # crashed prior attempt
+        staged = Warehouse(tmp_root, format=self._format)
+        staged.encode_resumable(
             all_rows, num_rowgroups=num_rowgroups or 1,
             rows_per_segment=self.rows_per_segment, mode=self.mode,
             run_id="rebuild")
-        # every existing delta batch is now solid in this generation
-        with open(f"{self._gen_root()}/retired_batches.txt", "w") as f:
+        # every existing delta batch is now solid in this generation;
+        # written BEFORE the rename so retirement commits atomically
+        # with the generation itself
+        with open(f"{tmp_root}/retired_batches.txt", "w") as f:
             f.write("\n".join(folded))
+        os.rename(tmp_root, final_root)
+        self._generation = gen
+        self.warehouse = Warehouse(final_root, format=self._format)
 
     # -- stats (T1-T4) -------------------------------------------------------
 
     def stats(self) -> DataFrame:
         """Per-column stats tree rollup from the manifest (metadata
-        only — never touches payload bytes)."""
+        only — never touches payload bytes).
+
+        Min/max roll up in the value domain: `min_num`/`max_num` for
+        the integer family (epoch units / unscaled decimals), string
+        `min_str`/`max_str` only for string columns (where the
+        lexicographic rollup is meaningful); other logicals report
+        nulls rather than a lexicographically-wrong answer."""
         m = self.warehouse.manifest(self.spark)
         if m is None:
             raise ValueError("empty store (no committed segments)")
+        is_str = F.col("logical_type") == "string"
         return (m.groupBy("column")
                 .agg(F.sum("n_rows").alias("n_rows"),
                      F.sum("n_nulls").alias("n_nulls"),
                      F.sum("n_distinct").alias("distinct_upper_bound"),
                      F.sum("n_runs").alias("n_runs"),
-                     F.min("min_repr").alias("min_repr"),
-                     F.max("max_repr").alias("max_repr"),
+                     F.min("min_num").alias("min_num"),
+                     F.max("max_num").alias("max_num"),
+                     F.min(F.when(is_str, F.col("min_repr"))).alias("min_str"),
+                     F.max(F.when(is_str, F.col("max_repr"))).alias("max_str"),
                      F.sum("raw_bytes").alias("raw_bytes"),
                      F.sum("enc_bytes").alias("enc_bytes")))
 
     # -- queries (S3/S4) -----------------------------------------------------
 
+    def _manifest_or_raise(self) -> DataFrame:
+        m = self.warehouse.manifest(self.spark)
+        if m is None:
+            raise ValueError("empty store (no committed segments)")
+        return m
+
+    def _logical_type(self, m: DataFrame, column: str) -> str | None:
+        row = (m.where(F.col("column") == column)
+               .select("logical_type").first())
+        return row["logical_type"] if row is not None else None
+
     def query_by_value(self, column: str, value) -> DataFrame:
         """Rows where `column` equals `value`, reading only segments
         whose manifest stats admit the probe (the reference's
-        `QueryByValue` inverted-index idea at warehouse scale)."""
+        `QueryByValue` inverted-index idea at warehouse scale). The
+        column's logical type comes from the manifest (metadata), so
+        numeric probes prune in the value domain — never the
+        lexicographic repr."""
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, column)
         segs = self.warehouse.committed_segments(self.spark)
-        pruned = prune_rowgroups_by_value(segs, column, value)
-        return decode(pruned).where(F.col(column) == value)
+        pruned = prune_rowgroups_by_value(segs, column, value,
+                                          logical_type=lt)
+        return (decode(pruned, schema=schema_from_segments(m))
+                .where(F.col(column) == value))
 
     def query_by_range(self, column: str, lo, hi) -> DataFrame:
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, column)
         segs = self.warehouse.committed_segments(self.spark)
-        pruned = prune_rowgroups_by_range(segs, column, lo, hi)
-        return decode(pruned).where(F.col(column).between(lo, hi))
+        pruned = prune_rowgroups_by_range(segs, column, lo, hi,
+                                          logical_type=lt)
+        return (decode(pruned, schema=schema_from_segments(m))
+                .where(F.col(column).between(lo, hi)))
 
     def query_by_window(self, rowgroup_id: int, start: int,
                         length: int) -> DataFrame:

@@ -79,3 +79,40 @@ def test_store_rebuild(spark, tmp_path, t):
     assert _sorted(store.solid_rows(), cols) == _sorted(t, cols)
     assert store.close() == 0  # nothing pending after rebuild
     assert _sorted(store.rows(), cols) == _sorted(t, cols)
+
+
+def test_store_rebuild_crash_is_atomic(spark, tmp_path, t):
+    """A rebuild that dies mid-encode must leave the store exactly as
+    it was: the staged generation is invisible (dot-prefixed temp dir),
+    so no reader ever sees a committed generation whose folded delta
+    batches still look pending (which would double-count every folded
+    row on the next close). A retried rebuild then succeeds."""
+    cols = t.columns
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t.where(F.col("turn_idx") % 2 == 0))
+    store.close()
+    store.add_range(t.where(F.col("turn_idx") % 2 == 1))  # left in delta
+
+    from columnstore_spark.sources.warehouse import Warehouse
+    real = Warehouse.encode_resumable
+
+    def boom(self, *a, **kw):
+        real(self, *a, **kw)          # segments + manifest land on disk
+        raise RuntimeError("killed after staged commit, before rename")
+
+    Warehouse.encode_resumable = boom
+    try:
+        with pytest.raises(RuntimeError):
+            store.rebuild(num_rowgroups=2)
+    finally:
+        Warehouse.encode_resumable = real
+
+    # a fresh handle sees the OLD state, every row exactly once
+    store2 = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                   num_rowgroups=4)
+    assert _sorted(store2.rows(), cols) == _sorted(t, cols)
+    # retry completes and still yields every row exactly once
+    store2.rebuild(num_rowgroups=2)
+    assert _sorted(store2.solid_rows(), cols) == _sorted(t, cols)
+    assert store2.close() == 0
