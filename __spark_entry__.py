@@ -133,11 +133,13 @@ def _q_raw_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest's per-column raw_bytes (computed by the codec layer over
     non-null values: var = utf8 blob + 4 B/offset, fixed = itemsize x
     n_valid) must equal DuckDB recomputing the same arithmetic from the
-    source data."""
+    source data — and the per-column segment count must equal the
+    number of populated rowgroups (one segment per rowgroup x column)."""
     t = load_transcripts(spark, sf_dir)
     m = manifest_of(encode(t, rowgroup_expr=_rg_expr()))
     return (m.groupBy(F.col("column").alias("col_name"))
-            .agg(F.sum("raw_bytes").alias("raw_bytes")))
+            .agg(F.sum("raw_bytes").alias("raw_bytes"),
+                 F.count("*").alias("n_segments")))
 
 
 def _raw_sizes_oracle() -> str:
@@ -150,9 +152,12 @@ def _raw_sizes_oracle() -> str:
                 "+ 4 * COUNT(tool)",
         "ts": "8 * COUNT(ts)",
     }
+    # every column yields one segment per populated rowgroup (all-null
+    # chunks included), so n_segments = COUNT(DISTINCT rowgroup expr)
+    n_segs = f"(SELECT COUNT(DISTINCT {_RG_SQL}) FROM t)"
     selects = "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS col_name, CAST({expr} AS BIGINT) AS raw_bytes "
-        f"FROM t"
+        f"SELECT '{c}' AS col_name, CAST({expr} AS BIGINT) AS raw_bytes, "
+        f"CAST({n_segs} AS BIGINT) AS n_segments FROM t"
         for c, expr in per_col.items())
     return f"WITH t AS ({TRANSCRIPTS_SQL})\n{selects}"
 
@@ -166,6 +171,25 @@ def _pipeline_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
         return spark_pipeline_df(spark, name, _EMB_DIM)
     run.__name__ = f"q_{name}"
     return run
+
+
+def _q_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type coverage: the embeddings table's array<float> column
+    through encode (Arrow-IPC body codec, segment.py
+    ARROW_IPC_CODEC_ID) and back — exploded to (vec_id, pos, val)
+    scalars cast to DOUBLE so the oracle hash covers every element
+    exactly. Bit-exactness of the array column itself is pinned in
+    tests/test_nested_types.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    segs = encode(emb, order=("vec_id",),
+                  rowgroup_expr=F.pmod(F.col("vec_id"), F.lit(8)))
+    dec = decode(segs)
+    return dec.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("vec_id", "label", F.col("pos").cast("int").alias("pos"),
+             F.col("val").cast("double").alias("val"))
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_window": _q_query_by_window,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
+        "embeddings_roundtrip": _q_embeddings_roundtrip,
         "media_decode": _q_media_decode,
         "media_entropy": _q_media_entropy,
     }
@@ -266,5 +291,11 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY conv_id, turn_idx "
             f"LIMIT {_WIN_LEN} OFFSET {_WIN_START}",
         "raw_sizes": _raw_sizes_oracle(),
+        "embeddings_roundtrip":
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(label AS INT) AS label, CAST(u.i - 1 AS INT) AS pos, "
+            "CAST(embedding[u.i] AS DOUBLE) AS val "
+            "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, "
+            "len(embedding))) AS i) u",
         # compression_summary: rows-only (codec/bytes not SQL-expressible)
     }

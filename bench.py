@@ -126,7 +126,8 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         from columnstore_spark.sources.transcripts import register_testdata
         register_testdata(spark, sf_dir, ("documents", "embeddings"))
         for name in ("dedup_minhash_lsh", "dedup_simhash",
-                     "dedup_embedding_lsh", "ann_cosine_topk",
+                     "dedup_embedding_lsh", "dedup_ngram_jaccard",
+                     "ann_cosine_topk", "ann_ivf",
                      "text_metrics"):
             timings[f"q_{name}"] = _best(
                 lambda n=name: _noop(spark_pipeline_df(spark, n, 64)))
@@ -136,13 +137,21 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
             fake_decode_features,
             media_frame,
         )
+        # repartition=cpus: the sf0.1 documents table is ONE ~40 MB
+        # parquet file -> 1 scan split -> the no-shuffle default would
+        # decode on a single task (bin-packing trap, BENCH.md §3a). At
+        # 100 TB inputs arrive as many splits and the default maps over
+        # them shuffle-free (plan-gated in test_plans.py).
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         timings["q_media_decode"] = _best(
-            lambda: _noop(fake_decode_features(media_frame(docs))))
+            lambda: _noop(fake_decode_features(media_frame(docs),
+                                               repartition=cpus)))
 
         from columnstore_spark.sources.storage import iceberg_available
         storage = "iceberg" if iceberg_available(spark) else "parquet"
     finally:
+        from columnstore_spark.functions.pipeline import unpersist_all
+        unpersist_all()
         shutil.rmtree(tmp, ignore_errors=True)
         t.unpersist()
         spark.stop()

@@ -74,7 +74,7 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
 
 
 def fake_decode_features(media: DataFrame,
-                         num_partitions: int | None = None) -> DataFrame:
+                         repartition: int | None = None) -> DataFrame:
     """Deterministic 'decode': per-blob byte statistics via numpy over
     Arrow batches — the real plumbing with a fake kernel.
 
@@ -84,10 +84,13 @@ def fake_decode_features(media: DataFrame,
     ``row_id*256 + byte`` — no per-row Python anywhere. ``byte_sum`` is
     the exact integer sum (the oracle-checkable stat); ``byte_mean`` /
     ``byte_entropy`` are derived doubles.
-    """
-    if num_partitions is None:
-        num_partitions = int(media.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+
+    By default the decode maps over the input splits as-is (the scan's
+    maxPartitionBytes already bounds per-task blob bytes — shuffling
+    every blob through an exchange first was pure waste, round-2
+    verdict #5). Pass ``repartition=N`` to range-repartition by doc_id
+    when the input genuinely needs re-bucketing (e.g. a few huge
+    files with skewed blob sizes)."""
 
     def decode_batches(
             it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -130,5 +133,6 @@ def fake_decode_features(media: DataFrame,
                 "byte_entropy": np.round(ent, 4),
             })
 
-    return (media.repartitionByRange(num_partitions, "doc_id")
-            .mapInPandas(decode_batches, DECODED_SCHEMA))
+    if repartition is not None:
+        media = media.repartitionByRange(int(repartition), "doc_id")
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)

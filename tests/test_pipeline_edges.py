@@ -13,7 +13,11 @@ from columnstore_spark.functions.pipeline import (
 
 DOCS = [(0, "tiny"), (1, ""), (2, "exactly8"),
         (3, "a much longer document body for the winnow path"),
-        (4, "1234567"), (5, "one two")]
+        (4, "1234567"), (5, "one two"),
+        # vertical tab: Java \s includes \x0b, RE2 \s does not — the
+        # BPE regex spells its whitespace class explicitly so both
+        # engines agree (round-2 advice)
+        (6, "a\x0bb !?")]
 
 
 @pytest.fixture()
@@ -27,7 +31,8 @@ def engines(spark):
     return spark, con
 
 
-@pytest.mark.parametrize("name", ["text_metrics", "dedup_exact",
+@pytest.mark.parametrize("name", ["text_metrics", "token_stats",
+                                  "dedup_exact", "dedup_ngram_jaccard",
                                   "dedup_minhash_lsh", "dedup_simhash"])
 def test_edge_corpus_parity(engines, name):
     spark, con = engines

@@ -100,22 +100,45 @@ def test_lsh_join_is_hash_join_not_cartesian(spark):
 
 def test_ngram_jaccard_prefix_join_is_hash_join(spark):
     """The exact-Jaccard prefix-filter join must be an equi-join on the
-    prefix shingle hash — never an all-pairs plan — and minhash must
-    agree with its exact results (cross-validation of two independent
-    dedup implementations)."""
-    from columnstore_spark.functions.pipeline import ngram_jaccard_sql
+    prefix shingle hash — never an all-pairs plan — with the shingle
+    half materialized ONCE (round-2 verdict #3: the combined spine
+    re-inlined the explode+window shingle build into 4 branches), and
+    minhash must agree with its exact results (cross-validation of two
+    independent dedup implementations)."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
 
     register_testdata(spark, SF_DIR, ("documents",))
-    df = spark.sql(ngram_jaccard_sql(SPARK))
+    df = spark_pipeline_df(spark, "dedup_ngram_jaccard", 64)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the shingle build (posexplode + lead window) lives only inside
+    # the materialized half — the consuming plan reads its blocks
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" in plan
 
     exact = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
-    from columnstore_spark.functions.pipeline import spark_pipeline_df
     mh = {(r["doc_a"], r["doc_b"])
           for r in spark_pipeline_df(spark, "dedup_minhash_lsh", 64).collect()}
     assert mh <= exact  # approximate results never invent pairs
+
+
+def test_media_decode_default_path_has_no_exchange(spark):
+    """The blob decode maps over input splits as-is — shuffling every
+    blob through a range exchange first (the old default) moved the
+    whole corpus' bytes for nothing (round-2 verdict #5)."""
+    from columnstore_spark.functions.multimodal import (
+        fake_decode_features,
+        media_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = fake_decode_features(media_frame(docs))
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    # the opt-in re-bucketing still exists for skewed inputs
+    df2 = fake_decode_features(media_frame(docs), repartition=4)
+    assert "rangepartitioning" in _executed_plan(df2)
 
 
 def test_embedding_lsh_dedup_is_hash_join_not_cartesian(spark):
