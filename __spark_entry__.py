@@ -97,6 +97,36 @@ def _q_query_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(TRANSCRIPT_COLS))
 
 
+def _q_query_by_range_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range probe on the timestamp column: the datetime endpoints are
+    rescaled to the stored epoch unit (timestamp_us) and compared
+    against the manifest's typed min_num/max_num bounds — the other
+    driver-visible face of value-domain pruning."""
+    import datetime as dt
+
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    lo = dt.datetime(2024, 1, 3, 0, 0, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 4, 12, 0, tzinfo=dt.timezone.utc)
+    pruned = prune_rowgroups_by_range(segs, "ts", lo, hi,
+                                      logical_type="timestamp_us")
+    return (decode(pruned).where(F.col("ts").between(lo, hi))
+            .select("conv_id", "turn_idx", "ts"))
+
+
+def _q_query_by_value_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed value-domain pruning on a NUMERIC column (round-2 verdict
+    #1 made driver-visible): the int probe compares against the
+    manifest's int64 min_num/max_num bounds — the lexicographic repr
+    path that could silently drop rows is gone (plans/pruning.py)."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    pruned = prune_rowgroups_by_value(segs, "turn_idx", 7,
+                                      logical_type="int32")
+    return (decode(pruned).where(F.col("turn_idx") == 7)
+            .select("conv_id", "turn_idx", "role"))
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -221,7 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_roundtrip": _q_events_roundtrip,
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
+        "query_by_value_numeric": _q_query_by_value_numeric,
         "query_by_range": _q_query_by_range,
+        "query_by_range_ts": _q_query_by_range_ts,
         "query_by_window": _q_query_by_window,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
@@ -281,6 +313,12 @@ def oracle_sql() -> dict[str, str]:
         "manifest_stats": _manifest_stats_oracle(),
         "query_by_value":
             f"{t} SELECT conv_id, turn_idx FROM t WHERE role = 'tool'",
+        "query_by_value_numeric":
+            f"{t} SELECT conv_id, turn_idx, role FROM t WHERE turn_idx = 7",
+        "query_by_range_ts":
+            f"{t} SELECT conv_id, turn_idx, ts FROM t WHERE ts BETWEEN "
+            "TIMESTAMP '2024-01-03 00:00:00' AND "
+            "TIMESTAMP '2024-01-04 12:00:00'",
         "query_by_range":
             f"{t} SELECT * FROM t WHERE conv_id <= 'c000000000009' "
             "AND turn_idx BETWEEN 10 AND 19",

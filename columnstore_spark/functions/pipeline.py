@@ -352,14 +352,12 @@ FROM tok WHERE {d.size('toks')} >= 3
 """
 
 
-def ngram_jaccard_over(d: Dialect, sh: str = "sh",
-                       threshold: float = 0.5) -> str:
-    """Prefix-filter candidate join + exact-Jaccard verify over a
-    materialized `sh` (doc_id, shingles) table (ngram_shingles_sql)."""
+def _ngram_prefix_parts(d: Dialect, sh: str,
+                        threshold: float) -> tuple[str, str]:
+    """-> (CTE chain `ex, freq, ranked, szs`, prefix-selection SELECT
+    body) — rarest-first global shingle order, PPJoin prefix length."""
     prefix_len = f"sz - CAST(ceil({threshold} * sz) AS INT) + 1"
-    inter = d.size(d.intersect("a.shingles", "b.shingles"))
-    return f"""
-WITH ex AS (
+    ctes = f"""ex AS (
   {d.explode_select('doc_id', 'shingles', 'h', sh)}
 ),
 freq AS (
@@ -373,15 +371,30 @@ ranked AS (
 ),
 szs AS (
   SELECT doc_id, {d.size('shingles')} AS sz FROM {sh}
-),
-prefix AS (
-  SELECT r.doc_id, r.h
+)"""
+    select = f"""SELECT r.doc_id, r.h
   FROM ranked r JOIN szs s ON r.doc_id = s.doc_id
-  WHERE rn <= {prefix_len}
-),
-cand AS (
+  WHERE rn <= {prefix_len}"""
+    return ctes, select
+
+
+def ngram_prefix_sql(d: Dialect, sh: str = "sh",
+                     threshold: float = 0.5) -> str:
+    """(doc_id, h) — each document's prefix shingles over a
+    materialized `sh` table, separated so Spark can materialize it too:
+    the candidate stage self-joins `prefix`, which would otherwise
+    duplicate the whole explode+frequency+window subtree per side."""
+    ctes, select = _ngram_prefix_parts(d, sh, threshold)
+    return f"WITH {ctes}\n{select}"
+
+
+def _ngram_verify_sql(d: Dialect, sh: str, prefix: str,
+                      threshold: float) -> str:
+    inter = d.size(d.intersect("a.shingles", "b.shingles"))
+    return f"""
+WITH cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM {prefix} a JOIN {prefix} b ON a.h = b.h AND a.doc_id < b.doc_id
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b, {inter} AS n_inter,
@@ -396,6 +409,21 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
 FROM verified
 WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
 """
+
+
+def ngram_jaccard_over(d: Dialect, sh: str = "sh",
+                       threshold: float = 0.5,
+                       prefix: str | None = None) -> str:
+    """Prefix-filter candidate join + exact-Jaccard verify over a
+    materialized `sh` (doc_id, shingles) table (ngram_shingles_sql),
+    and optionally a pre-materialized `prefix` (ngram_prefix_sql)."""
+    if prefix is not None:
+        return _ngram_verify_sql(d, sh, prefix, threshold)
+    ctes, select = _ngram_prefix_parts(d, sh, threshold)
+    verify = _ngram_verify_sql(d, sh, "prefix", threshold)
+    assert verify.startswith("\nWITH ")
+    return (f"\nWITH {ctes},\nprefix AS (\n  {select}\n),\n"
+            + verify[len("\nWITH "):])
 
 
 def ngram_jaccard_sql(d: Dialect, table: str = "documents",
@@ -864,7 +892,11 @@ def spark_pipeline_df(spark, name: str, dim: int):
     if name == "dedup_ngram_jaccard":
         v = _materialize(spark, name, ngram_shingles_sql(SPARK),
                          "__cs_ngram_shingles")
-        return spark.sql(ngram_jaccard_over(SPARK, v))
+        # the prefix half too: the candidate stage self-joins it, which
+        # would otherwise run the explode+freq+window subtree twice
+        p = _materialize(spark, name + ":prefix", ngram_prefix_sql(SPARK, v),
+                         "__cs_ngram_prefix")
+        return spark.sql(ngram_jaccard_over(SPARK, v, prefix=p))
     return spark.sql(all_pipeline_sql(dim)[name]["spark"])
 
 
