@@ -56,6 +56,9 @@ SEGMENT_SCHEMA = T.StructType([
     # decimals) — null when the logical has no sound int64 bounds
     T.StructField("min_num", T.LongType(), True),
     T.StructField("max_num", T.LongType(), True),
+    # double bounds for float logicals (null when NaN present)
+    T.StructField("min_flt", T.DoubleType(), True),
+    T.StructField("max_flt", T.DoubleType(), True),
     T.StructField("raw_bytes", T.LongType(), False),
     T.StructField("enc_bytes", T.LongType(), False),
     T.StructField("checksum", T.StringType(), False),
@@ -172,6 +175,7 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
                              seg.logical, seg.payload, st.n_rows, st.n_nulls,
                              st.n_distinct, st.n_runs, st.min_repr,
                              st.max_repr, st.min_num, st.max_num,
+                             st.min_flt, st.max_flt,
                              st.raw_bytes, len(seg.payload),
                              seg.checksum, ms))
             cols = list(zip(*rows))

@@ -19,12 +19,15 @@ reprs is NOT order-preserving and could drop matching rowgroups):
   ``Stats<T>(…, T Min, T Max)`` (`Sequences/Stats.cs:3`). Probes are
   rescaled into the stored domain (epoch unit, decimal scale) and
   clamped to int64 — clamping only ever widens the keep set.
+- floats: double ``min_flt``/``max_flt`` bounds (exact upcast from
+  float32); NaN-bearing segments carry null bounds and stay
+  unprunable (NaN sits outside ordered comparisons).
 - strings: ``min_repr``/``max_repr`` compare, gated to pure-ASCII
   bounds (Arrow computed min/max in UTF-8 byte order; Java compares
   UTF-16 units — the orders agree whenever one side is ASCII) and
   treating a repr at the 64-char truncation cap as unbounded.
-- everything else (floats, binary, non-ASCII strings, out-of-int64
-  numerics): no pruning — every segment is kept.
+- everything else (binary, non-ASCII strings, out-of-int64 numerics,
+  nested): no pruning — every segment is kept.
 
 Segments whose bounds are NULL because every value is null
 (``n_nulls == n_rows``) can never match a non-null probe and are
@@ -143,6 +146,28 @@ def _num_bounds_cond(plo, phi) -> Column:
             .otherwise(F.col("n_nulls") < F.col("n_rows")))
 
 
+def _flt_bounds_cond(plo: float, phi: float) -> Column:
+    """Float-domain keep condition (min_flt/max_flt doubles). Bounds
+    are null for NaN-bearing segments — those stay unprunable (Spark
+    orders NaN above everything; ordinary comparisons can't see it)."""
+    return (F.when(F.col("min_flt").isNotNull(),
+                   (F.col("min_flt") <= F.lit(float(phi)))
+                   & (F.col("max_flt") >= F.lit(float(plo))))
+            .otherwise(F.col("n_nulls") < F.col("n_rows")))
+
+
+def _float_probe(value) -> float | None:
+    """Probe -> double domain for float columns; None = can't prune
+    (non-numeric probe, or NaN — Spark's NaN==NaN is true, and NaN
+    sorts above +inf, outside ordered bounds)."""
+    if isinstance(value, bool):
+        return float(value)
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        v = float(value)
+        return None if v != v else v
+    return None
+
+
 def _string_bounds_cond(lo: str, hi: str) -> Column:
     """Keep condition for string-repr bounds: exact only when both
     reprs are pure ASCII; a repr at the truncation cap acts as an open
@@ -165,6 +190,11 @@ def _typed_cond(logical: str, lo, hi, eq: bool) -> Column | None:
         if not (isinstance(lo, str) and isinstance(hi, str)):
             return None
         return _string_bounds_cond(lo, hi)
+    if logical in ("float32", "float64"):
+        plo, phi = _float_probe(lo), _float_probe(hi)
+        if plo is None or phi is None:
+            return None
+        return _flt_bounds_cond(plo, phi)
     side_lo, side_hi = ("eq", "eq") if eq else ("lo", "hi")
     plo = _to_stored_num(logical, lo, side_lo)
     phi = plo if eq else _to_stored_num(logical, hi, side_hi)
@@ -202,6 +232,9 @@ def _generic_cond(lo, hi, eq: bool) -> Column | None:
             add(logicals, F.lit(False))
         elif plo is not None and phi is not None:
             add(logicals, _num_bounds_cond(plo, phi))
+    flo, fhi = _float_probe(lo), _float_probe(hi)
+    if flo is not None and fhi is not None:
+        add(["float32", "float64"], _flt_bounds_cond(flo, fhi))
     if not branches:
         return None
     cond: Column = F.lit(True)

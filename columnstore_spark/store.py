@@ -199,6 +199,8 @@ class TranscriptColumnStore:
                      F.sum("n_runs").alias("n_runs"),
                      F.min("min_num").alias("min_num"),
                      F.max("max_num").alias("max_num"),
+                     F.min("min_flt").alias("min_flt"),
+                     F.max("max_flt").alias("max_flt"),
                      F.min(F.when(is_str, F.col("min_repr"))).alias("min_str"),
                      F.max(F.when(is_str, F.col("max_repr"))).alias("max_str"),
                      F.sum("raw_bytes").alias("raw_bytes"),

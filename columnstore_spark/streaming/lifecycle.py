@@ -111,6 +111,24 @@ def conversation_close_stream(stream: DataFrame,
                 GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_stream(stream: DataFrame,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the ingest-time analogue of the batch
+    `dedup_exact` pipeline op: keep the FIRST occurrence of each text
+    (by md5 content hash) and drop re-arrivals within the watermark
+    horizon.
+
+    `dropDuplicatesWithinWatermark` keeps state = one row per distinct
+    hash, hash-partitioned across executors and expired once the
+    watermark passes — at ingest scale the state store holds only the
+    dedup horizon, not history. Exact global dedup over the full corpus
+    remains the batch op (one shuffle, map-side partial agg)."""
+    return (stream
+            .withColumn("content_hash", F.md5("text"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
 def _duration_us(spec: str) -> int:
     n, unit = spec.split()
     mult = {

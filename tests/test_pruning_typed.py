@@ -147,6 +147,51 @@ def test_decimal_unrepresentable_probe_matches_nothing(dec_store):
     assert dec_store.query_by_value("amount", Decimal("1e30")).count() == 0
 
 
+@pytest.fixture(scope="module")
+def flt_store(spark, tmp_path_factory):
+    """One conversation; score rises with turn_idx so the 50-row turn
+    blocks carry disjoint float ranges; block 3 additionally holds a
+    NaN (null float bounds -> that block is never pruned)."""
+    rows = [("c0", i, float(i) / 4.0 if i != 160 else float("nan"))
+            for i in range(200)]
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    root = str(tmp_path_factory.mktemp("flt_store"))
+    s = TranscriptColumnStore(spark, root, num_rowgroups=1,
+                              rows_per_segment=50)
+    s.add_range(df)
+    s.close()
+    return s
+
+
+def test_float_range_probe_prunes_and_is_exact(spark, flt_store):
+    got = flt_store.query_by_range("score", 10.0, 13.0)
+    assert sorted(r["turn_idx"] for r in got.collect()) == list(
+        range(40, 53))
+    segs = flt_store.warehouse.committed_segments(spark)
+    kept = (prune_rowgroups_by_range(segs, "score", 10.0, 13.0,
+                                     logical_type="float64")
+            .select("rowgroup_id").distinct().count())
+    # blocks [40..52 values 10..13] span rowgroups 0 (turns 0-49) and 1
+    # (turns 50-99); the NaN block (turns 150-199) has null bounds and
+    # is conservatively kept
+    assert kept == 3
+
+
+def test_float_value_probe(spark, flt_store):
+    got = flt_store.query_by_value("score", 2.5)
+    assert [r["turn_idx"] for r in got.collect()] == [10]
+    # generic path (no logical_type) also prunes float columns
+    segs = flt_store.warehouse.committed_segments(spark)
+    kept = (prune_rowgroups_by_value(segs, "score", 2.5)
+            .select("rowgroup_id").distinct().count())
+    assert kept == 2  # value block + the NaN block
+
+
 def test_float_and_mismatched_probes_never_prune(spark, store):
     """Probes with no sound conversion leave the segment set intact."""
     segs = store.warehouse.committed_segments(spark)

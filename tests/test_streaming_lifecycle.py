@@ -135,3 +135,30 @@ def test_conversation_close_batch_parity(spark, dirs):
     assert (merged["n_turns"] == merged["n_turns_b"]).all()
     assert (merged["first_ts"] == merged["first_ts_b"]).all()
     assert (merged["last_ts"] == merged["last_ts_b"]).all()
+
+
+def test_dedup_stream_drops_within_watermark(spark, dirs):
+    """Streaming exact dedup: re-arrivals of the same text are dropped
+    across micro-batches while their hash is inside the watermark
+    horizon; the first occurrence always passes."""
+    from columnstore_spark.streaming.lifecycle import dedup_stream
+
+    def _doc(conv, idx, text, ts_s):
+        return (conv, idx, "user", text, None,
+                BASE + dt.timedelta(seconds=ts_s))
+
+    # run 1: two distinct texts, one in-batch duplicate
+    _write(spark, [_doc("c0", 0, "alpha", 0), _doc("c1", 0, "beta", 5),
+                   _doc("c2", 0, "alpha", 10)], dirs["input"])
+    out = _run(spark, dirs,
+               lambda s: dedup_stream(s, watermark="10 minutes"))
+    assert sorted(out["text"]) == ["alpha", "beta"]
+
+    # run 2: a cross-batch duplicate (state held) + a new text
+    _write(spark, [_doc("c3", 0, "alpha", 20), _doc("c4", 0, "gamma", 25)],
+           dirs["input"])
+    out = _run(spark, dirs,
+               lambda s: dedup_stream(s, watermark="10 minutes"))
+    assert sorted(out["text"]) == ["alpha", "beta", "gamma"]
+    # the kept alpha is the FIRST arrival
+    assert out[out["text"] == "alpha"]["conv_id"].iloc[0] == "c0"
