@@ -255,6 +255,38 @@ def _prune(segments: DataFrame, column: str, lo, hi, eq: bool,
     return segments.join(keep, on="rowgroup_id", how="left_semi")
 
 
+# above this many kept rowgroups an IN-list filter stops being a win
+# (huge literal lists bloat the plan); callers fall back to the
+# semi-join form, which scales to any id count
+_ISIN_CAP = 10_000
+
+
+def prune_rowgroup_ids(manifest: DataFrame, column: str, lo, hi, eq: bool,
+                       logical_type: str | None = None) -> list[int] | None:
+    """Evaluate the pruning predicate on MANIFEST rows (metadata only —
+    no payload column anywhere near the scan) and return the kept
+    rowgroup ids, or None when pruning cannot apply or the id set is
+    too large for an IN-list plan.
+
+    The caller turns the ids into `WHERE rowgroup_id IN (...)` on the
+    payload-bearing segments table, which reaches the parquet scan as a
+    pushed filter — whole parquet row groups of non-matching segments
+    are never read, the scan-level analogue of the reference skipping
+    non-matching segments. The driver-side list is bounded by
+    `_ISIN_CAP`; larger keep-sets fall back to the semi-join form
+    (`prune_rowgroups_by_*`)."""
+    cond = (_typed_cond(logical_type, lo, hi, eq)
+            if logical_type is not None else _generic_cond(lo, hi, eq))
+    if cond is None:
+        return None
+    rows = (manifest.where((F.col("column") == column) & cond)
+            .select("rowgroup_id").distinct().limit(_ISIN_CAP + 1)
+            .collect())
+    if len(rows) > _ISIN_CAP:
+        return None
+    return sorted(r["rowgroup_id"] for r in rows)
+
+
 def prune_rowgroups_by_value(segments: DataFrame, column: str, value,
                              logical_type: str | None = None) -> DataFrame:
     """Keep only rowgroups whose `column` segment may contain `value`.

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from .codecs import chooser
 from .operators import decode, decode_window
 from .operators.decode import schema_from_segments
-from .plans.pruning import prune_rowgroups_by_range, prune_rowgroups_by_value
+from .plans.pruning import (
+    prune_rowgroup_ids,
+    prune_rowgroups_by_range,
+    prune_rowgroups_by_value,
+)
 from .sources.warehouse import Warehouse
 
 _BATCH_SHIFT = 40  # rowgroup namespace per delta batch (as streaming)
@@ -219,6 +223,26 @@ class TranscriptColumnStore:
                .select("logical_type").first())
         return row["logical_type"] if row is not None else None
 
+    def _pruned_segments(self, m: DataFrame, column: str, lo, hi,
+                         eq: bool) -> DataFrame:
+        """Segments restricted to rowgroups that may match the probe.
+
+        The predicate is evaluated on the MANIFEST (metadata table —
+        payload never scanned), and the kept ids come back as a
+        `rowgroup_id IN (...)` filter on the segments table, which the
+        parquet scan uses to skip whole row groups (PushedFilters —
+        gated in tests/test_plans.py). Oversized keep-sets fall back to
+        the left-semi join, which scales to any id count."""
+        lt = self._logical_type(m, column)
+        segs = self.warehouse.committed_segments(self.spark)
+        ids = prune_rowgroup_ids(m, column, lo, hi, eq, logical_type=lt)
+        if ids is not None:
+            return segs.where(F.col("rowgroup_id").isin(ids))
+        prune = (prune_rowgroups_by_value if eq
+                 else prune_rowgroups_by_range)
+        args = (lo,) if eq else (lo, hi)
+        return prune(segs, column, *args, logical_type=lt)
+
     def query_by_value(self, column: str, value) -> DataFrame:
         """Rows where `column` equals `value`, reading only segments
         whose manifest stats admit the probe (the reference's
@@ -227,19 +251,13 @@ class TranscriptColumnStore:
         numeric probes prune in the value domain — never the
         lexicographic repr."""
         m = self._manifest_or_raise()
-        lt = self._logical_type(m, column)
-        segs = self.warehouse.committed_segments(self.spark)
-        pruned = prune_rowgroups_by_value(segs, column, value,
-                                          logical_type=lt)
+        pruned = self._pruned_segments(m, column, value, value, eq=True)
         return (decode(pruned, schema=schema_from_segments(m))
                 .where(F.col(column) == value))
 
     def query_by_range(self, column: str, lo, hi) -> DataFrame:
         m = self._manifest_or_raise()
-        lt = self._logical_type(m, column)
-        segs = self.warehouse.committed_segments(self.spark)
-        pruned = prune_rowgroups_by_range(segs, column, lo, hi,
-                                          logical_type=lt)
+        pruned = self._pruned_segments(m, column, lo, hi, eq=False)
         return (decode(pruned, schema=schema_from_segments(m))
                 .where(F.col(column).between(lo, hi)))
 

@@ -103,6 +103,25 @@ def test_string_pruning_still_exact(spark, store, frame):
     assert got == frame.where(F.col("role") == "tool").count() > 0
 
 
+def test_facade_prune_pushes_rowgroup_filter_to_scan(spark, store):
+    """The facade evaluates pruning on the manifest (metadata) and
+    pushes the kept ids into the segments parquet scan as an IN filter
+    — non-matching rowgroups' payload row groups are never read."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        df = store.query_by_value("turn_idx", 207)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    flat = plan.replace(" ", "")
+    assert "PushedFilters:[" in flat
+    # a single surviving id collapses In(...) to EqualTo(...)
+    assert ("In(rowgroup_id" in flat) or ("EqualTo(rowgroup_id," in flat)
+    assert [r["turn_idx"] for r in df.collect()] == [207]
+
+
 def test_stats_rollup_is_value_domain(store):
     st = {r["column"]: r for r in store.stats().collect()}
     assert st["turn_idx"]["min_num"] == 0
