@@ -20,7 +20,13 @@ from columnstore_spark.functions.multimodal import (
     media_frame,
 )
 from columnstore_spark.functions.pipeline import all_pipeline_sql
-from columnstore_spark.operators import decode, decode_window, encode, manifest_of
+from columnstore_spark.operators import (
+    decode,
+    decode_matching,
+    decode_window,
+    encode,
+    manifest_of,
+)
 from columnstore_spark.plans.pruning import (
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
@@ -95,6 +101,20 @@ def _q_query_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("conv_id") <= "c000000000009")
                    & (F.col("turn_idx") >= 10) & (F.col("turn_idx") <= 19))
             .select(TRANSCRIPT_COLS))
+
+
+def _q_query_by_value_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's QueryByValue composition end to end on the
+    encoded form (`ColumnSegment.cs:38-157`): probe the role column's
+    segments for matching row RANGES (dictionary fast path, no
+    expansion), gather only those ranges from the projected columns
+    (run clipping), and never decode the wide text column at all —
+    encoded-level row filtering AND column pruning in one stage."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    pruned = prune_rowgroups_by_value(segs, "role", "tool")
+    return decode_matching(pruned, "role", "tool",
+                           columns=["conv_id", "turn_idx"])
 
 
 def _q_query_by_range_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_roundtrip": _q_events_roundtrip,
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
+        "query_by_value_encoded": _q_query_by_value_encoded,
         "query_by_value_numeric": _q_query_by_value_numeric,
         "query_by_range": _q_query_by_range,
         "query_by_range_ts": _q_query_by_range_ts,
@@ -312,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip": "SELECT * FROM events",
         "manifest_stats": _manifest_stats_oracle(),
         "query_by_value":
+            f"{t} SELECT conv_id, turn_idx FROM t WHERE role = 'tool'",
+        "query_by_value_encoded":
             f"{t} SELECT conv_id, turn_idx FROM t WHERE role = 'tool'",
         "query_by_value_numeric":
             f"{t} SELECT conv_id, turn_idx, role FROM t WHERE turn_idx = 7",

@@ -115,6 +115,18 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_query_by_value"] = _best(q_query_by_value)
 
+        # q_query_by_value_encoded — the same predicate answered fully
+        # on the encoded form: probe ranges on `role`, run-clipped
+        # gathers of only the projected columns (text never decoded)
+        from columnstore_spark.operators import decode_matching
+
+        def q_query_by_value_encoded():
+            pruned = prune_rowgroups_by_value(segs_on_disk, "role", "tool")
+            _noop(decode_matching(pruned, "role", "tool",
+                                  columns=["conv_id", "turn_idx"]))
+
+        timings["q_query_by_value_encoded"] = _best(q_query_by_value_encoded)
+
         # q_compression_summary — per-column codec/bytes rollup
         timings["q_compression_summary"] = _best(
             lambda: _noop(manifest_of(segs_on_disk).groupBy("column")

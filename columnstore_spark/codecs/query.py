@@ -121,7 +121,14 @@ def _dict_key_index(uniques, logical: str, value) -> int:
             return -1
         hits = np.flatnonzero(uniques == np.int64(unscaled))
         return int(hits[0]) if hits.size else -1
-    hits = np.flatnonzero(uniques == np.asarray(value, dtype=uniques.dtype))
+    try:
+        cast = np.asarray(value, dtype=uniques.dtype)
+    except (TypeError, ValueError, OverflowError):
+        return -1
+    # a lossy cast (7.5 -> 7) must report no-match, not a false hit
+    if cast.item() != value:
+        return -1
+    hits = np.flatnonzero(uniques == cast)
     return int(hits[0]) if hits.size else -1
 
 
@@ -145,11 +152,46 @@ def query_value(payload: bytes | memoryview, logical: str,
         return [(int(s), int(ln)) for s, ln
                 in zip(starts[hit], run_len[hit])]
 
-    # generic: decode vectorized, scan equality mask (nulls never match)
+    # generic: decode vectorized, scan equality mask (nulls never match;
+    # a probe unrepresentable in the column's type matches nothing)
     arr = decode_segment(payload, logical)
-    mask = pc.equal(arr, pa.scalar(value, type=arr.type))
+    try:
+        needle = pa.scalar(value, type=arr.type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, ValueError):
+        return []
+    # pa.scalar silently truncates (7.5 -> int 7): a numeric probe that
+    # doesn't round-trip is unrepresentable in the column -> no match
+    if (isinstance(value, (int, float)) and not isinstance(value, bool)
+            and needle.as_py() != value):
+        return []
+    mask = pc.equal(arr, needle)
     mask = pc.fill_null(mask, False)
     return _mask_to_ranges(np.asarray(mask))
+
+
+def gather_ranges(payload: bytes | memoryview, logical: str,
+                  ranges: list[tuple[int, int]]) -> pa.Array:
+    """Concatenated rows of `ranges` [(start, len), ...] from one
+    segment — the reference's QueryByValue composition: ranges found on
+    one column are materialized from the others
+    (`ColumnSegment.QueryByRange` per range, `ColumnSegment.cs:95-157`).
+
+    dict_rle null-free segments clip runs per range without expanding
+    (the window fast path); everything else decodes the segment ONCE
+    and gathers slices — never once per range."""
+    if not ranges:
+        return decode_segment(payload, logical).slice(0, 0)
+    codec, n, validity, _ = _parse_frame(payload)
+    if validity is None and codec == dictrle.CODEC_ID:
+        parts = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in (query_window(payload, logical, s, ln)
+                           for s, ln in ranges)]
+        return parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
+    arr = decode_segment(payload, logical)
+    if len(ranges) == 1:
+        s, ln = ranges[0]
+        return arr.slice(s, ln)
+    return pa.concat_arrays([arr.slice(s, ln) for s, ln in ranges])
 
 
 def query_window(payload: bytes | memoryview, logical: str,

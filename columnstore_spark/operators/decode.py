@@ -94,13 +94,89 @@ def _decode_stage(segments: DataFrame, schema: T.StructType | None,
 
 
 def decode(segments: DataFrame, schema: T.StructType | None = None,
-           num_partitions: int | None = None) -> DataFrame:
+           num_partitions: int | None = None,
+           columns: list[str] | None = None) -> DataFrame:
     """segments table -> DataFrame with the original schema.
 
     Row order inside each rowgroup is the encode order; global order is
     restored by the verifier's (conv_id, turn_idx) sort (SURVEY.md §3.2).
+
+    `columns` projects at the ENCODED level: only the named columns'
+    segment rows are read (the filter reaches the segments parquet
+    scan) and decoded — a wide text column whose bytes aren't wanted
+    never leaves storage.
     """
+    if columns is not None:
+        if schema is None:
+            schema = schema_from_segments(segments)
+        schema = T.StructType([f for f in schema.fields
+                               if f.name in set(columns)])
+        segments = segments.where(F.col("column").isin(list(columns)))
     return _decode_stage(segments, schema, num_partitions, decode_segment)
+
+
+def decode_matching(segments: DataFrame, column: str, value,
+                    columns: list[str] | None = None,
+                    schema: T.StructType | None = None,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Rows where `column` equals `value`, materialized FROM THE
+    ENCODED FORM: the probe column's segment is queried for matching
+    row ranges (`query_value` — dictionary/constant fast paths, no
+    expansion), and only those ranges of the other columns are
+    rebuilt (`gather_ranges` run clipping). The reference's
+    `QueryByValue` -> `RangeQueryResult` -> per-range `QueryByRange`
+    composition (`Segments/ColumnSegment.cs:38-157`) as one
+    distributed stage — no full decode, no post-hoc filter, and with
+    `columns` the unwanted wide columns never leave storage.
+
+    Sits BEHIND manifest pruning: callers prune rowgroups first, this
+    operator then touches only the surviving segments."""
+    if value is None:
+        raise ValueError("probe value must be non-null (nulls never "
+                         "match an equality probe)")
+    if schema is None:
+        schema = schema_from_segments(segments)
+    if columns is not None:
+        want = set(columns)
+        schema = T.StructType([f for f in schema.fields if f.name in want])
+        segments = segments.where(
+            F.col("column").isin(sorted(want | {column})))
+    from ..codecs.query import gather_ranges, query_value
+
+    names = [f.name for f in schema.fields]
+    out_pa_schema = arrow_schema_for(schema)
+    if num_partitions is None:
+        num_partitions = int(segments.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+
+    def match_partition(
+            batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for _rg, tbl in iter_groups(batches, "rowgroup_id"):
+            payloads = tbl.column("payload").combine_chunks()
+            logicals = tbl.column("logical_type").to_pylist()
+            colnames = tbl.column("column").to_pylist()
+            probe_i = colnames.index(column)
+            ranges = query_value(payloads[probe_i].as_py(),
+                                 logicals[probe_i], value)
+            if not ranges:
+                continue
+            by_name = {
+                name: gather_ranges(payloads[i].as_py(), logicals[i],
+                                    ranges)
+                for i, name in enumerate(colnames) if name in names
+            }
+            cols = [by_name[n].cast(f.type)
+                    for n, f in zip(names, out_pa_schema)]
+            out = pa.Table.from_arrays(cols, schema=out_pa_schema)
+            yield from out.to_batches(max_chunksize=_OUT_BATCH_ROWS)
+
+    work = (
+        segments.select("rowgroup_id", "column", "col_idx", "logical_type",
+                        "payload")
+        .repartition(num_partitions, F.col("rowgroup_id"))
+        .sortWithinPartitions("rowgroup_id", "col_idx")
+    )
+    return work.mapInArrow(match_partition, schema)
 
 
 def decode_window(segments: DataFrame, rowgroup_id: int, start: int,

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codecs import chooser
-from .operators import decode, decode_window
+from .operators import decode, decode_matching, decode_window
 from .operators.decode import schema_from_segments
 from .plans.pruning import (
     prune_rowgroup_ids,
@@ -249,10 +249,18 @@ class TranscriptColumnStore:
         `QueryByValue` inverted-index idea at warehouse scale). The
         column's logical type comes from the manifest (metadata), so
         numeric probes prune in the value domain — never the
-        lexicographic repr."""
+        lexicographic repr.
+
+        Within the surviving rowgroups the rows come straight off the
+        encoded form (`decode_matching`: probe ranges on the queried
+        column, run-clipped gathers on the rest) — no full decode. The
+        trailing `.where` re-applies Spark's own equality on the
+        already-matching rows (bit-cheap) so the result semantics are
+        exactly the DataFrame filter's, whatever the probe's type."""
         m = self._manifest_or_raise()
         pruned = self._pruned_segments(m, column, value, value, eq=True)
-        return (decode(pruned, schema=schema_from_segments(m))
+        return (decode_matching(pruned, column, value,
+                                schema=schema_from_segments(m))
                 .where(F.col(column) == value))
 
     def query_by_range(self, column: str, lo, hi) -> DataFrame:
