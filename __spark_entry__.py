@@ -23,6 +23,7 @@ from columnstore_spark.functions.pipeline import all_pipeline_sql
 from columnstore_spark.operators import (
     decode,
     decode_matching,
+    decode_matching_range,
     decode_window,
     encode,
     manifest_of,
@@ -115,6 +116,21 @@ def _q_query_by_value_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = prune_rowgroups_by_value(segs, "role", "tool")
     return decode_matching(pruned, "role", "tool",
                            columns=["conv_id", "turn_idx"])
+
+
+def _q_query_by_range_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range selection on the encoded form: the conv_id
+    dictionary is range-tested per segment (conservative superset,
+    widened bounds), matching runs are clipped out of the projected
+    columns, and Spark's `between` re-applies the exact predicate —
+    the wide text column never decodes."""
+    lo, hi = "c000000000000", "c000000000009"
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    pruned = prune_rowgroups_by_range(segs, "conv_id", lo, hi)
+    return (decode_matching_range(pruned, "conv_id", lo, hi,
+                                  columns=["conv_id", "turn_idx", "role"])
+            .where(F.col("conv_id").between(lo, hi)))
 
 
 def _q_query_by_range_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_value_encoded": _q_query_by_value_encoded,
         "query_by_value_numeric": _q_query_by_value_numeric,
         "query_by_range": _q_query_by_range,
+        "query_by_range_encoded": _q_query_by_range_encoded,
         "query_by_range_ts": _q_query_by_range_ts,
         "query_by_window": _q_query_by_window,
         "compression_summary": _q_compression_summary,
@@ -338,6 +355,9 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx FROM t WHERE role = 'tool'",
         "query_by_value_numeric":
             f"{t} SELECT conv_id, turn_idx, role FROM t WHERE turn_idx = 7",
+        "query_by_range_encoded":
+            f"{t} SELECT conv_id, turn_idx, role FROM t WHERE conv_id "
+            "BETWEEN 'c000000000000' AND 'c000000000009'",
         "query_by_range_ts":
             f"{t} SELECT conv_id, turn_idx, ts FROM t WHERE ts BETWEEN "
             "TIMESTAMP '2024-01-03 00:00:00' AND "

@@ -169,6 +169,137 @@ def query_value(payload: bytes | memoryview, logical: str,
     return _mask_to_ranges(np.asarray(mask))
 
 
+def _widened_bounds(dtype_kind: str, lo, hi, logical: str):
+    """Convert range bounds into the stored domain, WIDENED (lo down,
+    hi up): the caller re-applies the exact predicate on the decoded
+    rows, so over-selection is safe and under-selection impossible.
+    Returns (lo_w, hi_w) or None when no sound conversion exists
+    (callers then fall back to the whole segment)."""
+    import datetime as dt
+    import math
+    from decimal import ROUND_CEILING, ROUND_FLOOR, Decimal, InvalidOperation
+
+    def _num(v, up: bool):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, (float, np.floating)):
+            if v != v:
+                return None
+            return math.ceil(v) if up else math.floor(v)
+        return None
+
+    if logical.startswith("decimal64_"):
+        scale = int(logical.rsplit("_", 1)[1])
+        try:
+            dlo = Decimal(lo).scaleb(scale).to_integral_value(ROUND_FLOOR)
+            dhi = Decimal(hi).scaleb(scale).to_integral_value(ROUND_CEILING)
+        except (InvalidOperation, ValueError, TypeError):
+            return None
+        return int(dlo), int(dhi)
+    if logical.startswith("timestamp_") or logical == "date32":
+        # handled at the Arrow layer (pa.scalar on datetime/date);
+        # decoded arrays are tz-naive UTC, so normalize aware probes
+        def _naive(x):
+            if isinstance(x, dt.datetime) and x.tzinfo is not None:
+                return x.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return x
+        if isinstance(lo, (dt.date, dt.datetime)) and \
+                isinstance(hi, (dt.date, dt.datetime)):
+            return _naive(lo), _naive(hi)
+        return None
+    if dtype_kind in "iu":
+        lo_w, hi_w = _num(lo, up=False), _num(hi, up=True)
+        if lo_w is None or hi_w is None:
+            return None
+        return lo_w, hi_w
+    if dtype_kind == "f":
+        try:
+            lo_w, hi_w = float(lo), float(hi)
+        except (TypeError, ValueError):
+            return None
+        if lo_w != lo_w or hi_w != hi_w:
+            return None
+        return lo_w, hi_w
+    return None
+
+
+def query_range(payload: bytes | memoryview, logical: str,
+                lo, hi) -> list[tuple[int, int]]:
+    """Row ranges where lo <= value <= hi MAY hold — a conservative
+    SUPERSET (bounds widened toward the outside; unconvertible probes
+    return the whole segment). Callers re-apply the exact predicate on
+    the gathered rows; nulls never match.
+
+    Fast path: dict_rle null-free segments test the dictionary only
+    (one comparison pair per distinct value) and emit the runs of
+    in-range keys without expanding."""
+    codec, n, validity, body = _parse_frame(payload)
+    full = [(0, n)] if n else []
+
+    if validity is None and codec == dictrle.CODEC_ID:
+        uniques, run_idx, starts, run_len = _dict_runs(body, logical)
+        if logical in V.VAR_LOGICAL:
+            if not (isinstance(lo, str) and isinstance(hi, str)
+                    and logical == "string"
+                    and lo.isascii() and hi.isascii()):
+                return full  # byte order != UTF-16 order beyond ASCII
+            arr = V.var_chunk_to_arrow(uniques, logical)
+            key_mask = np.asarray(
+                pc.and_(pc.greater_equal(arr, pa.scalar(lo)),
+                        pc.less_equal(arr, pa.scalar(hi))))
+        else:
+            b = _widened_bounds(np.dtype(uniques.dtype).kind, lo, hi,
+                                logical)
+            if b is None:
+                return full
+            lo_w, hi_w = b
+            info = (np.iinfo(uniques.dtype)
+                    if np.dtype(uniques.dtype).kind in "iu" else None)
+            if info is not None:
+                if hi_w < info.min or lo_w > info.max:
+                    return []
+                lo_w = max(lo_w, info.min)
+                hi_w = min(hi_w, info.max)
+            key_mask = (uniques >= uniques.dtype.type(lo_w)) & \
+                       (uniques <= uniques.dtype.type(hi_w))
+        hit = key_mask[run_idx]
+        return [(int(s), int(ln)) for s, ln
+                in zip(starts[hit], run_len[hit])]
+
+    # generic: decode vectorized, widened-bounds mask
+    arr = decode_segment(payload, logical)
+    kind = "f" if pa.types.is_floating(arr.type) else (
+        "i" if (pa.types.is_integer(arr.type) or pa.types.is_decimal(
+            arr.type)) else "o")
+    if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+        b = _widened_bounds("o", lo, hi, logical)
+    elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        b = ((lo, hi) if isinstance(lo, str) and isinstance(hi, str)
+             and lo.isascii() and hi.isascii() else None)
+    elif logical.startswith("decimal64_") or logical.startswith(
+            "decimal128_"):
+        from decimal import Decimal, InvalidOperation
+        try:
+            b = (Decimal(lo), Decimal(hi))
+        except (InvalidOperation, ValueError, TypeError):
+            b = None
+    else:
+        b = _widened_bounds(kind, lo, hi, logical)
+    if b is None:
+        return full
+    lo_w, hi_w = b
+    try:
+        slo = pa.scalar(lo_w, type=arr.type)
+        shi = pa.scalar(hi_w, type=arr.type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, ValueError):
+        return full
+    mask = pc.and_(pc.greater_equal(arr, slo), pc.less_equal(arr, shi))
+    mask = pc.fill_null(mask, False)
+    return _mask_to_ranges(np.asarray(mask))
+
+
 def gather_ranges(payload: bytes | memoryview, logical: str,
                   ranges: list[tuple[int, int]]) -> pa.Array:
     """Concatenated rows of `ranges` [(start, len), ...] from one

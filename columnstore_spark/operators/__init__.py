@@ -1,9 +1,10 @@
-from .decode import (decode, decode_matching, decode_window,
+from .decode import (decode, decode_matching, decode_matching_range,
+                     decode_window,
                      schema_from_segments)
 from .encode import SEGMENT_SCHEMA, default_rowgroup_expr, encode, manifest_of
 from .verify import roundtrip_equal
 
 __all__ = [
     "SEGMENT_SCHEMA", "default_rowgroup_expr", "encode", "manifest_of",
-    "decode", "decode_matching", "decode_window", "schema_from_segments", "roundtrip_equal",
+    "decode", "decode_matching", "decode_matching_range", "decode_window", "schema_from_segments", "roundtrip_equal",
 ]

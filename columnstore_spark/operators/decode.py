@@ -134,6 +134,45 @@ def decode_matching(segments: DataFrame, column: str, value,
     if value is None:
         raise ValueError("probe value must be non-null (nulls never "
                          "match an equality probe)")
+    from ..codecs.query import query_value
+
+    return _matching_stage(
+        segments, column,
+        lambda payload, logical: query_value(payload, logical, value),
+        columns, schema, num_partitions)
+
+
+def decode_matching_range(segments: DataFrame, column: str, lo, hi,
+                          columns: list[str] | None = None,
+                          schema: T.StructType | None = None,
+                          num_partitions: int | None = None) -> DataFrame:
+    """Rows where `column` MAY lie in [lo, hi], from the encoded form —
+    the value-range companion to `decode_matching`. The kernel's range
+    probe is a conservative SUPERSET (bounds widened outward;
+    unconvertible probes degrade to whole-segment ranges), so callers
+    MUST re-apply the exact predicate, e.g.
+    ``decode_matching_range(...).where(col.between(lo, hi))`` — which
+    is what the store facade does. The win is identical to the equality
+    path: dictionary-only tests, run-clipped gathers, and encoded-level
+    column projection instead of decode-everything-then-filter."""
+    if lo is None or hi is None:
+        raise ValueError("range bounds must be non-null")
+    from ..codecs.query import query_range
+
+    return _matching_stage(
+        segments, column,
+        lambda payload, logical: query_range(payload, logical, lo, hi),
+        columns, schema, num_partitions)
+
+
+def _matching_stage(segments: DataFrame, column: str, probe_fn,
+                    columns: list[str] | None,
+                    schema: T.StructType | None,
+                    num_partitions: int | None) -> DataFrame:
+    """Shared probe-then-gather stage behind decode_matching[_range]:
+    `probe_fn(payload, logical) -> [(start, len), ...]` runs on the
+    probed column's segment, the surviving ranges are gathered from
+    every output column via run clipping."""
     if schema is None:
         schema = schema_from_segments(segments)
     if columns is not None:
@@ -141,7 +180,7 @@ def decode_matching(segments: DataFrame, column: str, value,
         schema = T.StructType([f for f in schema.fields if f.name in want])
         segments = segments.where(
             F.col("column").isin(sorted(want | {column})))
-    from ..codecs.query import gather_ranges, query_value
+    from ..codecs.query import gather_ranges
 
     names = [f.name for f in schema.fields]
     out_pa_schema = arrow_schema_for(schema)
@@ -156,8 +195,8 @@ def decode_matching(segments: DataFrame, column: str, value,
             logicals = tbl.column("logical_type").to_pylist()
             colnames = tbl.column("column").to_pylist()
             probe_i = colnames.index(column)
-            ranges = query_value(payloads[probe_i].as_py(),
-                                 logicals[probe_i], value)
+            ranges = probe_fn(payloads[probe_i].as_py(),
+                              logicals[probe_i])
             if not ranges:
                 continue
             by_name = {

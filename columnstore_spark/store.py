@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codecs import chooser
-from .operators import decode, decode_matching, decode_window
+from .operators import (
+    decode,
+    decode_matching,
+    decode_matching_range,
+    decode_window,
+)
 from .operators.decode import schema_from_segments
 from .plans.pruning import (
     prune_rowgroup_ids,
@@ -264,9 +269,14 @@ class TranscriptColumnStore:
                 .where(F.col(column) == value))
 
     def query_by_range(self, column: str, lo, hi) -> DataFrame:
+        """Rows where lo <= `column` <= hi: manifest pruning, then the
+        encoded-form range probe (`decode_matching_range` — a
+        conservative superset off the dictionary/runs), with Spark's
+        own `between` re-applied as the exact predicate."""
         m = self._manifest_or_raise()
         pruned = self._pruned_segments(m, column, lo, hi, eq=False)
-        return (decode(pruned, schema=schema_from_segments(m))
+        return (decode_matching_range(pruned, column, lo, hi,
+                                      schema=schema_from_segments(m))
                 .where(F.col(column).between(lo, hi)))
 
     def query_by_window(self, rowgroup_id: int, start: int,

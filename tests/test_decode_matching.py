@@ -97,3 +97,59 @@ def test_gather_ranges_kernel_paths():
     assert got.to_pylist() == [10, 11, 12, 50, 51]
     # empty ranges -> empty typed array
     assert len(gather_ranges(seg.payload, seg.logical, [])) == 0
+
+
+@pytest.mark.parametrize("column,lo,hi", [
+    ("turn_idx", 3, 7),
+    ("turn_idx", 3.5, 6.5),          # float bounds on int column
+    ("role", "assistant", "tool"),   # ASCII string range
+    ("conv_id", "c000000000000", "c000000000005"),
+    ("tool", "a", "zzz"),            # null-bearing column
+    ("turn_idx", 10**9, 10**9 + 5),  # matches nothing
+])
+def test_range_matches_full_decode_filter(spark, segs, transcripts,
+                                          column, lo, hi):
+    from columnstore_spark.operators import decode_matching_range
+
+    got = (decode_matching_range(segs, column, lo, hi)
+           .where(F.col(column).between(lo, hi)))
+    want = decode(segs).where(F.col(column).between(lo, hi))
+    cols = transcripts.columns
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_range_timestamp_probe(spark, segs, transcripts):
+    import datetime as dt
+
+    from columnstore_spark.operators import decode_matching_range
+
+    lo = dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc)
+    got = (decode_matching_range(segs, "ts", lo, hi,
+                                 columns=["conv_id", "turn_idx", "ts"])
+           .where(F.col("ts").between(lo, hi)))
+    want = (decode(segs).where(F.col("ts").between(lo, hi))
+            .select("conv_id", "turn_idx", "ts"))
+    assert _rows(got, got.columns) == _rows(want, want.columns)
+    assert got.count() > 0
+
+
+def test_query_range_kernel_superset_fallbacks():
+    """Unconvertible probes must return the WHOLE segment (superset),
+    never under-select."""
+    from columnstore_spark.codecs import dictrle
+    from columnstore_spark.codecs.query import query_range
+
+    arr = pa.array(["aé", "zz", "aa"] * 5, type=pa.large_utf8())
+    seg = encode_segment(arr, codec=dictrle.CODEC_ID)
+    # non-ASCII bound -> whole segment
+    assert query_range(seg.payload, seg.logical, "aa", "zé") == [(0, 15)]
+    # ASCII bounds -> dictionary-tested runs, exact
+    ranges = query_range(seg.payload, seg.logical, "aa", "ab")
+    n = sum(ln for _, ln in ranges)
+    assert n == 5  # the five "aa" rows
+    # int segment with widened float bounds
+    iseg = encode_segment(pa.array(list(range(20)), type=pa.int32()),
+                          codec=dictrle.CODEC_ID)
+    ranges = query_range(iseg.payload, iseg.logical, 2.5, 5.5)
+    assert sum(ln for _, ln in ranges) >= 3  # superset of {3,4,5}
