@@ -1,0 +1,98 @@
+"""Property-based fuzzing of the encoded-query kernels that the store
+facade's read path now rides on (`query_value`, `query_range`,
+`gather_ranges`): for ANY input array, ANY null pattern, and ANY probe,
+
+- query_value's ranges must select exactly the equal non-null rows;
+- query_range's ranges must be a SUPERSET of the in-bounds non-null
+  rows (its contract: callers re-apply the exact predicate);
+- gather_ranges over those ranges must equal slicing the decoded array.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from columnstore_spark.codecs.query import (
+    gather_ranges,
+    query_range,
+    query_value,
+)
+from columnstore_spark.codecs.segment import decode_segment, encode_segment
+
+MAX_N = 120
+
+INTS = st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                min_size=0, max_size=MAX_N)
+STRS = st.lists(st.one_of(st.none(), st.text(max_size=6)),
+                min_size=0, max_size=MAX_N)
+FLTS = st.lists(st.one_of(st.none(),
+                          st.floats(allow_nan=False, allow_infinity=False,
+                                    width=64)),
+                min_size=0, max_size=MAX_N)
+
+
+def _expand(ranges):
+    out = []
+    for s, ln in ranges:
+        out.extend(range(s, s + ln))
+    return out
+
+
+def _matching_rows(vals, pred):
+    return [i for i, v in enumerate(vals) if v is not None and pred(v)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(INTS, st.integers(-60, 60))
+def test_query_value_ints_exact(vals, probe):
+    seg = encode_segment(pa.array(vals, type=pa.int64()))
+    got = _expand(query_value(seg.payload, seg.logical, probe))
+    assert got == _matching_rows(vals, lambda v: v == probe)
+
+
+@settings(max_examples=60, deadline=None)
+@given(STRS, st.text(max_size=6))
+def test_query_value_strings_exact(vals, probe):
+    seg = encode_segment(pa.array(vals, type=pa.large_utf8()))
+    got = _expand(query_value(seg.payload, seg.logical, probe))
+    assert got == _matching_rows(vals, lambda v: v == probe)
+
+
+@settings(max_examples=60, deadline=None)
+@given(INTS, st.integers(-60, 60), st.integers(0, 30))
+def test_query_range_ints_superset_and_gather(vals, lo, width):
+    hi = lo + width
+    seg = encode_segment(pa.array(vals, type=pa.int64()))
+    ranges = query_range(seg.payload, seg.logical, lo, hi)
+    got = set(_expand(ranges))
+    want = set(_matching_rows(vals, lambda v: lo <= v <= hi))
+    assert want <= got  # never under-selects
+    # gathered rows == decoded slices at those positions
+    arr = decode_segment(seg.payload, seg.logical)
+    gathered = gather_ranges(seg.payload, seg.logical, ranges)
+    assert gathered.to_pylist() == [arr[i].as_py()
+                                    for i in sorted(_expand(ranges))]
+
+
+@settings(max_examples=40, deadline=None)
+@given(FLTS, st.floats(-1e3, 1e3), st.floats(0, 1e3))
+def test_query_range_floats_superset(vals, lo, width):
+    hi = lo + width
+    seg = encode_segment(pa.array(vals, type=pa.float64()))
+    got = set(_expand(query_range(seg.payload, seg.logical, lo, hi)))
+    want = set(_matching_rows(vals, lambda v: lo <= v <= hi))
+    assert want <= got
+
+
+@settings(max_examples=40, deadline=None)
+@given(STRS, st.text(max_size=6), st.text(max_size=6))
+def test_query_range_strings_superset(vals, a, b):
+    lo, hi = min(a, b), max(a, b)
+    seg = encode_segment(pa.array(vals, type=pa.large_utf8()))
+    got = set(_expand(query_range(seg.payload, seg.logical, lo, hi)))
+    # python str order == UTF-16 order can disagree only off-ASCII,
+    # where the kernel falls back to whole-segment; on ASCII bounds it
+    # must still cover every in-bounds row under python ordering
+    want = set(_matching_rows(vals, lambda v: lo <= v <= hi))
+    assert want <= got
