@@ -264,6 +264,12 @@ class TranscriptColumnStore:
         exactly the DataFrame filter's, whatever the probe's type."""
         m = self._manifest_or_raise()
         pruned = self._pruned_segments(m, column, value, value, eq=True)
+        lt = self._logical_type(m, column) or ""
+        if lt.startswith("nested:") or lt == "binary":
+            # Arrow's equality kernels don't cover nested/binary probes
+            # uniformly — decode + Spark's own equality instead
+            return (decode(pruned, schema=schema_from_segments(m))
+                    .where(F.col(column) == F.lit(value)))
         return (decode_matching(pruned, column, value,
                                 schema=schema_from_segments(m))
                 .where(F.col(column) == value))
@@ -275,6 +281,10 @@ class TranscriptColumnStore:
         own `between` re-applied as the exact predicate."""
         m = self._manifest_or_raise()
         pruned = self._pruned_segments(m, column, lo, hi, eq=False)
+        lt = self._logical_type(m, column) or ""
+        if lt.startswith("nested:") or lt == "binary":
+            return (decode(pruned, schema=schema_from_segments(m))
+                    .where(F.col(column).between(F.lit(lo), F.lit(hi))))
         return (decode_matching_range(pruned, column, lo, hi,
                                       schema=schema_from_segments(m))
                 .where(F.col(column).between(lo, hi)))

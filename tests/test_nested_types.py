@@ -83,3 +83,25 @@ def test_struct_and_map_columns(spark):
     want = sorted([r.asDict(recursive=True) for r in df.collect()],
                   key=lambda r: r["turn_idx"])
     assert got == want
+
+
+def test_facade_query_on_nested_column(spark, tmp_path):
+    """query_by_value on an array column: pruning no-ops (no bounds for
+    nested logicals) and the facade falls back to decode + Spark's own
+    array equality instead of the Arrow probe kernels."""
+    from columnstore_spark.store import TranscriptColumnStore
+
+    rows = [(f"c{i}", i, [float(i % 3), 1.0]) for i in range(60)]
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    store = TranscriptColumnStore(spark, str(tmp_path / "ns"),
+                                  num_rowgroups=2)
+    store.add_range(df)
+    store.close()
+    got = store.query_by_value("vec", [2.0, 1.0]).count()
+    assert got == df.where(F.col("vec") == F.array(F.lit(2.0),
+                                                   F.lit(1.0))).count() > 0
