@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from columnstore_spark.functions.multimodal import (
     fake_decode_features,
+    fake_resize,
+    fake_sample_frames,
     media_frame,
 )
 from columnstore_spark.functions.pipeline import all_pipeline_sql
@@ -275,6 +277,22 @@ def _q_media_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode_features(media_frame(docs))
 
 
+def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (the video path): payload as 64-byte
+    frames, every 4th kept; integer frame/byte stats oracle-checked
+    against a DuckDB hex-expansion reimplementation
+    (pipeline.media_frame_sample_oracle_sql)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fake_sample_frames(media_frame(docs))
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/decimation plumbing (the image path): every 8th payload
+    byte kept and summed (pipeline.media_resize_oracle_sql)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fake_resize(media_frame(docs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encode -> decode round-trip of the sf0.001 transcripts."""
     return _q_encode_roundtrip(spark, "/root/testdata/sf0.001")
@@ -298,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_roundtrip": _q_embeddings_roundtrip,
         "media_decode": _q_media_decode,
         "media_entropy": _q_media_entropy,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_resize": _q_media_resize,
     }
     for name in _PIPELINE_SQL:
         q[name] = _pipeline_query(name)
@@ -338,13 +358,19 @@ LEFT JOIN (
 
 
 def oracle_sql() -> dict[str, str]:
-    from columnstore_spark.functions.pipeline import media_decode_oracle_sql
+    from columnstore_spark.functions.pipeline import (
+        media_decode_oracle_sql,
+        media_frame_sample_oracle_sql,
+        media_resize_oracle_sql,
+    )
 
     t = f"WITH t AS ({TRANSCRIPTS_SQL})"
     pipeline = {name: sqls["duck"] for name, sqls in _PIPELINE_SQL.items()}
     # media_entropy: rows-only (no oracle entry) — derived float stats
     return pipeline | {
         "media_decode": media_decode_oracle_sql(),
+        "media_frame_sample": media_frame_sample_oracle_sql(),
+        "media_resize": media_resize_oracle_sql(),
         "transcripts_build": f"{t} SELECT * FROM t",
         "encode_roundtrip": f"{t} SELECT * FROM t",
         "events_roundtrip": "SELECT * FROM events",

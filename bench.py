@@ -158,6 +158,10 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         timings["q_media_decode"] = _best(
             lambda: _noop(fake_decode_features(media_frame(docs),
                                                repartition=cpus)))
+        from columnstore_spark.functions.multimodal import fake_sample_frames
+        timings["q_media_frame_sample"] = _best(
+            lambda: _noop(fake_sample_frames(
+                media_frame(docs).repartitionByRange(cpus, "doc_id"))))
 
         from columnstore_spark.sources.storage import iceberg_available
         storage = "iceberg" if iceberg_available(spark) else "parquet"

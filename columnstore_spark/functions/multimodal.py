@@ -73,6 +73,103 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
         "available in this environment")
 
 
+FRAME_BYTES = 64  # fixed "frame" size for the deterministic sampler
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("n_sampled", T.LongType(), False),
+    T.StructField("sampled_bytes", T.LongType(), False),
+    T.StructField("sampled_byte_sum", T.LongType(), False),
+])
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("resized_bytes", T.LongType(), False),
+    T.StructField("resized_byte_sum", T.LongType(), False),
+])
+
+
+def fake_sample_frames(media: DataFrame,
+                       every_n: int = 4) -> DataFrame:
+    """Deterministic 'video frame sampling': treat the payload as a
+    sequence of fixed ``FRAME_BYTES``-byte frames and keep every
+    ``every_n``-th frame (frame 0, every_n, 2*every_n, ...) — the
+    plumbing (mapInPandas over Arrow batches, blob-bounded tasks,
+    all-integer outputs) is exactly what a pyav-backed sampler would
+    ride; only the pixel kernel is faked (`sample_video_frames` is the
+    gated real decoder).
+
+    Outputs are pure integers (frame counts, byte coverage, byte sum
+    over sampled frames) so the driver's value hash carries zero
+    float-formatting risk."""
+
+    def sample_batches(
+            it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = pdf["payload"]
+            lengths = blobs.str.len().to_numpy(dtype=np.int64)
+            n = len(lengths)
+            arr = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            n_frames = -(-lengths // FRAME_BYTES)  # ceil-div
+            n_sampled = -(-n_frames // every_n)
+            # per-byte: offset within its own blob -> frame id -> keep
+            row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            within = np.arange(arr.size, dtype=np.int64) - off[row_id]
+            keep = (within // FRAME_BYTES) % every_n == 0
+            # exact per-blob sums of the kept lanes via the same
+            # cumsum-difference trick as fake_decode_features
+            kept_b = np.where(keep, arr, 0).astype(np.int64)
+            csb = np.zeros(arr.size + 1, dtype=np.int64)
+            np.cumsum(kept_b, out=csb[1:])
+            csn = np.zeros(arr.size + 1, dtype=np.int64)
+            np.cumsum(keep.astype(np.int64), out=csn[1:])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "n_frames": n_frames,
+                "n_sampled": n_sampled,
+                "sampled_bytes": csn[off[1:]] - csn[off[:-1]],
+                "sampled_byte_sum": csb[off[1:]] - csb[off[:-1]],
+            })
+
+    return media.mapInPandas(sample_batches, FRAME_SAMPLE_SCHEMA)
+
+
+def fake_resize(media: DataFrame, stride: int = 8) -> DataFrame:
+    """Deterministic 'resize': byte decimation — keep bytes at offsets
+    0, stride, 2*stride, ... (what a thumbnail pass does to pixels,
+    applied to the opaque payload). Same Arrow-batch plumbing and
+    integer-output contract as the other fake kernels; `decode_image`
+    is the gated real decoder a PIL resize would plug into."""
+
+    def resize_batches(
+            it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = pdf["payload"]
+            lengths = blobs.str.len().to_numpy(dtype=np.int64)
+            n = len(lengths)
+            arr = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            within = np.arange(arr.size, dtype=np.int64) - off[row_id]
+            keep = within % stride == 0
+            kept_b = np.where(keep, arr, 0).astype(np.int64)
+            csb = np.zeros(arr.size + 1, dtype=np.int64)
+            np.cumsum(kept_b, out=csb[1:])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "n_bytes": lengths,
+                "resized_bytes": -(-lengths // stride),
+                "resized_byte_sum": csb[off[1:]] - csb[off[:-1]],
+            })
+
+    return media.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
 def fake_decode_features(media: DataFrame,
                          repartition: int | None = None) -> DataFrame:
     """Deterministic 'decode': per-blob byte statistics via numpy over

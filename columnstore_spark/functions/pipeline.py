@@ -836,6 +836,52 @@ FROM b
 """
 
 
+def media_frame_sample_oracle_sql(table: str = "documents") -> str:
+    """DuckDB-only oracle for the deterministic frame sampler
+    (multimodal.fake_sample_frames, 64-byte frames, every 4th kept):
+    frame counts closed-form, per-byte frame membership recomputed from
+    the hex expansion. All-integer outputs — zero float-hash risk."""
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM {table}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((n + 63) // 64 AS BIGINT) AS n_frames,
+       CAST(((n + 63) // 64 + 3) // 4 AS BIGINT) AS n_sampled,
+       CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+            i -> CASE WHEN ((i - 1) // 64) % 4 = 0 THEN 1 ELSE 0 END)),
+            0) AS BIGINT) AS sampled_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+            i -> CASE WHEN ((i - 1) // 64) % 4 = 0
+                 THEN CAST(concat('0x',
+                      substr(h, CAST(2*i-1 AS BIGINT), 2)) AS BIGINT)
+                 ELSE 0 END)), 0) AS BIGINT) AS sampled_byte_sum
+FROM b
+"""
+
+
+def media_resize_oracle_sql(table: str = "documents") -> str:
+    """DuckDB-only oracle for the deterministic resize/decimation
+    kernel (multimodal.fake_resize, stride 8): every 8th byte summed
+    from the hex expansion."""
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM {table}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST((n + 7) // 8 AS BIGINT) AS resized_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+            i -> CASE WHEN (i - 1) % 8 = 0
+                 THEN CAST(concat('0x',
+                      substr(h, CAST(2*i-1 AS BIGINT), 2)) AS BIGINT)
+                 ELSE 0 END)), 0) AS BIGINT) AS resized_byte_sum
+FROM b
+"""
+
+
 # last materialized intermediate per query name: repeated calls (bench
 # best-of-k, long sessions) drop the previous frame's reference so the
 # ContextCleaner can free its blocks instead of accumulating them
