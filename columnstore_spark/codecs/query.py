@@ -187,6 +187,11 @@ def _widened_bounds(dtype_kind: str, lo, hi, logical: str):
         if isinstance(v, (float, np.floating)):
             if v != v:
                 return None
+            if math.isinf(v):
+                # an open-ended bound: any int beyond every storable
+                # value (python ints are unbounded; the int-dtype clamp
+                # below narrows it to the dtype's range)
+                return (1 << 127) if v > 0 else -(1 << 127)
             return math.ceil(v) if up else math.floor(v)
         return None
 
@@ -195,9 +200,11 @@ def _widened_bounds(dtype_kind: str, lo, hi, logical: str):
         try:
             dlo = Decimal(lo).scaleb(scale).to_integral_value(ROUND_FLOOR)
             dhi = Decimal(hi).scaleb(scale).to_integral_value(ROUND_CEILING)
-        except (InvalidOperation, ValueError, TypeError):
+            # int() inside the try: Decimal('Infinity') (a float('inf')
+            # bound) raises OverflowError here -> full-segment fallback
+            return int(dlo), int(dhi)
+        except (InvalidOperation, ValueError, TypeError, OverflowError):
             return None
-        return int(dlo), int(dhi)
     if logical.startswith("timestamp_") or logical == "date32":
         # handled at the Arrow layer (pa.scalar on datetime/date);
         # decoded arrays are tz-naive UTC, so normalize aware probes
@@ -312,10 +319,15 @@ def gather_ranges(payload: bytes | memoryview, logical: str,
     and gathers slices — never once per range."""
     if not ranges:
         return decode_segment(payload, logical).slice(0, 0)
-    codec, n, validity, _ = _parse_frame(payload)
+    codec, n, validity, body = _parse_frame(payload)
     if validity is None and codec == dictrle.CODEC_ID:
+        # parse the frame ONCE (a probe can yield one range per run —
+        # re-running the dictionary decode per range would make this
+        # O(n_ranges x dict_size)); clip runs per range off the shared
+        # parse
+        runs = _dict_runs(body, logical)
         parts = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
-                 for p in (query_window(payload, logical, s, ln)
+                 for p in (_dict_window(runs, logical, s, ln, n)
                            for s, ln in ranges)]
         return parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
     arr = decode_segment(payload, logical)
@@ -335,23 +347,31 @@ def query_window(payload: bytes | memoryview, logical: str,
         return decode_segment(payload, logical).slice(0, 0)
 
     if validity is None and codec == dictrle.CODEC_ID:
-        uniques, run_idx, starts, run_len = _dict_runs(body, logical)
-        end = start + length
-        # clip runs to the window without expanding the whole segment
-        # (the reference's early-exit + clip, DictionaryEncoding.cs:243-258)
-        lo = int(np.searchsorted(starts, start, side="right")) - 1
-        hi = int(np.searchsorted(starts, end, side="left"))
-        idx = run_idx[lo:hi]
-        s = starts[lo:hi].copy()
-        ln = run_len[lo:hi].copy()
-        ln = np.minimum(s + ln, end) - np.maximum(s, start)
-        codes = np.repeat(idx, ln)
-        if logical in V.VAR_LOGICAL:
-            return V.var_chunk_to_arrow(uniques, logical).take(
-                pa.array(codes))
-        # route through the shared reassembly so parametrized logicals
-        # (decimal64_* unscaled ints) come back as their Arrow type,
-        # matching decode_segment's output exactly
-        return to_arrow(uniques[codes], None, logical, int(codes.size))
+        return _dict_window(_dict_runs(body, logical), logical,
+                            start, length, n)
 
     return decode_segment(payload, logical).slice(start, length)
+
+
+def _dict_window(runs, logical: str, start: int, length: int,
+                 n: int) -> pa.Array:
+    """Rows [start, start+length) off an already-parsed dict_rle frame:
+    clip runs to the window without expanding the whole segment
+    (the reference's early-exit + clip, DictionaryEncoding.cs:243-258)."""
+    uniques, run_idx, starts, run_len = runs
+    start = max(0, start)
+    length = max(0, min(length, n - start))
+    end = start + length
+    lo = int(np.searchsorted(starts, start, side="right")) - 1
+    hi = int(np.searchsorted(starts, end, side="left"))
+    idx = run_idx[lo:hi]
+    s = starts[lo:hi].copy()
+    ln = run_len[lo:hi].copy()
+    ln = np.minimum(s + ln, end) - np.maximum(s, start)
+    codes = np.repeat(idx, ln)
+    if logical in V.VAR_LOGICAL:
+        return V.var_chunk_to_arrow(uniques, logical).take(pa.array(codes))
+    # route through the shared reassembly so parametrized logicals
+    # (decimal64_* unscaled ints) come back as their Arrow type,
+    # matching decode_segment's output exactly
+    return to_arrow(uniques[codes], None, logical, int(codes.size))

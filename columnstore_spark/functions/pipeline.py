@@ -902,7 +902,11 @@ def _materialize(spark, key: str, sql: str, view: str):
     does match). The checkpoint sidesteps plan matching entirely; at
     cluster scale the blocks live on executors like any cached RDD.
     """
-    _persisted.pop(key, None)  # dropped ref -> ContextCleaner frees blocks
+    # dropping the ref lets the ContextCleaner free the superseded
+    # checkpoint's blocks EVENTUALLY (py4j finalizer -> JVM GC); with
+    # a handful of sf-scale intermediates that slack is fine, and
+    # unpersist_all() is the deterministic teardown for long sessions
+    _persisted.pop(key, None)
     df = spark.sql(sql).localCheckpoint(eager=True)
     df.createOrReplaceTempView(view)
     _persisted[key] = df

@@ -121,6 +121,13 @@ def _to_stored_num(logical: str, value, side: str):
         if isinstance(value, dt.datetime):
             return _clamp(_epoch_us(value) * 1000)
     if logical.startswith("decimal64_") or logical.startswith("decimal128_"):
+        if isinstance(value, (float, np.floating)):
+            # Spark compares decimal-vs-double by casting the COLUMN to
+            # double: Decimal(0.1) is the float's full binary expansion,
+            # not the decimal a user's 0.1 rounds to, so an exact
+            # unscaled-domain test would prune rowgroups Spark matches.
+            # No sound conversion -> no pruning.
+            return None
         scale = int(logical.rsplit("_", 1)[1])
         try:
             d = Decimal(value).scaleb(scale)
@@ -243,13 +250,29 @@ def _generic_cond(lo, hi, eq: bool) -> Column | None:
     return cond
 
 
+_TYPED_BOUND_COLS = {"min_num": "long", "max_num": "long",
+                     "min_flt": "double", "max_flt": "double"}
+
+
+def _with_typed_bounds(df: DataFrame) -> DataFrame:
+    """Back-compat shim: manifests persisted before the typed-bounds
+    columns existed get them as NULLs — every bounds condition then
+    degrades to the conservative keep-unless-all-null branch instead of
+    failing analysis on the missing column."""
+    have = set(df.columns)
+    for c, t in _TYPED_BOUND_COLS.items():
+        if c not in have:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df
+
+
 def _prune(segments: DataFrame, column: str, lo, hi, eq: bool,
            logical_type: str | None) -> DataFrame:
     cond = (_typed_cond(logical_type, lo, hi, eq)
             if logical_type is not None else _generic_cond(lo, hi, eq))
     if cond is None:
         return segments
-    keep = (segments
+    keep = (_with_typed_bounds(segments)
             .where((F.col("column") == column) & cond)
             .select("rowgroup_id").distinct())
     return segments.join(keep, on="rowgroup_id", how="left_semi")
@@ -279,7 +302,8 @@ def prune_rowgroup_ids(manifest: DataFrame, column: str, lo, hi, eq: bool,
             if logical_type is not None else _generic_cond(lo, hi, eq))
     if cond is None:
         return None
-    rows = (manifest.where((F.col("column") == column) & cond)
+    rows = (_with_typed_bounds(manifest)
+            .where((F.col("column") == column) & cond)
             .select("rowgroup_id").distinct().limit(_ISIN_CAP + 1)
             .collect())
     if len(rows) > _ISIN_CAP:

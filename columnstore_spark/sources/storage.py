@@ -39,6 +39,9 @@ class ParquetBackend:
     """Parquet-directory tables + manifest-last commit (the fallback)."""
 
     name = "parquet"
+    #: data/metadata use paths relative to the root dir, so a warehouse
+    #: written under one directory can be os.rename'd to another
+    relocatable = True
 
     def __init__(self, root: str):
         self.root = root.rstrip("/")
@@ -65,6 +68,10 @@ class IcebergBackend:
     """Iceberg Hadoop-catalog tables (requires the runtime jar)."""
 
     name = "iceberg"
+    #: Iceberg table metadata embeds ABSOLUTE data-file paths — a
+    #: directory written under a temp root dangles after a rename, so
+    #: rebuild must commit in place (staging-marker protocol)
+    relocatable = False
 
     def __init__(self, spark: SparkSession, root: str):
         self.root = root.rstrip("/")

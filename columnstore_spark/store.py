@@ -42,6 +42,7 @@ from .operators import (
 )
 from .operators.decode import schema_from_segments
 from .plans.pruning import (
+    _with_typed_bounds,
     prune_rowgroup_ids,
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
@@ -49,6 +50,62 @@ from .plans.pruning import (
 from .sources.warehouse import Warehouse
 
 _BATCH_SHIFT = 40  # rowgroup namespace per delta batch (as streaming)
+
+_INT_LOGICALS = {"int8", "int16", "int32", "int64",
+                 "uint8", "uint16", "uint32", "uint64", "bool"}
+_TS_LOGICALS = {"timestamp_s", "timestamp_ms", "timestamp_us",
+                "timestamp_ns"}
+
+
+def _naive_utc(value):
+    """tz-aware probes -> naive UTC (the decoded arrays' form; the
+    session tz is pinned UTC so the instant is unchanged)."""
+    import datetime as dt
+    if isinstance(value, dt.datetime) and value.tzinfo is not None:
+        return value.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return value
+
+
+def _kernel_safe_probe(lt: str, value) -> bool:
+    """True when the encoded-form kernels' exact-typed equality agrees
+    with Spark's coercing equality for this (logical, probe) pair.
+    Anything else routes through decode + Spark's own predicate — the
+    kernels may only ever be a SUPERSET of Spark's semantics (the
+    trailing .where narrows); a probe the kernel under-matches
+    (string '7' on an int column, NaN on a float column, a float on a
+    decimal column under double coercion) must not reach them."""
+    import datetime as dt
+    from decimal import Decimal
+    if lt.startswith("nested:") or lt == "binary":
+        return False
+    if isinstance(value, bool):
+        return lt in _INT_LOGICALS
+    if lt == "string":
+        return isinstance(value, str)
+    if lt in _INT_LOGICALS:
+        return isinstance(value, (int, float)) and value == value
+    if lt in ("float32", "float64"):
+        if isinstance(value, int):
+            # Spark casts the literal to double; an int the double
+            # domain can't hold exactly would make the kernel's
+            # round-trip check under-match
+            return float(value) == value
+        if isinstance(value, float):
+            return value == value  # NaN: Spark's NaN==NaN is true
+        return False
+    if lt.startswith("decimal"):
+        # exact-decimal probes only; a float probe compares under
+        # Spark's decimal->double cast, which the unscaled-int kernel
+        # cannot reproduce
+        return isinstance(value, (int, Decimal))
+    if lt in _TS_LOGICALS:
+        return isinstance(value, dt.datetime)
+    if lt == "date32":
+        # a datetime probe on a date column coerces date->timestamp in
+        # Spark (midnight matches); the kernels treat it as a date
+        return isinstance(value, dt.date) and not isinstance(
+            value, dt.datetime)
+    return False
 
 
 class TranscriptColumnStore:
@@ -78,7 +135,12 @@ class TranscriptColumnStore:
     def _latest_generation(self) -> int:
         try:
             gens = [int(d.split("_")[1]) for d in os.listdir(self.root)
-                    if d.startswith("gen_")]
+                    if d.startswith("gen_")
+                    # an in-place rebuild (non-relocatable backend)
+                    # marks the dir _STAGING until its single-file
+                    # commit point; a crashed one must stay invisible
+                    and not os.path.exists(
+                        f"{self.root}/{d}/_STAGING")]
             return max(gens) if gens else 0
         except FileNotFoundError:
             return 0
@@ -158,31 +220,49 @@ class TranscriptColumnStore:
         group"); the old generation stays on disk for readers holding
         it, the store object switches to the new one.
 
-        Atomicity: the new generation is staged under a dot-prefixed
-        temp dir (invisible to `_latest_generation`) holding BOTH the
-        manifest commit and `retired_batches.txt`, then renamed into
-        place in one `os.rename`. A crash at any point leaves either
-        the old state (stale temp dir, reclaimed on retry) or the
-        complete new generation — never a committed generation whose
-        folded delta batches still look pending (which would
-        double-count every folded row on the next close)."""
+        Atomicity — single commit point either way, never a committed
+        generation whose folded delta batches still look pending
+        (which would double-count every folded row on the next close):
+
+        - relocatable backend (parquet): the generation is staged
+          under a dot-prefixed temp dir (invisible to
+          `_latest_generation`) holding BOTH the manifest commit and
+          `retired_batches.txt`, then renamed into place in one
+          `os.rename`.
+        - non-relocatable backend (Iceberg: table metadata embeds
+          absolute data-file paths that would dangle after a rename):
+          the generation is written IN PLACE carrying a `_STAGING`
+          marker that keeps it invisible to `_latest_generation`;
+          after the manifest and `retired_batches.txt` are written,
+          the single-file `os.unlink` of the marker is the commit. A
+          crash at any point leaves the old state live; the stale
+          staged dir is reclaimed on retry."""
         all_rows = self.rows()
         folded = self._batches()
         gen = self._generation + 1
         final_root = f"{self.root}/gen_{gen:04d}"
-        tmp_root = f"{self.root}/.gen_{gen:04d}.tmp"
-        shutil.rmtree(tmp_root, ignore_errors=True)  # crashed prior attempt
-        staged = Warehouse(tmp_root, format=self._format)
+        relocatable = getattr(
+            self.warehouse.backend(self.spark), "relocatable", True)
+        build_root = (f"{self.root}/.gen_{gen:04d}.tmp" if relocatable
+                      else final_root)
+        shutil.rmtree(build_root, ignore_errors=True)  # crashed attempt
+        if not relocatable:
+            os.makedirs(build_root, exist_ok=True)
+            open(f"{build_root}/_STAGING", "w").close()
+        staged = Warehouse(build_root, format=self._format)
         staged.encode_resumable(
             all_rows, num_rowgroups=num_rowgroups or 1,
             rows_per_segment=self.rows_per_segment, mode=self.mode,
             run_id="rebuild")
         # every existing delta batch is now solid in this generation;
-        # written BEFORE the rename so retirement commits atomically
-        # with the generation itself
-        with open(f"{tmp_root}/retired_batches.txt", "w") as f:
+        # written BEFORE the commit point so retirement commits
+        # atomically with the generation itself
+        with open(f"{build_root}/retired_batches.txt", "w") as f:
             f.write("\n".join(folded))
-        os.rename(tmp_root, final_root)
+        if relocatable:
+            os.rename(build_root, final_root)
+        else:
+            os.unlink(f"{build_root}/_STAGING")
         self._generation = gen
         self.warehouse = Warehouse(final_root, format=self._format)
 
@@ -200,6 +280,8 @@ class TranscriptColumnStore:
         m = self.warehouse.manifest(self.spark)
         if m is None:
             raise ValueError("empty store (no committed segments)")
+        # pre-typed-bounds manifests roll up NULL min/max, not an error
+        m = _with_typed_bounds(m)
         is_str = F.col("logical_type") == "string"
         return (m.groupBy("column")
                 .agg(F.sum("n_rows").alias("n_rows"),
@@ -242,11 +324,11 @@ class TranscriptColumnStore:
         segs = self.warehouse.committed_segments(self.spark)
         ids = prune_rowgroup_ids(m, column, lo, hi, eq, logical_type=lt)
         if ids is not None:
-            return segs.where(F.col("rowgroup_id").isin(ids))
+            return segs.where(F.col("rowgroup_id").isin(ids)), lt
         prune = (prune_rowgroups_by_value if eq
                  else prune_rowgroups_by_range)
         args = (lo,) if eq else (lo, hi)
-        return prune(segs, column, *args, logical_type=lt)
+        return prune(segs, column, *args, logical_type=lt), lt
 
     def query_by_value(self, column: str, value) -> DataFrame:
         """Rows where `column` equals `value`, reading only segments
@@ -261,33 +343,40 @@ class TranscriptColumnStore:
         column, run-clipped gathers on the rest) — no full decode. The
         trailing `.where` re-applies Spark's own equality on the
         already-matching rows (bit-cheap) so the result semantics are
-        exactly the DataFrame filter's, whatever the probe's type."""
+        exactly the DataFrame filter's. Probe/column pairs whose Spark
+        coercion the exact-typed kernels cannot reproduce (a string
+        probe on a numeric column, NaN on floats, a float probe on a
+        decimal column, nested/binary) skip the kernels and run
+        Spark's own predicate over the decoded pruned segments — same
+        results, just fewer skipped bytes."""
+        value = _naive_utc(value)
         m = self._manifest_or_raise()
-        pruned = self._pruned_segments(m, column, value, value, eq=True)
-        lt = self._logical_type(m, column) or ""
-        if lt.startswith("nested:") or lt == "binary":
-            # Arrow's equality kernels don't cover nested/binary probes
-            # uniformly — decode + Spark's own equality instead
+        pruned, lt = self._pruned_segments(m, column, value, value,
+                                           eq=True)
+        if not _kernel_safe_probe(lt or "", value):
             return (decode(pruned, schema=schema_from_segments(m))
                     .where(F.col(column) == F.lit(value)))
         return (decode_matching(pruned, column, value,
                                 schema=schema_from_segments(m))
-                .where(F.col(column) == value))
+                .where(F.col(column) == F.lit(value)))
 
     def query_by_range(self, column: str, lo, hi) -> DataFrame:
         """Rows where lo <= `column` <= hi: manifest pruning, then the
         encoded-form range probe (`decode_matching_range` — a
         conservative superset off the dictionary/runs), with Spark's
-        own `between` re-applied as the exact predicate."""
+        own `between` re-applied as the exact predicate. The range
+        kernels widen unconvertible bounds out to the whole segment,
+        so only nested/binary columns need the decode fallback."""
+        lo, hi = _naive_utc(lo), _naive_utc(hi)
         m = self._manifest_or_raise()
-        pruned = self._pruned_segments(m, column, lo, hi, eq=False)
-        lt = self._logical_type(m, column) or ""
+        pruned, lt = self._pruned_segments(m, column, lo, hi, eq=False)
+        lt = lt or ""
         if lt.startswith("nested:") or lt == "binary":
             return (decode(pruned, schema=schema_from_segments(m))
                     .where(F.col(column).between(F.lit(lo), F.lit(hi))))
         return (decode_matching_range(pruned, column, lo, hi,
                                       schema=schema_from_segments(m))
-                .where(F.col(column).between(lo, hi)))
+                .where(F.col(column).between(F.lit(lo), F.lit(hi))))
 
     def query_by_window(self, rowgroup_id: int, start: int,
                         length: int) -> DataFrame:
