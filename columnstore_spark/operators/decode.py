@@ -57,28 +57,28 @@ def schema_from_segments(segments: DataFrame) -> T.StructType:
     ])
 
 
-def _decode_stage(segments: DataFrame, schema: T.StructType | None,
-                  num_partitions: int | None, kernel) -> DataFrame:
-    """Shared decode stage: hash-partition by rowgroup, apply
-    `kernel(payload, logical) -> pa.Array` to every column segment, zip
-    the columns back into the original schema."""
-    if schema is None:
-        schema = schema_from_segments(segments)
+def _rowgroup_stage(segments: DataFrame, schema: T.StructType,
+                    num_partitions: int | None, group_fn) -> DataFrame:
+    """The one decode-shaped stage every read path shares:
+    hash-partition the segments table by rowgroup, stream each
+    rowgroup's segment rows as one Arrow table through
+    `group_fn(payloads, logicals, colnames) -> {column: pa.Array} | None`
+    (None = the rowgroup contributes no rows), and zip the returned
+    columns back into `schema`."""
     names = [f.name for f in schema.fields]
     out_pa_schema = arrow_schema_for(schema)
     if num_partitions is None:
         num_partitions = int(segments.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"))
 
-    def decode_partition(
+    def run_partition(
             batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for _rg, tbl in iter_groups(batches, "rowgroup_id"):
-            by_name: dict[str, pa.Array] = {}
-            payloads = tbl.column("payload").combine_chunks()
-            logicals = tbl.column("logical_type").to_pylist()
-            colnames = tbl.column("column").to_pylist()
-            for i, name in enumerate(colnames):
-                by_name[name] = kernel(payloads[i].as_py(), logicals[i])
+            by_name = group_fn(tbl.column("payload").combine_chunks(),
+                               tbl.column("logical_type").to_pylist(),
+                               tbl.column("column").to_pylist())
+            if by_name is None:
+                continue
             cols = [by_name[n].cast(f.type)
                     for n, f in zip(names, out_pa_schema)]
             out = pa.Table.from_arrays(cols, schema=out_pa_schema)
@@ -90,7 +90,21 @@ def _decode_stage(segments: DataFrame, schema: T.StructType | None,
         .repartition(num_partitions, F.col("rowgroup_id"))
         .sortWithinPartitions("rowgroup_id", "col_idx")
     )
-    return work.mapInArrow(decode_partition, schema)
+    return work.mapInArrow(run_partition, schema)
+
+
+def _decode_stage(segments: DataFrame, schema: T.StructType | None,
+                  num_partitions: int | None, kernel) -> DataFrame:
+    """Per-segment decode: `kernel(payload, logical) -> pa.Array` on
+    every column segment of each rowgroup."""
+    if schema is None:
+        schema = schema_from_segments(segments)
+
+    def decode_group(payloads, logicals, colnames):
+        return {name: kernel(payloads[i].as_py(), logicals[i])
+                for i, name in enumerate(colnames)}
+
+    return _rowgroup_stage(segments, schema, num_partitions, decode_group)
 
 
 def decode(segments: DataFrame, schema: T.StructType | None = None,
@@ -178,44 +192,24 @@ def _matching_stage(segments: DataFrame, column: str, probe_fn,
     if columns is not None:
         want = set(columns)
         schema = T.StructType([f for f in schema.fields if f.name in want])
+        # the probed column's segment must still travel even when it
+        # isn't projected — the ranges come off it
         segments = segments.where(
             F.col("column").isin(sorted(want | {column})))
     from ..codecs.query import gather_ranges
 
-    names = [f.name for f in schema.fields]
-    out_pa_schema = arrow_schema_for(schema)
-    if num_partitions is None:
-        num_partitions = int(segments.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+    names = set(f.name for f in schema.fields)
 
-    def match_partition(
-            batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for _rg, tbl in iter_groups(batches, "rowgroup_id"):
-            payloads = tbl.column("payload").combine_chunks()
-            logicals = tbl.column("logical_type").to_pylist()
-            colnames = tbl.column("column").to_pylist()
-            probe_i = colnames.index(column)
-            ranges = probe_fn(payloads[probe_i].as_py(),
-                              logicals[probe_i])
-            if not ranges:
-                continue
-            by_name = {
-                name: gather_ranges(payloads[i].as_py(), logicals[i],
+    def match_group(payloads, logicals, colnames):
+        probe_i = colnames.index(column)
+        ranges = probe_fn(payloads[probe_i].as_py(), logicals[probe_i])
+        if not ranges:
+            return None
+        return {name: gather_ranges(payloads[i].as_py(), logicals[i],
                                     ranges)
-                for i, name in enumerate(colnames) if name in names
-            }
-            cols = [by_name[n].cast(f.type)
-                    for n, f in zip(names, out_pa_schema)]
-            out = pa.Table.from_arrays(cols, schema=out_pa_schema)
-            yield from out.to_batches(max_chunksize=_OUT_BATCH_ROWS)
+                for i, name in enumerate(colnames) if name in names}
 
-    work = (
-        segments.select("rowgroup_id", "column", "col_idx", "logical_type",
-                        "payload")
-        .repartition(num_partitions, F.col("rowgroup_id"))
-        .sortWithinPartitions("rowgroup_id", "col_idx")
-    )
-    return work.mapInArrow(match_partition, schema)
+    return _rowgroup_stage(segments, schema, num_partitions, match_group)
 
 
 def decode_window(segments: DataFrame, rowgroup_id: int, start: int,
