@@ -18,10 +18,10 @@ collect); encode input volume is scaled with `SPARK_GRAFT_REPLICATE`
 deterministic replicas (default 4) so the encode stage dominates Spark
 fixed overheads even at sf0.1.
 
-Every query is timed best-of-`SPARK_GRAFT_BENCH_REPEATS` (default 2):
+Every query is timed best-of-`SPARK_GRAFT_BENCH_REPEATS` (default 3):
 this box shows 1.5-4x wall-time jitter from invisible co-tenants
-(BENCH.md preamble), and the min of two runs is the cheapest estimator
-that survives a noise spike landing on one of them.
+(BENCH.md preamble) with multi-minute bursts, and best-of-3 is the
+cheapest estimator that survives a burst covering two of the runs.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def _best(fn, repeats: int = REPEATS) -> float:
