@@ -32,9 +32,3 @@ def decode(body: memoryview, n: int, logical: str):
         )
     v = V.read_fixed(body, 1, logical)
     return np.full(n, v[0], dtype=v.dtype)
-
-
-def estimate_size(n: int, ndv: int, n_runs: int, raw_bytes: int, logical: str) -> int:
-    if ndv > 1:
-        return 1 << 62  # not applicable
-    return max(1, raw_bytes // max(n, 1)) + 4

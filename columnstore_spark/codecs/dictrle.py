@@ -91,7 +91,11 @@ def encode(vals, logical: str, codes: np.ndarray | None = None,
     return b"".join(out)
 
 
-def decode(body: memoryview, n: int, logical: str):
+def parse_runs(body: memoryview, logical: str):
+    """Parse a dict_rle body -> (uniques, run_idx, run_len). The ONE
+    reader of the body grammar: decode below and the encoded-query
+    fast paths (codecs/query.py) both ride it, so a grammar change
+    lands in exactly one place."""
     dict_size, pos = bitpack.read_varint(body)
     if logical in V.VAR_LOGICAL:
         uniques, consumed = V.read_var(body[pos:], dict_size)
@@ -106,6 +110,11 @@ def decode(body: memoryview, n: int, logical: str):
     run_idx = bitpack.unpack_bits(body[pos:], n_runs, iw).astype(np.int64)
     pos += bitpack.packed_size(n_runs, iw)
     run_len = bitpack.unpack_bits(body[pos:], n_runs, lw).astype(np.int64) + 1
+    return uniques, run_idx, run_len
+
+
+def decode(body: memoryview, n: int, logical: str):
+    uniques, run_idx, run_len = parse_runs(body, logical)
     codes = np.repeat(run_idx, run_len)
     if codes.size != n:
         raise ValueError(f"dict_rle decode: expected {n} rows, got {codes.size}")

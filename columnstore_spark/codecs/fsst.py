@@ -153,13 +153,20 @@ def _merge_high(low: bytes, high_pos: np.ndarray, high: bytes) -> bytes:
     return out.tobytes()
 
 
-# (id(vals), merges) from the most recent estimate_size call: the
+# (chunk key, merges) from the most recent estimate_size call: the
 # chooser always trial-estimates immediately before encoding the same
 # chunk, so the trained table is reused instead of retrained (~30% of
 # the text kernel). Any merge table is VALID for any input — worst case
-# a stale hit costs ratio, never correctness — and the id is stable
-# because the chunk object is alive across the choose->encode window.
-_last_trained: tuple[int, list[tuple[int, int]]] | None = None
+# a stale hit costs ratio, never correctness. The key is
+# (id, blob length, first 32 bytes) so a recycled id() on a different
+# chunk cannot silently match (consume-once + clear-on-reject already
+# make that window tiny; the fingerprint closes it).
+_last_trained: tuple[tuple, list[tuple[int, int]]] | None = None
+
+
+def _chunk_key(vals: "V.VarChunk") -> tuple:
+    blob = vals.blob
+    return (id(vals), len(blob), bytes(blob[:32]))
 
 
 def clear_cache() -> None:
@@ -175,7 +182,7 @@ def encode(vals: "V.VarChunk", logical: str,
            max_merges: int = MAX_MERGES) -> bytes:
     global _last_trained
     low, high_pos, high = _split_high(vals.blob)
-    if _last_trained is not None and _last_trained[0] == id(vals):
+    if _last_trained is not None and _last_trained[0] == _chunk_key(vals):
         merges = _last_trained[1]
         _last_trained = None
     else:
@@ -234,7 +241,7 @@ def estimate_size(vals: "V.VarChunk", sample_bytes: int = TRAIN_SAMPLE_BYTES,
     sample = blob[:sample_bytes]
     low, high_pos, high = _split_high(sample)
     merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
-    _last_trained = (id(vals), merges)
+    _last_trained = (_chunk_key(vals), merges)
     enc = _apply_merges(low, merges)
     sample_out = len(enc) + 2 * high_pos.size
     ratio = sample_out / max(len(sample), 1)

@@ -28,7 +28,3 @@ def decode(body: memoryview, n: int, logical: str):
         chunk, _ = V.read_var(body, n)
         return chunk
     return V.read_fixed(body, n, logical).copy()
-
-
-def estimate_size(n: int, ndv: int, n_runs: int, raw_bytes: int, logical: str) -> int:
-    return raw_bytes

@@ -29,26 +29,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import bitpack, constant, dictrle
+from . import constant, dictrle
 from . import values as V
-from .segment import FLAG_HAS_NULLS, decode_segment, to_arrow
+from .segment import decode_segment, read_frame, to_arrow
 
-
-def _parse_frame(payload: bytes | memoryview):
-    """-> (codec_id, n_rows, validity|None, body memoryview)."""
-    body = memoryview(payload)
-    codec, pos = bitpack.read_varint(body)
-    n, pos = bitpack.read_varint(body, pos)
-    flags = body[pos]
-    pos += 1
-    validity = None
-    if flags & FLAG_HAS_NULLS:
-        nb = (n + 7) // 8
-        validity = np.unpackbits(
-            np.frombuffer(body, dtype=np.uint8, count=nb, offset=pos),
-            count=n, bitorder="little").astype(bool)
-        pos += nb
-    return codec, n, validity, body[pos:]
+# frame grammar has exactly one reader (segment.read_frame)
+_parse_frame = read_frame
 
 
 def _mask_to_ranges(mask: np.ndarray) -> list[tuple[int, int]]:
@@ -63,21 +49,11 @@ def _mask_to_ranges(mask: np.ndarray) -> list[tuple[int, int]]:
 
 
 def _dict_runs(body: memoryview, logical: str):
-    """Parse a dict_rle body -> (uniques, run_idx, run_starts, run_len)."""
-    dict_size, pos = bitpack.read_varint(body)
-    if logical in V.VAR_LOGICAL:
-        uniques, consumed = V.read_var(body[pos:], dict_size)
-        pos += consumed
-    else:
-        dt = np.dtype(V.FIXED_LOGICAL[logical])
-        uniques = np.frombuffer(body, dtype=dt, count=dict_size, offset=pos)
-        pos += dict_size * dt.itemsize
-    n_runs, pos = bitpack.read_varint(body, pos)
-    iw, lw = body[pos], body[pos + 1]
-    pos += 2
-    run_idx = bitpack.unpack_bits(body[pos:], n_runs, iw).astype(np.int64)
-    pos += bitpack.packed_size(n_runs, iw)
-    run_len = bitpack.unpack_bits(body[pos:], n_runs, lw).astype(np.int64) + 1
+    """dict_rle body -> (uniques, run_idx, run_starts, run_len); the
+    body grammar itself is parsed by dictrle.parse_runs (one reader,
+    shared with decode)."""
+    uniques, run_idx, run_len = dictrle.parse_runs(body, logical)
+    n_runs = run_idx.size
     starts = np.zeros(n_runs, dtype=np.int64)
     if n_runs > 1:
         np.cumsum(run_len[:-1], out=starts[1:])
@@ -105,31 +81,48 @@ def _decimal_probe_unscaled(logical: str, value):
     return unscaled
 
 
-def _dict_key_index(uniques, logical: str, value) -> int:
+_NO_HITS = np.empty(0, dtype=np.int64)
+
+
+def _dict_key_hits(uniques, logical: str, value) -> np.ndarray:
+    """Indices of EVERY dictionary slot equal to the probe. A float
+    dictionary can hold 0.0 and -0.0 as distinct slots that compare
+    equal — all of them must hit, not just the first. Mistyped probes
+    return no hits (same contract as the generic decoded-path probe),
+    never raise."""
     if logical in V.VAR_LOGICAL:
         arr = V.var_chunk_to_arrow(uniques, logical)
-        needle = (value.encode() if logical == "string"
-                  and isinstance(value, str) else value)
-        idx = pc.index(arr, pa.scalar(
-            value if logical == "string" else needle, type=arr.type))
-        return idx.as_py()
+        try:
+            mask = pc.equal(arr, pa.scalar(value, type=arr.type))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError,
+                ValueError, TypeError):
+            return _NO_HITS
+        return np.flatnonzero(np.asarray(pc.fill_null(mask, False)))
     if logical.startswith("decimal64_"):
         # stored form is the unscaled int64; rescale the probe instead
         # of truncating it (Decimal('1.23') must hit 123 at scale 2)
         unscaled = _decimal_probe_unscaled(logical, value)
         if unscaled is None:
-            return -1
-        hits = np.flatnonzero(uniques == np.int64(unscaled))
-        return int(hits[0]) if hits.size else -1
+            return _NO_HITS
+        return np.flatnonzero(uniques == np.int64(unscaled))
     try:
         cast = np.asarray(value, dtype=uniques.dtype)
     except (TypeError, ValueError, OverflowError):
-        return -1
-    # a lossy cast (7.5 -> 7) must report no-match, not a false hit
-    if cast.item() != value:
-        return -1
-    hits = np.flatnonzero(uniques == cast)
-    return int(hits[0]) if hits.size else -1
+        return _NO_HITS
+    if uniques.dtype.kind == "M":
+        # datetime64[ns].item() returns an int (never equal to the
+        # datetime probe); do the lossy-cast check in the numpy domain
+        # at the probe's own unit instead
+        try:
+            probe = np.datetime64(value)
+        except (TypeError, ValueError):
+            return _NO_HITS
+        if cast != probe:  # unit truncation (sub-precision probe)
+            return _NO_HITS
+    elif cast.item() != value:
+        # a lossy cast (7.5 -> 7) must report no-match, not a false hit
+        return _NO_HITS
+    return np.flatnonzero(uniques == cast)
 
 
 def query_value(payload: bytes | memoryview, logical: str,
@@ -145,10 +138,10 @@ def query_value(payload: bytes | memoryview, logical: str,
 
     if validity is None and codec == dictrle.CODEC_ID:
         uniques, run_idx, starts, run_len = _dict_runs(body, logical)
-        key = _dict_key_index(uniques, logical, value)
-        if key is None or key < 0:
+        keys = _dict_key_hits(uniques, logical, value)
+        if keys.size == 0:
             return []
-        hit = run_idx == key
+        hit = np.isin(run_idx, keys)
         return [(int(s), int(ln)) for s, ln
                 in zip(starts[hit], run_len[hit])]
 
@@ -289,14 +282,37 @@ def query_range(payload: bytes | memoryview, logical: str,
             "decimal128_"):
         from decimal import Decimal, InvalidOperation
         try:
-            b = (Decimal(lo), Decimal(hi))
+            dlo, dhi = Decimal(lo), Decimal(hi)
         except (InvalidOperation, ValueError, TypeError):
             b = None
+        else:
+            if dlo.is_nan() or dhi.is_nan():
+                b = None
+            else:
+                # open-ended (infinite) bounds clamp to the decimal
+                # type's extremes so the mask path still narrows
+                # instead of falling back to the whole segment
+                _, p, s = logical.split("_")
+                ext = Decimal(10 ** int(p) - 1).scaleb(-int(s))
+                if dlo.is_infinite():
+                    dlo = -ext if dlo < 0 else ext
+                if dhi.is_infinite():
+                    dhi = -ext if dhi < 0 else ext
+                b = (dlo, dhi)
     else:
         b = _widened_bounds(kind, lo, hi, logical)
     if b is None:
         return full
     lo_w, hi_w = b
+    if (pa.types.is_integer(arr.type)
+            and isinstance(lo_w, int) and isinstance(hi_w, int)):
+        # same dtype clamp as the dict path: an open-ended bound's
+        # +/-2^127 sentinel must narrow to the stored range, not
+        # overflow pa.scalar into the full-segment fallback
+        info = np.iinfo(arr.type.to_pandas_dtype())
+        if hi_w < info.min or lo_w > info.max:
+            return []
+        lo_w, hi_w = max(lo_w, info.min), min(hi_w, info.max)
     try:
         slo = pa.scalar(lo_w, type=arr.type)
         shi = pa.scalar(hi_w, type=arr.type)

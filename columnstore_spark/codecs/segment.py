@@ -429,28 +429,36 @@ def encode_segment(arr: pa.Array, mode: str = chooser.MODE_SIZE,
                           stats=st, checksum=_raw_checksum(vals, validity, logical))
 
 
-def decode_segment(payload: bytes | memoryview, logical: str) -> pa.Array:
-    """Inverse of encode_segment: framed payload -> Arrow array."""
+def read_frame(payload: bytes | memoryview):
+    """Framed payload -> (codec, n_rows, validity or None, body). The
+    ONE reader of the segment frame grammar — decode_segment and the
+    encoded-query fast paths (codecs/query.py) both ride it. IPC
+    frames (nested types) always write flags=0: their nulls live
+    inside the Arrow stream body."""
     body = memoryview(payload)
     codec, pos = bitpack.read_varint(body)
-    if codec == ARROW_IPC_CODEC_ID:
-        n, pos = bitpack.read_varint(body, pos)
-        return _ipc_read(body[pos + 1:])  # +1: flags byte (nulls in IPC)
-    if codec not in _DECODERS:
-        raise ValueError(f"unknown codec id {codec}")
     n, pos = bitpack.read_varint(body, pos)
     flags = body[pos]
     pos += 1
     validity = None
-    n_valid = n
     if flags & FLAG_HAS_NULLS:
         nb = (n + 7) // 8
         validity = np.unpackbits(
             np.frombuffer(body, dtype=np.uint8, count=nb, offset=pos),
             count=n, bitorder="little").astype(bool)
         pos += nb
-        n_valid = int(validity.sum())
-    vals = _DECODERS[codec](body[pos:], n_valid, logical)
+    return codec, n, validity, body[pos:]
+
+
+def decode_segment(payload: bytes | memoryview, logical: str) -> pa.Array:
+    """Inverse of encode_segment: framed payload -> Arrow array."""
+    codec, n, validity, body = read_frame(payload)
+    if codec == ARROW_IPC_CODEC_ID:
+        return _ipc_read(body)
+    if codec not in _DECODERS:
+        raise ValueError(f"unknown codec id {codec}")
+    n_valid = n if validity is None else int(validity.sum())
+    vals = _DECODERS[codec](body, n_valid, logical)
     return to_arrow(vals, validity, logical, n)
 
 

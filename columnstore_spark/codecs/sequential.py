@@ -53,9 +53,3 @@ def decode(body: memoryview, n: int, logical: str) -> np.ndarray:
     else:
         iv = u.view(np.int64)
     return V.from_int64(iv, logical)
-
-
-def estimate_size(vals: np.ndarray, logical: str) -> int:
-    iv = V.as_int64(vals, logical)
-    u = iv.view(np.uint64) & np.uint64(_mask(logical))
-    return int(bitpack.varint_nbytes(u).sum())

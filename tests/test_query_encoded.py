@@ -130,3 +130,51 @@ def test_query_value_fsst_text():
     s = seg(values, S, "fsst")
     assert query_value(s.payload, "string", values[0]) == \
         [(i, 1) for i in range(0, 80, 2)]
+
+
+# --- probe corners found by review: every equal dict slot must hit,
+# ns-timestamp dict probes, mistyped probes never raise, and open-ended
+# range bounds still narrow on non-dict codecs ---
+
+def test_signed_zero_hits_every_dict_slot():
+    """A float dictionary can hold 0.0 and -0.0 as distinct slots that
+    compare equal — equality must return BOTH slots' runs, matching
+    the decoded-path (IEEE) semantics."""
+    vals = [0.0, -0.0] * 200
+    s = seg(vals, pa.float64(), codec="dict_rle")
+    got = query_value(s.payload, "float64", 0.0)
+    assert sum(ln for _, ln in got) == 400
+    assert query_value(s.payload, "float64", -0.0) == got
+
+
+def test_ns_timestamp_dict_probe():
+    import datetime as dt
+    typ = pa.timestamp("ns")
+    base = dt.datetime(2020, 1, 1)
+    vals = [base, base, dt.datetime(2020, 1, 2)] * 30
+    s = seg(vals, typ, codec="dict_rle")
+    got = query_value(s.payload, "timestamp_ns", base)
+    assert sum(ln for _, ln in got) == 60
+    # sub-precision probe cannot match any stored value
+    s2 = seg(vals, pa.timestamp("s"), codec="dict_rle")
+    assert query_value(
+        s2.payload, "timestamp_s",
+        base.replace(microsecond=5)) == []
+
+
+def test_mistyped_probe_returns_empty_on_every_codec():
+    """The generic decoded path returns [] for a probe of the wrong
+    type; the dict fast path must do the same, not raise."""
+    for codec in ("dict_rle", "fsst", "plain"):
+        s = seg(["a", "b", "b", "a"] * 10, S, codec=codec)
+        assert query_value(s.payload, "string", 7) == []
+
+
+def test_open_ended_range_narrows_on_plain_codec():
+    """±inf bounds clamp to the stored dtype instead of overflowing
+    pa.scalar into the whole-segment fallback."""
+    from columnstore_spark.codecs.query import query_range
+    vals = list(range(1000))
+    s = seg(vals, pa.int64(), codec="plain")
+    assert query_range(s.payload, "int64", float("-inf"), 10.0) == [(0, 11)]
+    assert query_range(s.payload, "int64", 990, float("inf")) == [(990, 10)]
