@@ -123,10 +123,25 @@ def decode(segments: DataFrame, schema: T.StructType | None = None,
     if columns is not None:
         if schema is None:
             schema = schema_from_segments(segments)
+        _check_known(columns, schema)
         schema = T.StructType([f for f in schema.fields
                                if f.name in set(columns)])
         segments = segments.where(F.col("column").isin(list(columns)))
     return _decode_stage(segments, schema, num_partitions, decode_segment)
+
+
+def _check_known(names, schema: T.StructType) -> None:
+    """Fail fast on the driver for a column the store doesn't hold —
+    silently projecting a typo away returns a truncated frame with no
+    error, and a missing probe column would otherwise surface as an
+    opaque executor-side ValueError."""
+    stored = {f.name for f in schema.fields}
+    if not stored:
+        return  # fully-pruned/empty segments: nothing to validate against
+    unknown = sorted(set(names) - stored)
+    if unknown:
+        raise ValueError(
+            f"unknown column(s) {unknown}; stored: {sorted(stored)}")
 
 
 def decode_matching(segments: DataFrame, column: str, value,
@@ -189,8 +204,10 @@ def _matching_stage(segments: DataFrame, column: str, probe_fn,
     every output column via run clipping."""
     if schema is None:
         schema = schema_from_segments(segments)
+    _check_known([column], schema)
     if columns is not None:
         want = set(columns)
+        _check_known(want, schema)
         schema = T.StructType([f for f in schema.fields if f.name in want])
         # the probed column's segment must still travel even when it
         # isn't projected — the ranges come off it

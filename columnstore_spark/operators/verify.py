@@ -16,13 +16,21 @@ def roundtrip_equal(source: DataFrame, decoded: DataFrame) -> dict:
     is what bit-identical verification wants.
     """
     cols = source.columns
-    d = decoded.select(cols)
-    missing = source.exceptAll(d).count()
-    extra = d.exceptAll(source).count()
-    n_source = source.count()
-    n_decoded = d.count()
+    s = source.persist()
+    d = decoded.select(cols).persist()
+    try:
+        # both sides cached: four result jobs, one decode each side.
+        # missing==0 and extra==0 already implies equal counts; the
+        # counts are kept as report fields (cheap off the cache).
+        missing = s.exceptAll(d).count()
+        extra = d.exceptAll(s).count()
+        n_source = s.count()
+        n_decoded = d.count()
+    finally:
+        s.unpersist()
+        d.unpersist()
     return {
-        "equal": missing == 0 and extra == 0 and n_source == n_decoded,
+        "equal": missing == 0 and extra == 0,
         "n_source": n_source,
         "n_decoded": n_decoded,
         "missing": missing,

@@ -52,10 +52,18 @@ class ParquetBackend:
         return spark.read.parquet(self.segments_path)
 
     def read_manifest(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
         try:
             return spark.read.parquet(self.manifest_path)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            # only "no manifest yet" maps to None; a corrupt or
+            # unreadable manifest must SURFACE — silently treating it
+            # as empty would re-encode every rowgroup under a new
+            # run_id and serve raw deltas as if nothing was committed
+            if ("PATH_NOT_FOUND" in str(e)
+                    or "Path does not exist" in str(e)):
+                return None
+            raise
 
     def append_segments(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.segments_path)

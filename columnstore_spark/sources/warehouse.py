@@ -10,7 +10,12 @@ backend), parquet directories otherwise — same table shapes either way:
 Commit protocol: segments parquet is written first, the manifest rows
 (status='done') are appended only after that write succeeds — the
 manifest IS the commit record. Readers join segments to the manifest on
-(rowgroup_id, column, run_id), so torn segment writes are invisible.
+(rowgroup_id, column, run_id, attempt_id), so torn segment writes are
+invisible. `attempt_id` is unique per encode_resumable INVOCATION:
+callers may (and do — streaming batch replay, the facade's close
+retry) reuse a logical `run_id` after a crash, and without the attempt
+key the retry's segments would share their join key with the torn
+first attempt's rows, surfacing duplicates.
 
 The manifest doubles as the engine's work queue, the distributed analogue
 of the reference's closed-group queue `DeltaStore.TryTakeClosed`
@@ -62,14 +67,22 @@ class Warehouse:
         m = self.manifest(spark)
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.manifest_path}")
+        keys = ["rowgroup_id", "column", "run_id"]
+        if "attempt_id" in segs.columns and "attempt_id" in m.columns:
+            # pre-attempt_id rows (older stores) carry null: coalesce
+            # to '' on both sides so they keep matching each other
+            segs = segs.withColumn(
+                "attempt_id", F.coalesce("attempt_id", F.lit("")))
+            m = m.withColumn(
+                "attempt_id", F.coalesce("attempt_id", F.lit("")))
+            keys.append("attempt_id")
         commits = (m.where(F.col("status") == "done")
-                    .select("rowgroup_id", "column", "run_id", "committed_at"))
+                    .select(*keys, "committed_at"))
         w = Window.partitionBy("rowgroup_id", "column").orderBy(
             F.desc("committed_at"), F.desc("run_id"))
         latest = (commits.withColumn("__rn", F.row_number().over(w))
                   .where(F.col("__rn") == 1).drop("__rn", "committed_at"))
-        return segs.join(latest, on=["rowgroup_id", "column", "run_id"],
-                         how="inner")
+        return segs.join(latest, on=keys, how="inner")
 
     def done_rowgroups(self, spark: SparkSession) -> DataFrame | None:
         m = self.manifest(spark)
@@ -150,25 +163,37 @@ class Warehouse:
             work = work.where(F.col("__rg").isin(keep))
 
         backend = self.backend(spark)
-        pending = work.select("__rg").distinct().count()
-        if pending == 0:
+        # cheap short-circuit (take(1), not a full distinct+count scan —
+        # the returned rowgroup count comes from the metadata-only
+        # manifest read-back after the commit instead)
+        if work.isEmpty():
             return {"run_id": run_id, "rowgroups_encoded": 0,
                     "storage": backend.name}
 
+        # unique per INVOCATION: a crashed attempt's torn segment rows
+        # must never share a manifest join key with this retry's rows,
+        # even when the caller replays the same logical run_id
+        attempt = uuid.uuid4().hex[:12]
         segs = (encode(work.drop("__rg"), rowgroup_expr=rg_expr,
                        rows_per_segment=rows_per_segment, mode=mode)
-                .withColumn("run_id", F.lit(run_id)))
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("attempt_id", F.lit(attempt)))
         backend.append_segments(segs)
 
-        # manifest = read-back of what this run wrote (metadata only);
-        # writing it last is the commit point (on Iceberg, additionally
-        # an atomic snapshot commit)
+        # manifest = read-back of what THIS attempt wrote (metadata
+        # only); writing it last is the commit point (on Iceberg,
+        # additionally an atomic snapshot commit)
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         manifest = (backend.read_segments(spark)
-                    .where(F.col("run_id") == run_id)
+                    .where((F.col("run_id") == run_id)
+                           & (F.col("attempt_id") == attempt))
                     .drop("payload")
                     .withColumn("status", F.lit("done"))
                     .withColumn("committed_at", F.lit(committed_at)))
         backend.append_manifest(manifest)
+        pending = (backend.read_manifest(spark)
+                   .where((F.col("run_id") == run_id)
+                          & (F.col("attempt_id") == attempt))
+                   .select("rowgroup_id").distinct().count())
         return {"run_id": run_id, "rowgroups_encoded": pending,
                 "storage": backend.name}

@@ -77,6 +77,16 @@ def conversation_close_stream(stream: DataFrame,
     state (the reference's `TryTakeClosed`).
     """
     gap_us = _duration_us(gap)
+    # Spark hands applyInPandasWithState tz-NAIVE timestamps in the
+    # SESSION's time zone, but setTimeoutTimestamp compares against the
+    # watermark in true UTC epoch millis — capture the session tz at
+    # build time and convert both directions in the state function
+    # (identity when the session runs UTC, which session.py pins)
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _out_ts(us: int) -> pd.Timestamp:
+        return (pd.Timestamp(us, unit="us", tz="UTC")
+                .tz_convert(tz).tz_localize(None))
 
     def close_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
@@ -86,20 +96,21 @@ def conversation_close_stream(stream: DataFrame,
             yield pd.DataFrame({
                 "conv_id": [key[0]],
                 "n_turns": [n],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "first_ts": [_out_ts(first_us)],
+                "last_ts": [_out_ts(last_us)],
             })
             return
         n, first_us, last_us = (state.get if state.exists
                                 else (0, None, None))
         for pdf in pdfs:
-            ts = pdf["ts"].astype("datetime64[us]").astype("int64")
+            ts = (pdf["ts"].dt.tz_localize(tz)
+                  .astype("datetime64[us, UTC]").astype("int64"))
             n += len(pdf)
             lo, hi = int(ts.min()), int(ts.max())
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, first_us, last_us))
-        # close when the watermark passes last turn + gap
+        # close when the watermark passes last turn + gap (UTC ms)
         state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
         yield from ()
 
@@ -126,14 +137,37 @@ def dedup_stream(stream: DataFrame,
     return (stream
             .withColumn("content_hash", F.md5("text"))
             .withWatermark("ts", watermark)
-            .dropDuplicatesWithinWatermark(["content_hash"]))
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .drop("content_hash"))  # working column, not output schema
+
+
+_DURATION_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "sec": 1_000_000, "minute": 60_000_000, "min": 60_000_000,
+    "hour": 3_600_000_000, "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
 
 
 def _duration_us(spec: str) -> int:
-    n, unit = spec.split()
-    mult = {
-        "second": 1_000_000, "seconds": 1_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-    }[unit]
-    return int(n) * mult
+    """Spark-style interval spec ('1 minute', '2 hours 30 minutes',
+    '1 day') -> microseconds. Unsupported units fail with the accepted
+    list, not a bare KeyError."""
+    parts = spec.split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"bad duration {spec!r}: expected "
+                         "'<n> <unit> [<n> <unit> ...]'")
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        u = unit.lower()
+        u = u[:-1] if u.endswith("s") and u not in ("ms", "us") else u
+        if u == "ms":
+            u = "millisecond"
+        elif u == "us":
+            u = "microsecond"
+        if u not in _DURATION_US:
+            raise ValueError(
+                f"unsupported duration unit {unit!r} in {spec!r}; "
+                f"accepted: {sorted(_DURATION_US)}")
+        total += int(n) * _DURATION_US[u]
+    return total

@@ -128,3 +128,35 @@ def test_empty_and_single_row_edges(spark, transcripts):
     one = t.limit(1)
     assert decode(encode(one, rowgroup_expr=F.lit(0))).collect() == \
         one.collect()
+
+
+def test_torn_write_replay_same_run_id(spark, transcripts, tmp_path):
+    """Crash-between-segments-and-manifest, then REPLAY with the SAME
+    logical run_id (exactly what Structured Streaming does to a
+    micro-batch, and what the facade's close() retry does): the torn
+    attempt's segment rows must stay invisible — no duplicate
+    (rowgroup, column) pairs, bit-identical round-trip."""
+    from columnstore_spark.operators.encode import (
+        default_rowgroup_expr,
+        encode,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh_torn"))
+    # attempt 1: segments land, manifest append never happens (torn)
+    rg = default_rowgroup_expr(4, 1_000_000)
+    torn = (encode(transcripts, rowgroup_expr=rg)
+            .withColumn("run_id", F.lit("batch-7"))
+            .withColumn("attempt_id", F.lit("attempt-dead")))
+    wh.backend(spark).append_segments(torn)
+
+    # attempt 2: the replay, same run_id
+    r = wh.encode_resumable(transcripts, num_rowgroups=4,
+                            run_id="batch-7")
+    assert r["rowgroups_encoded"] == 4
+
+    segs = wh.committed_segments(spark)
+    dups = (segs.groupBy("rowgroup_id", "column").count()
+            .where(F.col("count") > 1).count())
+    assert dups == 0
+    res = roundtrip_equal(transcripts, decode(segs))
+    assert res["equal"], res

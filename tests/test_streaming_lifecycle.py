@@ -162,3 +162,17 @@ def test_dedup_stream_drops_within_watermark(spark, dirs):
     assert sorted(out["text"]) == ["alpha", "beta", "gamma"]
     # the kept alpha is the FIRST arrival
     assert out[out["text"] == "alpha"]["conv_id"].iloc[0] == "c0"
+
+
+def test_duration_spec_parsing():
+    from columnstore_spark.streaming.lifecycle import _duration_us
+    assert _duration_us("1 minute") == 60_000_000
+    assert _duration_us("2 hours 30 minutes") == 9_000_000_000
+    assert _duration_us("1 day") == 86_400_000_000
+    assert _duration_us("30 sec") == 30_000_000
+    assert _duration_us("5 ms") == 5_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="accepted"):
+        _duration_us("1 fortnight")
+    with _pytest.raises(ValueError, match="expected"):
+        _duration_us("soon")
