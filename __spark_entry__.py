@@ -100,8 +100,11 @@ def _q_query_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = encode(t, rowgroup_expr=_rg_expr())
     pruned = prune_rowgroups_by_range(segs, "conv_id",
                                       "c000000000000", "c000000000009")
+    # the re-applied predicate carries BOTH bounds the pruning used —
+    # pruning may only ever narrow the predicate it serves
     return (decode(pruned)
-            .where((F.col("conv_id") <= "c000000000009")
+            .where(F.col("conv_id").between("c000000000000",
+                                            "c000000000009")
                    & (F.col("turn_idx") >= 10) & (F.col("turn_idx") <= 19))
             .select(TRANSCRIPT_COLS))
 
@@ -389,8 +392,8 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2024-01-03 00:00:00' AND "
             "TIMESTAMP '2024-01-04 12:00:00'",
         "query_by_range":
-            f"{t} SELECT * FROM t WHERE conv_id <= 'c000000000009' "
-            "AND turn_idx BETWEEN 10 AND 19",
+            f"{t} SELECT * FROM t WHERE conv_id BETWEEN 'c000000000000' "
+            "AND 'c000000000009' AND turn_idx BETWEEN 10 AND 19",
         "query_by_window":
             f"WITH t AS ({TRANSCRIPTS_SQL}) "
             f"SELECT conv_id, turn_idx, role, text, tool, ts FROM t "

@@ -137,12 +137,17 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         from columnstore_spark.functions.pipeline import spark_pipeline_df
         from columnstore_spark.sources.transcripts import register_testdata
         register_testdata(spark, sf_dir, ("documents", "embeddings"))
+        # dim from the data, not a constant: a mismatched hyperplane
+        # length would null-pad zip_with dots and silently collapse
+        # every vector into one LSH band (no error, wrong algorithm)
+        dim = len(spark.table("embeddings")
+                  .select("embedding").head()["embedding"])
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "dedup_embedding_lsh", "dedup_ngram_jaccard",
                      "ann_cosine_topk", "ann_ivf",
                      "text_metrics"):
             timings[f"q_{name}"] = _best(
-                lambda n=name: _noop(spark_pipeline_df(spark, n, 64)))
+                lambda n=name: _noop(spark_pipeline_df(spark, n, dim)))
 
         # multimodal decode plumbing: numpy byte stats over Arrow batches
         from columnstore_spark.functions.multimodal import (

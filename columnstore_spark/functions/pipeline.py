@@ -28,6 +28,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 from .dialect import DUCK, SPARK, Dialect
@@ -539,6 +540,7 @@ def simhash_pairs_sql(d: Dialect, table: str = "documents",
         f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
         for b in range(4))
     over = simhash_pairs_over(d, "chunked", max_hamming)
+    assert over.startswith("\nWITH ")  # same splice guard as siblings
     rest = over[len("\nWITH "):]
     return (f"\nWITH sim AS ({sim}),\n"
             f"chunked AS (\n  SELECT doc_id, simhash, {bands} FROM sim\n),\n"
@@ -951,6 +953,7 @@ def spark_pipeline_df(spark, name: str, dim: int):
 
 
 # The queries()/oracle_sql() surface: name -> builder(d) closure
+@functools.lru_cache(maxsize=4)
 def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
     """{query_name: {"spark": sql, "duck": sql}} for every operator."""
     builders = {
