@@ -89,6 +89,28 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_encode"] = _best(q_encode)
 
+        # q_encode_direct — same encode over the bucketed-table layout
+        # with the worker-side parquet scan (one task per bucket file,
+        # pyarrow read in the Python worker — no JVM columnar scan, no
+        # JVM->Python IPC of the raw data; BENCH.md §3e). The bucketed
+        # write is the ingest's job, not the encode's: untimed.
+        import glob
+
+        from columnstore_spark.operators import encode_files
+        from columnstore_spark.operators.encode import default_rowgroup_expr
+        bdir = f"{tmp}/bucketed"
+        (t.withColumn("__rg",
+                      default_rowgroup_expr(num_rowgroups).cast("long"))
+         .repartition(enc_parts, "__rg")
+         .write.mode("overwrite").parquet(bdir))
+        bpaths = sorted(glob.glob(f"{bdir}/*.parquet"))
+
+        def q_encode_direct():
+            encode_files(spark, bpaths).write.mode("overwrite").parquet(
+                f"{tmp}/segments_direct")
+
+        timings["q_encode_direct"] = _best(q_encode_direct)
+
         segs_on_disk = spark.read.parquet(seg_path)
 
         # manifest metrics for throughput / ratio (metadata-only agg)

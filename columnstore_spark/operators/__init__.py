@@ -1,10 +1,12 @@
 from .decode import (decode, decode_matching, decode_matching_range,
                      decode_window,
                      schema_from_segments)
-from .encode import SEGMENT_SCHEMA, default_rowgroup_expr, encode, manifest_of
+from .encode import (SEGMENT_SCHEMA, default_rowgroup_expr, encode,
+                     encode_files, manifest_of)
 from .verify import roundtrip_equal
 
 __all__ = [
-    "SEGMENT_SCHEMA", "default_rowgroup_expr", "encode", "manifest_of",
+    "SEGMENT_SCHEMA", "default_rowgroup_expr", "encode", "encode_files",
+    "manifest_of",
     "decode", "decode_matching", "decode_matching_range", "decode_window", "schema_from_segments", "roundtrip_equal",
 ]

@@ -99,6 +99,45 @@ def default_rowgroup_expr(num_rowgroups: int,
     return bucket * _TURN_BLOCKS + block
 
 
+def _encode_rowgroup(rowgroup_id: int, tbl: pa.Table,
+                     col_order: list[str], mode: str,
+                     compression_order: bool,
+                     out_pa_schema: pa.Schema) -> pa.RecordBatch:
+    """Encode one rowgroup table into its segment rows (one per column).
+
+    Shared by both scan paths — JVM columnar scan (`encode`) and
+    worker-side parquet scan (`encode_files`) — so the two produce
+    bit-identical segments by construction.
+    """
+    import pyarrow.compute as pc
+
+    if compression_order:
+        ndv = {c: pc.count_distinct(tbl.column(c)).as_py()
+               for c in col_order}
+        tbl = tbl.sort_by([(c, "ascending") for c in
+                           sorted(col_order, key=ndv.get)])
+    rows = []
+    for idx, name in enumerate(col_order):
+        t0 = time.perf_counter()
+        arr = tbl.column(name).combine_chunks()
+        seg = encode_segment(arr, mode=mode)
+        ms = (time.perf_counter() - t0) * 1000.0
+        st = seg.stats
+        rows.append((rowgroup_id, name, idx,
+                     CODEC_NAMES[seg.codec_id], seg.codec_id,
+                     seg.logical, seg.payload, st.n_rows, st.n_nulls,
+                     st.n_distinct, st.n_runs, st.min_repr,
+                     st.max_repr, st.min_num, st.max_num,
+                     st.min_flt, st.max_flt,
+                     st.raw_bytes, len(seg.payload),
+                     seg.checksum, ms))
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(c, type=f.type)
+         for c, f in zip(cols, out_pa_schema)],
+        schema=out_pa_schema)
+
+
 def encode(df: DataFrame, rowgroup_expr: Column | None = None,
            num_rowgroups: int | None = None,
            rows_per_segment: int = 1_000_000,
@@ -155,34 +194,9 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
 
     def encode_partition(
             batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.compute as pc
-
         for rowgroup_id, tbl in iter_groups(batches, ROWGROUP_COL):
-            if compression_order:
-                ndv = {c: pc.count_distinct(tbl.column(c)).as_py()
-                       for c in col_order}
-                tbl = tbl.sort_by([(c, "ascending") for c in
-                                   sorted(col_order, key=ndv.get)])
-            rows = []
-            for idx, name in enumerate(col_order):
-                t0 = time.perf_counter()
-                arr = tbl.column(name).combine_chunks()
-                seg = encode_segment(arr, mode=mode)
-                ms = (time.perf_counter() - t0) * 1000.0
-                st = seg.stats
-                rows.append((rowgroup_id, name, idx,
-                             CODEC_NAMES[seg.codec_id], seg.codec_id,
-                             seg.logical, seg.payload, st.n_rows, st.n_nulls,
-                             st.n_distinct, st.n_runs, st.min_repr,
-                             st.max_repr, st.min_num, st.max_num,
-                             st.min_flt, st.max_flt,
-                             st.raw_bytes, len(seg.payload),
-                             seg.checksum, ms))
-            cols = list(zip(*rows))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type)
-                 for c, f in zip(cols, out_pa_schema)],
-                schema=out_pa_schema)
+            yield _encode_rowgroup(rowgroup_id, tbl, col_order, mode,
+                                   compression_order, out_pa_schema)
 
     work = df.withColumn(ROWGROUP_COL, rowgroup_expr.cast("long"))
     if not assume_partitioned:
@@ -192,6 +206,115 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
     # while keeping the bit-identical verify order restorable
     work = work.sortWithinPartitions(ROWGROUP_COL, *order_cols)
     return work.mapInArrow(encode_partition, SEGMENT_SCHEMA)
+
+
+def encode_files(spark, paths, rowgroup_col: str = "__rg",
+                 order: tuple[str, ...] = ("conv_id", "turn_idx"),
+                 mode: str = chooser.MODE_SIZE,
+                 compression_order: bool = False,
+                 columns: list[str] | None = None,
+                 num_tasks: int | None = None,
+                 skip_rowgroups=None) -> DataFrame:
+    """Direct-scan encode over a bucketed parquet layout: Spark
+    schedules one task per bucket FILE and the Python worker reads the
+    parquet itself (pyarrow), skipping the JVM columnar scan entirely.
+
+    Motivation (BENCH.md §3d): on the JVM-scan path every raw byte
+    crosses the memory bus twice before the codec kernels see it —
+    parquet pages -> JVM columnar batches, then JVM -> Python as Arrow
+    IPC. When the consumer is an Arrow/numpy kernel anyway, reading the
+    file in the worker halves the per-task bus traffic and removes the
+    JVM decode CPU — precisely the resources that cap multi-stream
+    scaling on bandwidth-bound nodes. Spark still owns scheduling,
+    retries, and lineage; the task payload is a file path, exactly the
+    work-item shape `TryTakeClosed` hands the reference's compactor
+    (`/root/reference/Outcompute.ColumnStore/ColumnStore.cs:92-99`).
+
+    Contract (same as `encode(assume_partitioned=True)`): each file
+    carries whole rowgroups — `rowgroup_col` (written by the bucketed
+    ingest) must not span two files. `columns` projects the scan
+    (column pruning at the parquet footer, the reader-side analogue of
+    Catalyst's ReadSchema). Result: SEGMENT_SCHEMA, bit-identical to
+    `encode` on the same layout (shared `_encode_rowgroup` kernel;
+    asserted in tests/test_encode_files.py).
+
+    `skip_rowgroups` (a set of already-committed rowgroup ids — the
+    warehouse's done-queue) makes the scan itself resume-aware: a task
+    first reads ONLY the rowgroup-key column (one RLE int64 chunk) and
+    returns without touching the data columns when every id in the
+    file is done — checkpoint-resume that never re-reads completed
+    input, the distributed `TryTakeClosed` work-queue contract at the
+    file level.
+
+    At 100 TB the path list comes from the table's file manifest
+    (Iceberg metadata / `input_files()`), not a driver glob; 100k path
+    strings are trivially driver-sized, as is a broadcast done-set of
+    ~10^6 int64 ids.
+    """
+    paths = sorted(paths)
+    if not paths:
+        raise ValueError("encode_files: empty path list")
+    n = num_tasks or len(paths)
+    out_pa_schema = arrow_schema_for(SEGMENT_SCHEMA)
+    skip_bc = (spark.sparkContext.broadcast(frozenset(skip_rowgroups))
+               if skip_rowgroups else None)
+    pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], n),
+        T.StructType([T.StructField("path", T.StringType(), False)]))
+
+    def encode_file(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                if rowgroup_col not in pq.read_schema(path).names:
+                    raise ValueError(
+                        f"{path}: bucketed layout must carry "
+                        f"'{rowgroup_col}' (salted rowgroup key)")
+                keep_ids = None
+                if skip_bc is not None:
+                    ids = set(pq.read_table(path, columns=[rowgroup_col])
+                              .column(rowgroup_col).unique().to_pylist())
+                    pending = ids - skip_bc.value
+                    if not pending:
+                        continue  # whole file committed: data never read
+                    if pending != ids:
+                        keep_ids = pending
+                read_cols = None
+                if columns is not None:
+                    read_cols = [rowgroup_col, *columns]
+                tbl = pq.read_table(path, columns=read_cols)
+                if keep_ids is not None:
+                    tbl = tbl.filter(pc.is_in(
+                        tbl.column(rowgroup_col),
+                        value_set=pa.array(sorted(keep_ids),
+                                           type=tbl.schema.field(
+                                               rowgroup_col).type)))
+                # normalize to the arrow schema Spark's scan delivers
+                # (session tz UTC) so segments are bit-identical
+                # across the two scan paths
+                cast = []
+                for f in tbl.schema:
+                    t = f.type
+                    if pa.types.is_timestamp(t) and t.tz is not None:
+                        t = pa.timestamp(t.unit, tz="UTC")
+                    cast.append(pa.field(f.name, t))
+                tbl = tbl.cast(pa.schema(cast))
+                sort_keys = [(rowgroup_col, "ascending")] + [
+                    (c, "ascending") for c in order
+                    if c in tbl.column_names]
+                tbl = tbl.sort_by(sort_keys)
+                col_order = [c for c in tbl.column_names
+                             if c != rowgroup_col]
+                for rg_id, gtbl in iter_groups(
+                        tbl.to_batches(), rowgroup_col):
+                    yield _encode_rowgroup(
+                        rg_id, gtbl, col_order, mode,
+                        compression_order, out_pa_schema)
+
+    return pdf.mapInArrow(encode_file, SEGMENT_SCHEMA)
 
 
 def manifest_of(segments: DataFrame) -> DataFrame:

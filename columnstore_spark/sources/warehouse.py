@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..codecs import chooser
-from ..operators.encode import default_rowgroup_expr, encode
+from ..operators.encode import default_rowgroup_expr, encode, encode_files
 from .storage import resolve_backend
 
 
@@ -174,15 +174,19 @@ class Warehouse:
         # must never share a manifest join key with this retry's rows,
         # even when the caller replays the same logical run_id
         attempt = uuid.uuid4().hex[:12]
-        segs = (encode(work.drop("__rg"), rowgroup_expr=rg_expr,
-                       rows_per_segment=rows_per_segment, mode=mode)
-                .withColumn("run_id", F.lit(run_id))
-                .withColumn("attempt_id", F.lit(attempt)))
-        backend.append_segments(segs)
+        segs = encode(work.drop("__rg"), rowgroup_expr=rg_expr,
+                      rows_per_segment=rows_per_segment, mode=mode)
+        return self._commit(spark, backend, segs, run_id, attempt)
 
-        # manifest = read-back of what THIS attempt wrote (metadata
-        # only); writing it last is the commit point (on Iceberg,
-        # additionally an atomic snapshot commit)
+    def _commit(self, spark: SparkSession, backend, segs: DataFrame,
+                run_id: str, attempt: str) -> dict:
+        """Write segments, then the manifest — the manifest append IS
+        the commit point (on Iceberg, additionally an atomic snapshot
+        commit); the manifest rows are a metadata-only read-back of
+        what THIS attempt wrote."""
+        segs = (segs.withColumn("run_id", F.lit(run_id))
+                    .withColumn("attempt_id", F.lit(attempt)))
+        backend.append_segments(segs)
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         manifest = (backend.read_segments(spark)
                     .where((F.col("run_id") == run_id)
@@ -197,3 +201,28 @@ class Warehouse:
                    .select("rowgroup_id").distinct().count())
         return {"run_id": run_id, "rowgroups_encoded": pending,
                 "storage": backend.name}
+
+    def encode_files_resumable(self, spark: SparkSession, paths,
+                               rowgroup_col: str = "__rg",
+                               order: tuple[str, ...] = ("conv_id",
+                                                         "turn_idx"),
+                               mode: str = chooser.MODE_SIZE,
+                               run_id: str | None = None) -> dict:
+        """Direct-scan resumable encode over a bucketed parquet layout
+        (`encode_files`): the done-rowgroup queue is broadcast to the
+        scan tasks, so a file whose rowgroups are all committed is
+        skipped after one footer+key-column read — resume never
+        re-reads completed data. Same commit protocol as
+        `encode_resumable` (manifest append = commit point)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        done = self.done_rowgroups(spark)
+        skip = (frozenset(r["rowgroup_id"] for r in done.collect())
+                if done is not None else frozenset())
+        backend = self.backend(spark)
+        attempt = uuid.uuid4().hex[:12]
+        segs = encode_files(spark, paths, rowgroup_col=rowgroup_col,
+                            order=order, mode=mode, skip_rowgroups=skip)
+        # no driver-side emptiness probe: it would encode a whole file
+        # just to peek; an all-done run commits zero segment rows and
+        # zero manifest rows, which reads back as rowgroups_encoded=0
+        return self._commit(spark, backend, segs, run_id, attempt)

@@ -89,7 +89,8 @@ def stop_cluster(workdir: str) -> None:
 
 def submit(zip_path: str, cores_max: int, sf_dir: str, replicate: int,
            rowgroups: int, prebucketed: bool = False,
-           reuse_bucketed: bool = False, buckets: int = 16) -> dict:
+           reuse_bucketed: bool = False, buckets: int = 16,
+           direct_scan: bool = False) -> dict:
     cmd = ["taskset", "-c", DRIVER_CORES,
            f"{SPARK_HOME}/bin/spark-submit",
            "--master", MASTER_URL,
@@ -104,6 +105,8 @@ def submit(zip_path: str, cores_max: int, sf_dir: str, replicate: int,
            sf_dir, str(replicate), str(rowgroups)]
     if prebucketed:
         cmd.append("--prebucketed")
+    if direct_scan:
+        cmd.append("--direct-scan")
     if reuse_bucketed:
         cmd.append("--reuse-bucketed")
     cmd.extend(["--buckets", str(buckets)])
@@ -132,6 +135,9 @@ def main() -> None:
                     help="bucket-file count (bounds per-task working set)")
     ap.add_argument("--prebucketed", action="store_true",
                     help="bucketed-table layout: encode without exchange")
+    ap.add_argument("--direct-scan", action="store_true",
+                    help="worker-side parquet read (pyarrow), one task "
+                         "per bucket file — skips the JVM columnar scan")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -152,8 +158,10 @@ def main() -> None:
                 runs[cores].append(
                     submit(zip_path, cores, args.sf_dir, args.replicate,
                            args.rowgroups, args.prebucketed,
-                           reuse_bucketed=reuse, buckets=args.buckets))
-                reuse = args.prebucketed  # bucketed input written once
+                           reuse_bucketed=reuse, buckets=args.buckets,
+                           direct_scan=args.direct_scan))
+                # bucketed input written once
+                reuse = args.prebucketed or args.direct_scan
         rN = min(runs[2], key=lambda r: r["wall_s"])
         r4N = min(runs[8], key=lambda r: r["wall_s"])
     finally:

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir, replicate, rowgroups = (sys.argv[1], int(sys.argv[2]),
                                     int(sys.argv[3]))
-    prebucketed = "--prebucketed" in sys.argv
+    prebucketed = "--prebucketed" in sys.argv or "--direct-scan" in sys.argv
     buckets = 16
     if "--buckets" in sys.argv:
         buckets = int(sys.argv[sys.argv.index("--buckets") + 1])
@@ -74,10 +74,20 @@ def main() -> None:
     warmup_python_workers(spark)
 
     t0 = time.perf_counter()
-    # 2 partitions per core: second-wave tasks smooth stragglers
-    segs = encode(t, rowgroup_expr=rg_expr, num_rowgroups=rowgroups,
-                  num_partitions=max(2 * total_cores, 8),
-                  assume_partitioned=prebucketed)
+    if "--direct-scan" in sys.argv:
+        # worker-side parquet scan: one task per bucket file, pyarrow
+        # reads the file in the Python worker (no JVM columnar scan,
+        # no JVM->Python IPC of the raw data)
+        import glob as _glob
+
+        from columnstore_spark.operators.encode import encode_files
+        paths = sorted(_glob.glob(f"{bdir}/*.parquet"))
+        segs = encode_files(spark, paths, rowgroup_col="__rg")
+    else:
+        # 2 partitions per core: second-wave tasks smooth stragglers
+        segs = encode(t, rowgroup_expr=rg_expr, num_rowgroups=rowgroups,
+                      num_partitions=max(2 * total_cores, 8),
+                      assume_partitioned=prebucketed)
     agg = segs.agg(F.sum("raw_bytes").alias("raw"),
                    F.sum("enc_bytes").alias("enc")).collect()[0]
     wall = time.perf_counter() - t0

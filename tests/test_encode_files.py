@@ -1,0 +1,103 @@
+"""Direct-scan encode (`encode_files`): worker-side parquet read must
+produce segments bit-identical to the JVM-scan `encode` path on the
+same bucketed layout, and decode back to the source.
+
+The bucketed layout under test is exactly what
+`scripts/cluster_encode_job.py --prebucketed` writes: parquet
+partitioned by the salted rowgroup key, the key kept as a `__rg`
+column, one file per bucket.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnstore_spark.operators import decode, encode, roundtrip_equal
+from columnstore_spark.operators.encode import (
+    default_rowgroup_expr,
+    encode_files,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bucketed"))
+    rg = default_rowgroup_expr(8)
+    (transcripts.withColumn("__rg", rg.cast("long"))
+     .repartition(4, "__rg")
+     .write.mode("overwrite").parquet(root))
+    paths = sorted(glob.glob(os.path.join(root, "*.parquet")))
+    assert paths
+    return root, paths
+
+
+def _canon(segs):
+    rows = segs.select("rowgroup_id", "column", "codec", "logical_type",
+                       "payload", "n_rows", "n_nulls", "n_distinct",
+                       "n_runs", "min_repr", "max_repr", "min_num",
+                       "max_num", "min_flt", "max_flt", "raw_bytes",
+                       "enc_bytes", "checksum").collect()
+    return sorted((tuple(r) for r in rows),
+                  key=lambda t: (t[0], t[1]))
+
+
+def test_bit_identical_to_jvm_scan(spark, bucketed):
+    root, paths = bucketed
+    jvm = encode(spark.read.parquet(root),
+                 rowgroup_expr=F.col("__rg")).drop("encode_ms")
+    direct = encode_files(spark, paths).drop("encode_ms")
+    a, b = _canon(jvm), _canon(direct)
+    # the JVM side also encoded the __rg carrier column; drop those rows
+    a = [t for t in a if t[1] != "__rg"]
+    assert a == b
+
+
+def test_roundtrip_and_projection(spark, transcripts, bucketed):
+    _root, paths = bucketed
+    segs = encode_files(spark, paths)
+    assert roundtrip_equal(transcripts, decode(segs))["equal"]
+    # column pruning reaches the parquet reader
+    proj = encode_files(spark, paths, columns=["role", "turn_idx"])
+    cols = {r["column"] for r in proj.select("column").distinct().collect()}
+    assert cols == {"role", "turn_idx"}
+
+
+def test_one_task_per_file(spark, bucketed):
+    _root, paths = bucketed
+    assert encode_files(spark, paths).rdd.getNumPartitions() == len(paths)
+
+
+def test_resumable_direct_scan(spark, transcripts, bucketed, tmp_path):
+    """Crash-resume over the file queue: first run commits a path
+    subset, the resume run encodes only the missing rowgroups, a third
+    run finds nothing pending — and the committed store decodes back
+    to the full source."""
+    from columnstore_spark.sources.warehouse import Warehouse
+
+    _root, paths = bucketed
+    wh = Warehouse(str(tmp_path / "wh"), format="parquet")
+
+    r1 = wh.encode_files_resumable(spark, paths[:2], run_id="runA")
+    assert r1["rowgroups_encoded"] > 0
+    r2 = wh.encode_files_resumable(spark, paths, run_id="runB")
+    assert r2["rowgroups_encoded"] > 0
+    # disjoint work: resume never re-encoded a committed rowgroup
+    total = wh.committed_segments(spark).select(
+        "rowgroup_id").distinct().count()
+    assert total == r1["rowgroups_encoded"] + r2["rowgroups_encoded"]
+    r3 = wh.encode_files_resumable(spark, paths, run_id="runC")
+    assert r3["rowgroups_encoded"] == 0
+
+    from columnstore_spark.operators import decode
+    dec = decode(wh.committed_segments(spark))
+    assert roundtrip_equal(transcripts, dec)["equal"]
+
+
+def test_missing_rowgroup_col(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    spark.range(10).write.parquet(p)
+    f = sorted(glob.glob(os.path.join(p, "*.parquet")))
+    with pytest.raises(Exception, match="__rg"):
+        encode_files(spark, f).collect()
