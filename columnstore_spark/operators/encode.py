@@ -214,7 +214,8 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                  compression_order: bool = False,
                  columns: list[str] | None = None,
                  num_tasks: int | None = None,
-                 skip_rowgroups=None) -> DataFrame:
+                 skip_rowgroups=None,
+                 presorted: bool = False) -> DataFrame:
     """Direct-scan encode over a bucketed parquet layout: Spark
     schedules one task per bucket FILE and the Python worker reads the
     parquet itself (pyarrow), skipping the JVM columnar scan entirely.
@@ -245,6 +246,16 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
     file is done — checkpoint-resume that never re-reads completed
     input, the distributed `TryTakeClosed` work-queue contract at the
     file level.
+
+    `presorted=True` declares the file rows already sorted by
+    (`rowgroup_col`, *order) — the production ingest writes
+    sortWithinPartitions before the bucketed write — and switches the
+    task to STREAMING parquet batches through the group iterator: peak
+    memory is one rowgroup block instead of the whole file, so bucket
+    files can be sized to HDFS/object-store block economics (hundreds
+    of MB) without inflating task memory. A non-contiguous rowgroup id
+    (file not actually sorted) raises rather than silently emitting
+    duplicate segments.
 
     At 100 TB the path list comes from the table's file manifest
     (Iceberg metadata / `input_files()`), not a driver glob; 100k path
@@ -285,6 +296,43 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                 read_cols = None
                 if columns is not None:
                     read_cols = [rowgroup_col, *columns]
+                if presorted:
+                    # rows already (rowgroup, *order)-sorted on disk
+                    # (ingest wrote sortWithinPartitions before the
+                    # bucketed write): stream parquet batches straight
+                    # into the group iterator — peak memory is ONE
+                    # rowgroup block, not the whole file
+                    pf = pq.ParquetFile(path)
+                    seen: set[int] = set()
+                    cast_schema = None
+                    col_order = None
+                    for rg_id, gtbl in iter_groups(
+                            (rb for rb in pf.iter_batches(
+                                columns=read_cols)),
+                            rowgroup_col):
+                        if skip_bc is not None and rg_id in skip_bc.value:
+                            continue
+                        if rg_id in seen:
+                            raise ValueError(
+                                f"{path}: rowgroup {rg_id} is not "
+                                "contiguous — file is not presorted by "
+                                f"{rowgroup_col}")
+                        seen.add(rg_id)
+                        if cast_schema is None:
+                            fields = [
+                                pa.field(f.name,
+                                         pa.timestamp(f.type.unit, tz="UTC")
+                                         if pa.types.is_timestamp(f.type)
+                                         and f.type.tz is not None
+                                         else f.type)
+                                for f in gtbl.schema]
+                            cast_schema = pa.schema(fields)
+                            col_order = [c for c in gtbl.column_names
+                                         if c != rowgroup_col]
+                        yield _encode_rowgroup(
+                            rg_id, gtbl.cast(cast_schema), col_order,
+                            mode, compression_order, out_pa_schema)
+                    continue
                 tbl = pq.read_table(path, columns=read_cols)
                 if keep_ids is not None:
                     tbl = tbl.filter(pc.is_in(

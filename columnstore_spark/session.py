@@ -48,11 +48,23 @@ def warmup_python_workers(spark: SparkSession) -> None:
     cluster at the north-rule scale it amortizes to nothing, so
     steady-state throughput measurements should exclude it — call this
     before the timed region (standard JVM/cluster warm-up practice).
+
+    Also pre-faults a large allocator block per worker: on this VM the
+    FIRST multi-MB numpy temporary costs 0.5-2 s in page faults
+    (measured: 4M-element astype 728 ms first call, 3.5 ms after; a
+    one-time glibc mmap->heap threshold bump + fault-in). One 8 MB
+    touch at warm-up keeps those pages on the worker's heap, so the
+    first real encode task doesn't pay the storm.
     """
     cores = spark.sparkContext.defaultParallelism
 
     def _touch(batches):
+        import numpy as np
+
         import columnstore_spark.codecs.segment  # noqa: F401
+        buf = np.empty(8_000_000, dtype=np.uint8)
+        buf.fill(1)
+        del buf
         yield from batches
 
     df = spark.range(cores * 4, numPartitions=cores * 4)

@@ -69,6 +69,35 @@ def test_one_task_per_file(spark, bucketed):
     assert encode_files(spark, paths).rdd.getNumPartitions() == len(paths)
 
 
+def test_presorted_streaming(spark, transcripts, bucketed,
+                             tmp_path_factory):
+    """Presorted mode streams batches (no full-file sort) and yields
+    the same segments as the sort-in-task path on equivalent layouts;
+    an unsorted file raises instead of emitting duplicate segments."""
+    _root, unsorted_paths = bucketed
+    root = str(tmp_path_factory.mktemp("sorted_bucketed"))
+    rg = default_rowgroup_expr(8)
+    (transcripts.withColumn("__rg", rg.cast("long"))
+     .repartition(4, "__rg")
+     .sortWithinPartitions("__rg", "conv_id", "turn_idx")
+     .write.mode("overwrite").parquet(root))
+    paths = sorted(glob.glob(os.path.join(root, "*.parquet")))
+
+    sorted_in_task = _canon(encode_files(spark, unsorted_paths))
+    streamed = _canon(encode_files(spark, paths, presorted=True))
+    assert sorted_in_task == streamed
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    bad = str(tmp_path_factory.mktemp("bad")) + "/interleaved.parquet"
+    pq.write_table(pa.table({"__rg": [0, 1, 0, 1],
+                             "conv_id": ["a", "b", "c", "d"],
+                             "turn_idx": pa.array([1, 1, 2, 2],
+                                                  type=pa.int32())}), bad)
+    with pytest.raises(Exception, match="not.*presorted|contiguous"):
+        encode_files(spark, [bad], presorted=True).collect()
+
+
 def test_resumable_direct_scan(spark, transcripts, bucketed, tmp_path):
     """Crash-resume over the file queue: first run commits a path
     subset, the resume run encodes only the missing rowgroups, a third
