@@ -69,6 +69,33 @@ def _q_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode(segs).select(TRANSCRIPT_COLS)
 
 
+def _q_encode_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-scan path (`encode_files`, presorted streaming mode):
+    the bucketed-table layout is written once per session under /tmp,
+    then encoded by worker-side pyarrow reads — one task per bucket
+    file, no JVM columnar scan — and decoded back. Oracle = the same
+    SELECT * as encode_roundtrip: the scan path must be invisible in
+    the result."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from columnstore_spark.operators import encode_files
+
+    t = load_transcripts(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cs_direct_{key}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        (t.withColumn("__rg", _rg_expr().cast("long"))
+         .repartition(4, "__rg")
+         .sortWithinPartitions("__rg", "conv_id", "turn_idx")
+         .write.mode("overwrite").parquet(root))
+    paths = sorted(glob.glob(os.path.join(root, "*.parquet")))
+    segs = encode_files(spark, paths, presorted=True)
+    return decode(segs).select(TRANSCRIPT_COLS)
+
+
 def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     segs = encode(events, order=("event_id",),
@@ -305,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "transcripts_build": _q_transcripts,
         "encode_roundtrip": _q_encode_roundtrip,
+        "encode_files_roundtrip": _q_encode_files_roundtrip,
         "events_roundtrip": _q_events_roundtrip,
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
@@ -376,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": media_resize_oracle_sql(),
         "transcripts_build": f"{t} SELECT * FROM t",
         "encode_roundtrip": f"{t} SELECT * FROM t",
+        "encode_files_roundtrip": f"{t} SELECT * FROM t",
         "events_roundtrip": "SELECT * FROM events",
         "manifest_stats": _manifest_stats_oracle(),
         "query_by_value":
