@@ -94,20 +94,17 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         # pyarrow read in the Python worker — no JVM columnar scan, no
         # JVM->Python IPC of the raw data; BENCH.md §3e). The bucketed
         # write is the ingest's job, not the encode's: untimed.
-        import glob
-
-        from columnstore_spark.operators import encode_files
-        from columnstore_spark.operators.encode import default_rowgroup_expr
-        bdir = f"{tmp}/bucketed"
-        (t.withColumn("__rg",
-                      default_rowgroup_expr(num_rowgroups).cast("long"))
-         .repartition(enc_parts, "__rg")
-         .write.mode("overwrite").parquet(bdir))
-        bpaths = sorted(glob.glob(f"{bdir}/*.parquet"))
+        from columnstore_spark.operators import (
+            encode_files,
+            write_bucketed_layout,
+        )
+        bpaths = write_bucketed_layout(t, f"{tmp}/bucketed",
+                                       num_rowgroups,
+                                       num_buckets=enc_parts)
 
         def q_encode_direct():
-            encode_files(spark, bpaths).write.mode("overwrite").parquet(
-                f"{tmp}/segments_direct")
+            encode_files(spark, bpaths, presorted=True).write.mode(
+                "overwrite").parquet(f"{tmp}/segments_direct")
 
         timings["q_encode_direct"] = _best(q_encode_direct)
 

@@ -208,6 +208,38 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
     return work.mapInArrow(encode_partition, SEGMENT_SCHEMA)
 
 
+def write_bucketed_layout(df: DataFrame, path: str,
+                          num_rowgroups: int,
+                          num_buckets: int | None = None,
+                          rows_per_segment: int = 1_000_000,
+                          order: tuple[str, ...] = ("conv_id",
+                                                    "turn_idx"),
+                          rowgroup_col: str = "__rg") -> list[str]:
+    """Write `df` as the bucketed-table layout `encode_files` consumes:
+    parquet partitioned by the salted rowgroup key (kept as
+    `rowgroup_col`), rows sorted by (key, *order) within each file so
+    the presorted streaming scan applies. Returns the bucket file
+    paths.
+
+    This is the ingest's half of the direct-scan contract. Bucket
+    count bounds the per-task working set for the NON-presorted scan
+    (whole file in memory) and the file count for scheduling; with
+    `presorted=True` downstream, task memory is one rowgroup block
+    regardless of file size, so buckets can be sized to object-store
+    block economics (BENCH.md §3e).
+    """
+    import glob
+
+    if num_buckets is None:
+        num_buckets = max(1, num_rowgroups // 8)
+    rg = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+    (df.withColumn(rowgroup_col, rg.cast("long"))
+       .repartition(num_buckets, F.col(rowgroup_col))
+       .sortWithinPartitions(rowgroup_col, *order)
+       .write.mode("overwrite").parquet(path))
+    return sorted(glob.glob(f"{path.rstrip('/')}/*.parquet"))
+
+
 def encode_files(spark, paths, rowgroup_col: str = "__rg",
                  order: tuple[str, ...] = ("conv_id", "turn_idx"),
                  mode: str = chooser.MODE_SIZE,

@@ -124,6 +124,20 @@ def test_resumable_direct_scan(spark, transcripts, bucketed, tmp_path):
     assert roundtrip_equal(transcripts, dec)["equal"]
 
 
+def test_write_bucketed_layout_end_to_end(spark, transcripts,
+                                          tmp_path_factory):
+    """The ingest helper writes exactly the layout the presorted
+    streaming scan consumes."""
+    from columnstore_spark.operators import write_bucketed_layout
+
+    root = str(tmp_path_factory.mktemp("ingest"))
+    paths = write_bucketed_layout(transcripts, root, num_rowgroups=8,
+                                  num_buckets=4)
+    assert len(paths) == 4
+    segs = encode_files(spark, paths, presorted=True)
+    assert roundtrip_equal(transcripts, decode(segs))["equal"]
+
+
 def test_missing_rowgroup_col(spark, tmp_path):
     p = str(tmp_path / "plain")
     spark.range(10).write.parquet(p)
