@@ -207,7 +207,8 @@ class Warehouse:
                                order: tuple[str, ...] = ("conv_id",
                                                          "turn_idx"),
                                mode: str = chooser.MODE_SIZE,
-                               run_id: str | None = None) -> dict:
+                               run_id: str | None = None,
+                               presorted: bool = False) -> dict:
         """Direct-scan resumable encode over a bucketed parquet layout
         (`encode_files`): the done-rowgroup queue is broadcast to the
         scan tasks, so a file whose rowgroups are all committed is
@@ -221,7 +222,8 @@ class Warehouse:
         backend = self.backend(spark)
         attempt = uuid.uuid4().hex[:12]
         segs = encode_files(spark, paths, rowgroup_col=rowgroup_col,
-                            order=order, mode=mode, skip_rowgroups=skip)
+                            order=order, mode=mode, skip_rowgroups=skip,
+                            presorted=presorted)
         # no driver-side emptiness probe: it would encode a whole file
         # just to peek; an all-done run commits zero segment rows and
         # zero manifest rows, which reads back as rowgroups_encoded=0

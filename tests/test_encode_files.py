@@ -137,6 +137,17 @@ def test_write_bucketed_layout_end_to_end(spark, transcripts,
     segs = encode_files(spark, paths, presorted=True)
     assert roundtrip_equal(transcripts, decode(segs))["equal"]
 
+    # resume composes with the streaming scan
+    from columnstore_spark.sources.warehouse import Warehouse
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh2")), format="parquet")
+    r1 = wh.encode_files_resumable(spark, paths[:2], presorted=True,
+                                   run_id="pA")
+    r2 = wh.encode_files_resumable(spark, paths, presorted=True,
+                                   run_id="pB")
+    assert r1["rowgroups_encoded"] > 0 and r2["rowgroups_encoded"] > 0
+    assert roundtrip_equal(
+        transcripts, decode(wh.committed_segments(spark)))["equal"]
+
 
 def test_missing_rowgroup_col(spark, tmp_path):
     p = str(tmp_path / "plain")
