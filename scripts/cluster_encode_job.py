@@ -62,10 +62,15 @@ def main() -> None:
             # bucket-file count bounds the per-task working set: each
             # task holds one bucket's rowgroups in flight, and streams
             # beyond ~100 MB working set thrash this host's memory
-            # hierarchy when 8 run concurrently (BENCH.md §3d)
-            (t.withColumn("__rg", rg_expr.cast("long"))
-             .repartition(buckets, "__rg")
-             .write.mode("overwrite").parquet(bdir))
+            # hierarchy when 8 run concurrently (BENCH.md §3d).
+            # write_bucketed_layout sorts rows within each bucket file,
+            # so the direct scan below can stream in presorted mode
+            # (peak task memory = one rowgroup block)
+            from columnstore_spark.operators.encode import (
+                write_bucketed_layout,
+            )
+            write_bucketed_layout(
+                t, bdir, num_rowgroups=rowgroups, num_buckets=buckets)
         t = spark.read.parquet(bdir).drop("__rg")
         rows = t.count()
     else:
@@ -82,7 +87,8 @@ def main() -> None:
 
         from columnstore_spark.operators.encode import encode_files
         paths = sorted(_glob.glob(f"{bdir}/*.parquet"))
-        segs = encode_files(spark, paths, rowgroup_col="__rg")
+        segs = encode_files(spark, paths, rowgroup_col="__rg",
+                            presorted=True)
     else:
         # 2 partitions per core: second-wave tasks smooth stragglers
         segs = encode(t, rowgroup_expr=rg_expr, num_rowgroups=rowgroups,
