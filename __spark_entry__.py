@@ -195,6 +195,27 @@ def _q_query_by_value_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "role"))
 
 
+# point-lookup key, shared by the Spark query and its oracle
+_POINT_KEY = "c000000000007"
+
+
+def _q_query_by_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup of ONE conversation via per-segment Bloom filters
+    (codecs/bloom.py): min/max bounds can't separate rowgroups on a
+    high-cardinality key whose values interleave across rowgroups, so
+    the manifest bloom is what prunes here — the store's "fetch one
+    conversation" fast path at 10^12-turn scale. Rows come off the
+    encoded form (decode_matching run clipping)."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr(),
+                  bloom_columns=("conv_id",))
+    pruned = prune_rowgroups_by_value(segs, "conv_id", _POINT_KEY,
+                                      logical_type="string")
+    return (decode_matching(pruned, "conv_id", _POINT_KEY)
+            .where(F.col("conv_id") == _POINT_KEY)
+            .select(TRANSCRIPT_COLS))
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -338,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_value": _q_query_by_value,
         "query_by_value_encoded": _q_query_by_value_encoded,
         "query_by_value_numeric": _q_query_by_value_numeric,
+        "query_by_point": _q_query_by_point,
         "query_by_range": _q_query_by_range,
         "query_by_range_encoded": _q_query_by_range_encoded,
         "query_by_range_ts": _q_query_by_range_ts,
@@ -413,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx FROM t WHERE role = 'tool'",
         "query_by_value_numeric":
             f"{t} SELECT conv_id, turn_idx, role FROM t WHERE turn_idx = 7",
+        "query_by_point":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts "
+            f"FROM t WHERE conv_id = '{_POINT_KEY}'",
         "query_by_range_encoded":
             f"{t} SELECT conv_id, turn_idx, role FROM t WHERE conv_id "
             "BETWEEN 'c000000000000' AND 'c000000000009'",

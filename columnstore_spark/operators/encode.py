@@ -63,6 +63,10 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("enc_bytes", T.LongType(), False),
     T.StructField("checksum", T.StringType(), False),
     T.StructField("encode_ms", T.DoubleType(), False),
+    # opt-in per-segment Bloom filter words (codecs/bloom.py) — point
+    # probes on high-cardinality keys (conv_id) prune rowgroups that
+    # min/max bounds can never separate; null = not built
+    T.StructField("bloom", T.ArrayType(T.LongType()), True),
 ])
 
 _SUPPORTED_SPARK = (
@@ -102,7 +106,9 @@ def default_rowgroup_expr(num_rowgroups: int,
 def _encode_rowgroup(rowgroup_id: int, tbl: pa.Table,
                      col_order: list[str], mode: str,
                      compression_order: bool,
-                     out_pa_schema: pa.Schema) -> pa.RecordBatch:
+                     out_pa_schema: pa.Schema,
+                     bloom_columns: frozenset[str] = frozenset(),
+                     ) -> pa.RecordBatch:
     """Encode one rowgroup table into its segment rows (one per column).
 
     Shared by both scan paths — JVM columnar scan (`encode`) and
@@ -110,6 +116,8 @@ def _encode_rowgroup(rowgroup_id: int, tbl: pa.Table,
     bit-identical segments by construction.
     """
     import pyarrow.compute as pc
+
+    from ..codecs.bloom import build_bloom
 
     if compression_order:
         ndv = {c: pc.count_distinct(tbl.column(c)).as_py()
@@ -121,6 +129,8 @@ def _encode_rowgroup(rowgroup_id: int, tbl: pa.Table,
         t0 = time.perf_counter()
         arr = tbl.column(name).combine_chunks()
         seg = encode_segment(arr, mode=mode)
+        blm = (build_bloom(arr, seg.logical)
+               if name in bloom_columns else None)
         ms = (time.perf_counter() - t0) * 1000.0
         st = seg.stats
         rows.append((rowgroup_id, name, idx,
@@ -130,7 +140,7 @@ def _encode_rowgroup(rowgroup_id: int, tbl: pa.Table,
                      st.max_repr, st.min_num, st.max_num,
                      st.min_flt, st.max_flt,
                      st.raw_bytes, len(seg.payload),
-                     seg.checksum, ms))
+                     seg.checksum, ms, blm))
     cols = list(zip(*rows))
     return pa.RecordBatch.from_arrays(
         [pa.array(c, type=f.type)
@@ -145,11 +155,18 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
            mode: str = chooser.MODE_SIZE,
            num_partitions: int | None = None,
            compression_order: bool = False,
-           assume_partitioned: bool = False) -> DataFrame:
+           assume_partitioned: bool = False,
+           bloom_columns: tuple[str, ...] = ()) -> DataFrame:
     """Encode `df` into the segments table (one row per rowgroup x column).
 
     One shuffle (hash on rowgroup_id); everything else is partition-local
     and Arrow-vectorized. Result schema: SEGMENT_SCHEMA.
+
+    `bloom_columns` names columns that get a per-segment Bloom filter
+    in the manifest (codecs/bloom.py) — enables rowgroup pruning for
+    point probes on high-cardinality keys (conv_id) where min/max
+    bounds can't separate rowgroups. Opt-in: building one costs a
+    dictionary hash pass per segment.
 
     `compression_order=True` re-sorts each rowgroup's ROWS by its
     columns in ascending distinct-count order before building segments
@@ -192,11 +209,14 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
             "spark.sql.shuffle.partitions"))
     out_pa_schema = arrow_schema_for(SEGMENT_SCHEMA)
 
+    bloom_cols = frozenset(bloom_columns)
+
     def encode_partition(
             batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rowgroup_id, tbl in iter_groups(batches, ROWGROUP_COL):
             yield _encode_rowgroup(rowgroup_id, tbl, col_order, mode,
-                                   compression_order, out_pa_schema)
+                                   compression_order, out_pa_schema,
+                                   bloom_cols)
 
     work = df.withColumn(ROWGROUP_COL, rowgroup_expr.cast("long"))
     if not assume_partitioned:
@@ -247,7 +267,8 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                  columns: list[str] | None = None,
                  num_tasks: int | None = None,
                  skip_rowgroups=None,
-                 presorted: bool = False) -> DataFrame:
+                 presorted: bool = False,
+                 bloom_columns: tuple[str, ...] = ()) -> DataFrame:
     """Direct-scan encode over a bucketed parquet layout: Spark
     schedules one task per bucket FILE and the Python worker reads the
     parquet itself (pyarrow), skipping the JVM columnar scan entirely.
@@ -297,6 +318,7 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
     paths = sorted(paths)
     if not paths:
         raise ValueError("encode_files: empty path list")
+    bloom_cols = frozenset(bloom_columns)
     n = num_tasks or len(paths)
     out_pa_schema = arrow_schema_for(SEGMENT_SCHEMA)
     skip_bc = (spark.sparkContext.broadcast(frozenset(skip_rowgroups))
@@ -363,7 +385,8 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                                          if c != rowgroup_col]
                         yield _encode_rowgroup(
                             rg_id, gtbl.cast(cast_schema), col_order,
-                            mode, compression_order, out_pa_schema)
+                            mode, compression_order, out_pa_schema,
+                            bloom_cols)
                     continue
                 tbl = pq.read_table(path, columns=read_cols)
                 if keep_ids is not None:
@@ -392,7 +415,7 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                         tbl.to_batches(), rowgroup_col):
                     yield _encode_rowgroup(
                         rg_id, gtbl, col_order, mode,
-                        compression_order, out_pa_schema)
+                        compression_order, out_pa_schema, bloom_cols)
 
     return pdf.mapInArrow(encode_file, SEGMENT_SCHEMA)
 

@@ -32,6 +32,15 @@ reprs is NOT order-preserving and could drop matching rowgroups):
 Segments whose bounds are NULL because every value is null
 (``n_nulls == n_rows``) can never match a non-null probe and are
 always pruned.
+
+Equality probes additionally consult the per-segment Bloom filter
+(``codecs/bloom.py``) when the manifest carries one — the only
+structure that can prune a point probe on a high-cardinality key
+whose values interleave across rowgroups (conv_id lookups), where
+min/max bounds keep everything. Blooms are equality-only; range
+probes never consult them. Segments without a stored filter are kept
+by the bloom condition itself, so it composes with the bounds test by
+plain AND.
 """
 
 from __future__ import annotations
@@ -43,6 +52,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..codecs import bloom as _bloom
 from ..codecs.stats import _REPR_CAP
 
 _INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
@@ -251,12 +261,13 @@ def _generic_cond(lo, hi, eq: bool) -> Column | None:
 
 
 _TYPED_BOUND_COLS = {"min_num": "long", "max_num": "long",
-                     "min_flt": "double", "max_flt": "double"}
+                     "min_flt": "double", "max_flt": "double",
+                     "bloom": "array<bigint>"}
 
 
 def _with_typed_bounds(df: DataFrame) -> DataFrame:
     """Back-compat shim: manifests persisted before the typed-bounds
-    columns existed get them as NULLs — every bounds condition then
+    (or bloom) columns existed get them as NULLs — every condition then
     degrades to the conservative keep-unless-all-null branch instead of
     failing analysis on the missing column."""
     have = set(df.columns)
@@ -266,10 +277,47 @@ def _with_typed_bounds(df: DataFrame) -> DataFrame:
     return df
 
 
-def _prune(segments: DataFrame, column: str, lo, hi, eq: bool,
-           logical_type: str | None) -> DataFrame:
+def _bloom_eq_cond(value, logical_type: str | None) -> Column | None:
+    """Bloom membership keep-condition for an equality probe
+    (codecs/bloom.py); None when no bloom test applies. Segments
+    without a stored filter are kept by the condition itself. With an
+    unknown logical the test dispatches on the manifest's
+    `logical_type` per row — one shared condition covers the whole
+    plain-int family because their canonical probe bytes coincide
+    (the wrapped int64 domain)."""
+    if logical_type is not None:
+        return _bloom.bloom_keep_cond(value, logical_type)
+    if isinstance(value, str):
+        families: list[list[str]] = [["string"]]
+    elif isinstance(value, (bytes, bytearray, memoryview)):
+        families = [["binary"]]
+    elif isinstance(value, (bool, int, float, np.integer, np.floating)):
+        families = [_PLAIN_INT_LOGICALS]
+    else:
+        return None
+    cond: Column = F.lit(True)
+    for logicals in families:
+        c = _bloom.bloom_keep_cond(value, logicals[0])
+        if c is not None:
+            cond = F.when(F.col("logical_type").isin(logicals), c) \
+                    .otherwise(cond)
+    return cond
+
+
+def _keep_cond(lo, hi, eq: bool, logical_type: str | None) -> Column | None:
+    """Combined bounds + bloom keep-condition; None = cannot prune."""
     cond = (_typed_cond(logical_type, lo, hi, eq)
             if logical_type is not None else _generic_cond(lo, hi, eq))
+    if eq:
+        bc = _bloom_eq_cond(lo, logical_type)
+        if bc is not None:
+            cond = bc if cond is None else cond & bc
+    return cond
+
+
+def _prune(segments: DataFrame, column: str, lo, hi, eq: bool,
+           logical_type: str | None) -> DataFrame:
+    cond = _keep_cond(lo, hi, eq, logical_type)
     if cond is None:
         return segments
     keep = (_with_typed_bounds(segments)
@@ -298,8 +346,7 @@ def prune_rowgroup_ids(manifest: DataFrame, column: str, lo, hi, eq: bool,
     non-matching segments. The driver-side list is bounded by
     `_ISIN_CAP`; larger keep-sets fall back to the semi-join form
     (`prune_rowgroups_by_*`)."""
-    cond = (_typed_cond(logical_type, lo, hi, eq)
-            if logical_type is not None else _generic_cond(lo, hi, eq))
+    cond = _keep_cond(lo, hi, eq, logical_type)
     if cond is None:
         return None
     rows = (_with_typed_bounds(manifest)

@@ -132,7 +132,8 @@ class Warehouse:
                          mode: str = chooser.MODE_SIZE,
                          run_id: str | None = None,
                          fail_after_rowgroups: int | None = None,
-                         rowgroup_offset: int = 0) -> dict:
+                         rowgroup_offset: int = 0,
+                         bloom_columns: tuple[str, ...] = ()) -> dict:
         """Encode `df` into the warehouse, skipping rowgroups already
         committed by earlier runs.
 
@@ -175,7 +176,8 @@ class Warehouse:
         # even when the caller replays the same logical run_id
         attempt = uuid.uuid4().hex[:12]
         segs = encode(work.drop("__rg"), rowgroup_expr=rg_expr,
-                      rows_per_segment=rows_per_segment, mode=mode)
+                      rows_per_segment=rows_per_segment, mode=mode,
+                      bloom_columns=bloom_columns)
         return self._commit(spark, backend, segs, run_id, attempt)
 
     def _commit(self, spark: SparkSession, backend, segs: DataFrame,

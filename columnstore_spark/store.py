@@ -113,12 +113,19 @@ class TranscriptColumnStore:
                  num_rowgroups: int = 8,
                  rows_per_segment: int = 1_000_000,
                  mode: str = chooser.MODE_SIZE,
-                 format: str = "auto"):
+                 format: str = "auto",
+                 bloom_columns: tuple[str, ...] = ("conv_id",)):
         self.spark = spark
         self.root = root.rstrip("/")
         self.num_rowgroups = num_rowgroups
         self.rows_per_segment = rows_per_segment
         self.mode = mode
+        # per-segment Bloom filters on these columns (codecs/bloom.py):
+        # point probes on the store's high-cardinality key prune
+        # rowgroups min/max bounds can't separate. conv_id by default —
+        # "fetch one conversation" is the store's primary point lookup.
+        # Names absent from an ingested frame are simply never built.
+        self.bloom_columns = tuple(bloom_columns)
         self._format = format
         self._generation = self._latest_generation()
         self.warehouse = Warehouse(self._gen_root(), format=format)
@@ -186,7 +193,8 @@ class TranscriptColumnStore:
                 df, num_rowgroups=self.num_rowgroups,
                 rows_per_segment=self.rows_per_segment, mode=self.mode,
                 run_id=name,
-                rowgroup_offset=batch_idx << _BATCH_SHIFT)
+                rowgroup_offset=batch_idx << _BATCH_SHIFT,
+                bloom_columns=self.bloom_columns)
             compacted += 1
         return compacted
 
@@ -253,7 +261,7 @@ class TranscriptColumnStore:
         staged.encode_resumable(
             all_rows, num_rowgroups=num_rowgroups or 1,
             rows_per_segment=self.rows_per_segment, mode=self.mode,
-            run_id="rebuild")
+            run_id="rebuild", bloom_columns=self.bloom_columns)
         # every existing delta batch is now solid in this generation;
         # written BEFORE the commit point so retirement commits
         # atomically with the generation itself
