@@ -146,6 +146,27 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_query_by_value_encoded"] = _best(q_query_by_value_encoded)
 
+        # q_query_by_point — fetch ONE conversation by key: the bloom-
+        # bearing manifest prunes rowgroups min/max bounds can't
+        # separate (codecs/bloom.py), then run-clipped gathers pull
+        # just that conversation's rows. The bloom encode is the
+        # ingest's cost, untimed here (its build adds ~ms/segment).
+        bloom_path = f"{tmp}/segments_bloom"
+        encode(t, num_rowgroups=num_rowgroups, mode=chooser.MODE_SIZE,
+               num_partitions=enc_parts, bloom_columns=("conv_id",)
+               ).write.mode("overwrite").parquet(bloom_path)
+        bloom_segs = spark.read.parquet(bloom_path)
+        point_key = t.select("conv_id").first()["conv_id"]
+
+        def q_query_by_point():
+            pruned = prune_rowgroups_by_value(bloom_segs, "conv_id",
+                                              point_key,
+                                              logical_type="string")
+            _noop(decode_matching(pruned, "conv_id", point_key)
+                  .where(F.col("conv_id") == point_key))
+
+        timings["q_query_by_point"] = _best(q_query_by_point)
+
         # q_compression_summary — per-column codec/bytes rollup
         timings["q_compression_summary"] = _best(
             lambda: _noop(manifest_of(segs_on_disk).groupBy("column")
