@@ -54,6 +54,22 @@ def test_bit_identical_to_jvm_scan(spark, bucketed):
     assert a == b
 
 
+def test_bloom_parity_across_scan_paths(spark, bucketed):
+    # the opt-in bloom words must be identical across the two scan
+    # paths too (same dictionary -> same bits, insertion-order-free)
+    root, paths = bucketed
+    jvm = (encode(spark.read.parquet(root), rowgroup_expr=F.col("__rg"),
+                  bloom_columns=("conv_id",))
+           .where(F.col("column") == "conv_id")
+           .select("rowgroup_id", "bloom").collect())
+    direct = (encode_files(spark, paths, bloom_columns=("conv_id",))
+              .where(F.col("column") == "conv_id")
+              .select("rowgroup_id", "bloom").collect())
+    a = sorted((r["rowgroup_id"], tuple(r["bloom"])) for r in jvm)
+    b = sorted((r["rowgroup_id"], tuple(r["bloom"])) for r in direct)
+    assert a == b and all(w for _, w in a)
+
+
 def test_roundtrip_and_projection(spark, transcripts, bucketed):
     _root, paths = bucketed
     segs = encode_files(spark, paths)
