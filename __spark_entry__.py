@@ -211,7 +211,11 @@ def _q_query_by_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                   bloom_columns=("conv_id",))
     pruned = prune_rowgroups_by_value(segs, "conv_id", _POINT_KEY,
                                       logical_type="string")
-    return (decode_matching(pruned, "conv_id", _POINT_KEY)
+    # explicit schema: an absent key legitimately prunes EVERY rowgroup
+    # (that's the bloom working) and the result must then be an empty
+    # frame of the right shape, not a schema-inference failure
+    return (decode_matching(pruned, "conv_id", _POINT_KEY,
+                            schema=t.schema)
             .where(F.col("conv_id") == _POINT_KEY)
             .select(TRANSCRIPT_COLS))
 

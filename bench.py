@@ -82,9 +82,15 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         enc_parts = int(os.environ.get("SPARK_GRAFT_ENCODE_PARTITIONS",
                                        str(min(cpus, 12))))
 
+        # bloom_columns: the production ingest builds the conv_id
+        # point-lookup bloom at encode time (codecs/bloom.py) — its
+        # build is a per-segment dictionary hash pass, ~1-2 ms against
+        # ~90 ms of codec work, so it belongs inside the timed encode
+        # rather than a separate untimed pass
         def q_encode():
             segs = encode(t, num_rowgroups=num_rowgroups,
-                          mode=chooser.MODE_SIZE, num_partitions=enc_parts)
+                          mode=chooser.MODE_SIZE, num_partitions=enc_parts,
+                          bloom_columns=("conv_id",))
             segs.write.mode("overwrite").parquet(seg_path)
 
         timings["q_encode"] = _best(q_encode)
@@ -147,22 +153,17 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         timings["q_query_by_value_encoded"] = _best(q_query_by_value_encoded)
 
         # q_query_by_point — fetch ONE conversation by key: the bloom-
-        # bearing manifest prunes rowgroups min/max bounds can't
-        # separate (codecs/bloom.py), then run-clipped gathers pull
-        # just that conversation's rows. The bloom encode is the
-        # ingest's cost, untimed here (its build adds ~ms/segment).
-        bloom_path = f"{tmp}/segments_bloom"
-        encode(t, num_rowgroups=num_rowgroups, mode=chooser.MODE_SIZE,
-               num_partitions=enc_parts, bloom_columns=("conv_id",)
-               ).write.mode("overwrite").parquet(bloom_path)
-        bloom_segs = spark.read.parquet(bloom_path)
+        # bearing manifest (built by q_encode's segments) prunes
+        # rowgroups min/max bounds can't separate (codecs/bloom.py),
+        # then run-clipped gathers pull just that conversation's rows.
         point_key = t.select("conv_id").first()["conv_id"]
 
         def q_query_by_point():
-            pruned = prune_rowgroups_by_value(bloom_segs, "conv_id",
+            pruned = prune_rowgroups_by_value(segs_on_disk, "conv_id",
                                               point_key,
                                               logical_type="string")
-            _noop(decode_matching(pruned, "conv_id", point_key)
+            _noop(decode_matching(pruned, "conv_id", point_key,
+                                  schema=t.schema)
                   .where(F.col("conv_id") == point_key))
 
         timings["q_query_by_point"] = _best(q_query_by_point)

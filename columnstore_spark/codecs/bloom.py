@@ -93,10 +93,18 @@ def canon_bytes(value, logical: str) -> bytes | None:
             value = int(value)
         if isinstance(value, (int, np.integer)):
             return struct.pack("<q", _wrap64(int(value)))
-        if isinstance(value, float) and not isinstance(value, bool):
+        if isinstance(value, (float, np.floating)):
+            value = float(value)
             if value != value or value in (float("inf"), float("-inf")):
                 return None
-            if float(int(value)) == value:
+            # Spark compares by casting the COLUMN to double; below
+            # 2^53 integral doubles <-> int64 is a bijection so the
+            # probe identifies exactly one stored key. At |p| >= 2^53
+            # MANY stored ints collapse onto one double (and int(p)
+            # may not even be among the ones Spark matches) — no
+            # single key to hash, so no bloom test (bounds still
+            # prune conservatively).
+            if abs(value) < float(1 << 53) and float(int(value)) == value:
                 return struct.pack("<q", _wrap64(int(value)))
         return None
     return None

@@ -32,11 +32,18 @@ _FALLBACK = {
 }
 
 
+def _fallback_type(dt: T.DataType) -> pa.DataType:
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_fallback_type(dt.elementType))
+    return _FALLBACK[dt]
+
+
 def arrow_schema_for(schema: T.StructType) -> pa.Schema:
     """The Arrow schema Spark expects from a mapInArrow output batch."""
     if _to_arrow_schema is not None:
         return _to_arrow_schema(schema)
-    return pa.schema([(f.name, _FALLBACK[f.dataType]) for f in schema.fields])
+    return pa.schema([(f.name, _fallback_type(f.dataType))
+                      for f in schema.fields])
 
 
 def iter_groups(batches: Iterator[pa.RecordBatch],

@@ -295,13 +295,13 @@ def _bloom_eq_cond(value, logical_type: str | None) -> Column | None:
         families = [_PLAIN_INT_LOGICALS]
     else:
         return None
-    cond: Column = F.lit(True)
+    cond: Column | None = None
     for logicals in families:
         c = _bloom.bloom_keep_cond(value, logicals[0])
         if c is not None:
             cond = F.when(F.col("logical_type").isin(logicals), c) \
-                    .otherwise(cond)
-    return cond
+                    .otherwise(cond if cond is not None else F.lit(True))
+    return cond  # None = no family test applies (contract: cannot prune)
 
 
 def _keep_cond(lo, hi, eq: bool, logical_type: str | None) -> Column | None:

@@ -48,13 +48,20 @@ class ParquetBackend:
         self.segments_path = f"{self.root}/segments"
         self.manifest_path = f"{self.root}/manifest"
 
+    # mergeSchema: a warehouse written across engine versions may mix
+    # files with and without later additive nullable columns (e.g. the
+    # bloom words); without it Spark picks one file's schema
+    # nondeterministically. Footer-merge cost is trivial at warehouse
+    # file counts (one file per commit attempt).
     def read_segments(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.segments_path)
+        return spark.read.option("mergeSchema", "true").parquet(
+            self.segments_path)
 
     def read_manifest(self, spark: SparkSession) -> DataFrame | None:
         from pyspark.errors import AnalysisException
         try:
-            return spark.read.parquet(self.manifest_path)
+            return spark.read.option("mergeSchema", "true").parquet(
+                self.manifest_path)
         except AnalysisException as e:
             # only "no manifest yet" maps to None; a corrupt or
             # unreadable manifest must SURFACE — silently treating it
@@ -111,6 +118,18 @@ class IcebergBackend:
 
     def _append(self, df: DataFrame, table: str) -> None:
         if self._exists(df.sparkSession, table):
+            # DSv2 append rejects columns the target table lacks. A
+            # table created before an additive, NULLABLE schema column
+            # existed (e.g. the bloom words) must keep accepting
+            # appends: drop the extra columns — conservative by
+            # construction, since every reader treats their absence as
+            # "feature not stored" (pruning keeps, shims add NULLs).
+            # Parquet dirs merge mixed schemas natively; this keeps the
+            # two backends behaviorally identical.
+            have = set(df.sparkSession.read.table(table).columns)
+            extra = [c for c in df.columns if c not in have]
+            if extra:
+                df = df.drop(*extra)
             df.writeTo(table).append()
         else:
             df.writeTo(table).create()

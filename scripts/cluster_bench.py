@@ -167,7 +167,9 @@ def main() -> None:
     finally:
         stop_cluster(workdir)
 
-    eff = r4N["throughput_gbps"] / (4 * rN["throughput_gbps"])
+    # from walls, not the JSON's rounded throughputs: identical input
+    # means thr_4N/(4*thr_N) == wall_N/(4*wall_4N) exactly
+    eff = rN["wall_s"] / (4 * r4N["wall_s"])
     result = {"N_1_executor": rN, "4N_4_executors": r4N,
               "scaling_efficiency": round(eff, 3),
               "all_runs": {

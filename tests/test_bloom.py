@@ -63,6 +63,18 @@ def test_ndv_cap_and_unbloomable_logicals_store_null():
     assert build_bloom(pa.array([None], type=pa.string()), "string") is None
 
 
+def test_float_probes_stop_at_double_exactness_boundary():
+    # Spark compares int col vs double probe by casting the COLUMN to
+    # double; above 2^53 many ints collapse onto one double, so a
+    # bloom keyed on int(probe) could prune rows Spark matches. The
+    # canonical encoding must refuse those probes (None -> no bloom
+    # test, bounds only).
+    assert canon_bytes(float(2**53), "int64") is None
+    assert canon_bytes(9.223372036854776e18, "int64") is None
+    assert canon_bytes(float(2**53 - 1), "int64") is not None
+    assert canon_bytes(-float(2**53), "int64") is None
+
+
 def test_int_family_shares_wrapped_int64_encoding():
     # build on uint64 values above int64 max; probe with the wrapped int
     arr = pa.array([2**64 - 1, 7], type=pa.uint64())
@@ -150,6 +162,21 @@ def test_pre_bloom_manifest_keeps_working(bloom_segments, spark):
     pruned = prune_rowgroups_by_value(legacy, "conv_id", key,
                                       logical_type="string")
     assert pruned.select("rowgroup_id").distinct().count() > 0
+
+
+def test_absent_key_yields_empty_frame_not_crash(bloom_segments, spark):
+    # full pruning (the bloom refuting an absent key) must produce an
+    # EMPTY result of the right schema, not a schema-inference failure
+    t, segs, _ = bloom_segments
+    from columnstore_spark.operators import decode_matching
+    pruned = prune_rowgroups_by_value(segs, "conv_id",
+                                      "no_such_conversation_zzz",
+                                      logical_type="string")
+    out = (decode_matching(pruned, "conv_id", "no_such_conversation_zzz",
+                           schema=t.schema)
+           .where(F.col("conv_id") == "no_such_conversation_zzz"))
+    assert out.count() == 0
+    assert out.columns == t.columns
 
 
 # ------------------------------------------------------------- facade
