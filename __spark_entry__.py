@@ -220,6 +220,46 @@ def _q_query_by_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(TRANSCRIPT_COLS))
 
 
+def _q_query_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive multi-column query (facade `store.query_where`):
+    the per-predicate manifest keep-sets INTERSECT before any payload
+    read — the conv_id point consults the per-segment Bloom filter,
+    role the dictionary bounds, turn_idx the typed numeric bounds —
+    then one encoded-form probe runs and every predicate is re-applied
+    as Spark's own filter."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr(), bloom_columns=("conv_id",))
+    pruned = prune_rowgroups_by_value(segs, "conv_id", _POINT_KEY,
+                                      logical_type="string")
+    pruned = prune_rowgroups_by_value(pruned, "role", "assistant",
+                                      logical_type="string")
+    pruned = prune_rowgroups_by_range(pruned, "turn_idx", 3, 30,
+                                      logical_type="int32")
+    return (decode_matching(pruned, "conv_id", _POINT_KEY, schema=t.schema)
+            .where((F.col("conv_id") == _POINT_KEY)
+                   & (F.col("role") == "assistant")
+                   & F.col("turn_idx").between(3, 30))
+            .select(TRANSCRIPT_COLS))
+
+
+def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX/SUM per column answered from manifest stats only
+    (`operators/aggregate.py` — the reference's typed stats tree
+    `Sequences/Stats.cs:3` rolled up store-wide): the payload is never
+    decoded, so at warehouse scale this reads kilobytes of metadata.
+    Integer-family bounds/sums are in the stored domain (ts: epoch
+    microseconds); string bounds are 64-char prefixes of the true
+    min/max; sums travel as exact DECIMAL(38,0) rendered to string."""
+    from columnstore_spark.operators.aggregate import aggregate_segments
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return (aggregate_segments(segs)
+            .select("col_name", "n_segments", "n_rows", "n_values",
+                    "n_nulls", "min_long", "max_long",
+                    F.col("sum_dec").cast("string").alias("sum_str"),
+                    "min_str", "max_str"))
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -367,7 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_range": _q_query_by_range,
         "query_by_range_encoded": _q_query_by_range_encoded,
         "query_by_range_ts": _q_query_by_range_ts,
+        "query_where": _q_query_where,
         "query_by_window": _q_query_by_window,
+        "agg_pushdown": _q_agg_pushdown,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -414,6 +456,37 @@ LEFT JOIN (
             f"b AS (SELECT t.*, {_RG_SQL} AS rowgroup_id FROM t)\n{union}")
 
 
+def _agg_pushdown_oracle() -> str:
+    """Recompute the manifest-only aggregates from the raw rows: counts
+    for every column; min/max/sum in the stored domain for the int
+    family (ts -> epoch microseconds; sums as exact DECIMAL(38,0)
+    rendered to string); 64-char-prefix bounds for strings."""
+    ns = f"(SELECT COUNT(DISTINCT {_RG_SQL}) FROM t)"
+    rows = []
+    for c in TRANSCRIPT_COLS:
+        if c == "turn_idx":
+            mn, mx = f"CAST(min({c}) AS BIGINT)", f"CAST(max({c}) AS BIGINT)"
+            sm = f"CAST(CAST(sum({c}) AS DECIMAL(38,0)) AS VARCHAR)"
+            lo = hi = "CAST(NULL AS VARCHAR)"
+        elif c == "ts":
+            mn, mx = "epoch_us(min(ts))", "epoch_us(max(ts))"
+            sm = "CAST(CAST(sum(epoch_us(ts)) AS DECIMAL(38,0)) AS VARCHAR)"
+            lo = hi = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS BIGINT)"
+            sm = "CAST(NULL AS VARCHAR)"
+            lo, hi = (f"CAST(substr(min({c}), 1, 64) AS VARCHAR)",
+                      f"CAST(substr(max({c}), 1, 64) AS VARCHAR)")
+        rows.append(
+            f"SELECT '{c}' AS col_name, CAST({ns} AS BIGINT) AS n_segments, "
+            f"count(*) AS n_rows, count({c}) AS n_values, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"{mn} AS min_long, {mx} AS max_long, {sm} AS sum_str, "
+            f"{lo} AS min_str, {hi} AS max_str FROM t")
+    selects = "\nUNION ALL\n".join(rows)
+    return f"WITH t AS ({TRANSCRIPTS_SQL})\n{selects}"
+
+
 def oracle_sql() -> dict[str, str]:
     from columnstore_spark.functions.pipeline import (
         media_decode_oracle_sql,
@@ -458,6 +531,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_RG_SQL} = {_WIN_RG} "
             f"ORDER BY conv_id, turn_idx "
             f"LIMIT {_WIN_LEN} OFFSET {_WIN_START}",
+        "query_where":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "
+            "AND turn_idx BETWEEN 3 AND 30",
+        "agg_pushdown": _agg_pushdown_oracle(),
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from . import bitpack, chooser, constant, dictrle, forpack, fsst, plain, sequential
 from . import values as V
-from .stats import SegmentStats, collect
+from .stats import SegmentStats, _exact_sum_i64, _exact_sum_u64, collect
 
 FLAG_HAS_NULLS = 1
 
@@ -322,7 +322,10 @@ def _collect_decimal128(words: np.ndarray, n_total: int,
         # typed bounds only when the unscaled range fits the manifest's
         # int64 columns; wider segments fall back to no-op pruning
         min_num=mn if in64 else None,
-        max_num=mx if in64 else None)
+        max_num=mx if in64 else None,
+        # exact unscaled sum: hi words signed * 2^64 + lo words unsigned
+        sum_repr=str((_exact_sum_i64(words[:, 1]) << 64)
+                     + _exact_sum_u64(words[:, 0].view(np.uint64))))
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,16 @@ class SegmentStats:
     # such segments stay unprunable) or the logical isn't float
     min_flt: float | None = None
     max_flt: float | None = None
+    # exact stored-domain sum of the non-null values as a decimal
+    # string (int family: the int64 view; decimals: UNSCALED units;
+    # timestamps/dates: epoch units) — the manifest-only aggregate
+    # pushdown (`operators/aggregate.py`) rolls these up so
+    # COUNT/MIN/MAX/SUM never touch a payload byte. None when the
+    # logical has no exact integer sum (floats: order-dependent;
+    # strings/binary/nested: undefined; uint64 above int64: the stored
+    # domain wraps) — the rollup then reports unknown, never a wrong
+    # number.
+    sum_repr: str | None = None
     # transient artifacts reused by the dict codec (not serialized)
     codes: np.ndarray | None = field(default=None, repr=False)
     uniques: object | None = field(default=None, repr=False)
@@ -64,6 +74,23 @@ _INT64_MAX = (1 << 63) - 1
 def _repr(v) -> str:
     s = str(v)
     return s[:_REPR_CAP]
+
+
+def _exact_sum_i64(iv: np.ndarray) -> int:
+    """Exact Python-int sum of an int64 array, overflow-free for any
+    segment below 2^31 rows: per-element split iv = (iv >> 32)*2^32 +
+    (iv & 0xffffffff); each partial sum fits its accumulator."""
+    hi = int((iv >> 32).sum(dtype=np.int64))
+    lo = int((iv & np.int64(0xFFFFFFFF)).astype(np.uint64)
+             .sum(dtype=np.uint64))
+    return (hi << 32) + lo
+
+
+def _exact_sum_u64(uv: np.ndarray) -> int:
+    """Exact Python-int sum of a uint64 array (same 32-bit split)."""
+    hi = int((uv >> np.uint64(32)).sum(dtype=np.uint64))
+    lo = int((uv & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+    return (hi << 32) + lo
 
 
 def collect(vals, logical: str, n_total: int, n_nulls: int) -> SegmentStats:
@@ -115,6 +142,7 @@ def collect(vals, logical: str, n_total: int, n_nulls: int) -> SegmentStats:
             # wrap in that view, so their bounds are unusable
             if logical != "uint64" or int(vals.max()) <= _INT64_MAX:
                 st.min_num, st.max_num = st.int_min, st.int_max
+                st.sum_repr = str(_exact_sum_i64(iv))
         else:
             st.min_repr = _repr(vals.min())
             st.max_repr = _repr(vals.max())

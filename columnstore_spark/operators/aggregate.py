@@ -1,0 +1,107 @@
+"""Manifest-only aggregate pushdown — COUNT / MIN / MAX / SUM answered
+from per-segment statistics without touching a payload byte.
+
+This is the warehouse-scale use of the reference's typed stats tree
+(`/root/reference/Outcompute.ColumnStore/Sequences/Stats.cs:3` —
+`record Stats<T>(int Count, int DefaultCount, T Min, T Max)`, rolled up
+from per-segment to per-rowgroup to per-store exactly as the reference's
+`RowGroupStats`/`ColumnSegmentStats` nest): the per-segment stats the
+encoder already computed ARE the aggregate, so at 100 TB the query reads
+kilobytes of manifest instead of terabytes of payload. The only Spark
+work is a partial-aggregated groupBy over manifest rows (one row per
+rowgroup x column), shuffled on ~n_columns keys.
+
+Soundness contract — UNKNOWN beats WRONG:
+
+* every stat rolls up only when EVERY segment holding non-null values
+  contributes it; one non-empty segment with a missing/unusable stat
+  makes the whole answer NULL (unknown), never a partial number.
+* integer family (ints, bool, timestamps/dates in epoch units,
+  decimals in UNSCALED units): `min_long`/`max_long`/`sum_dec` in the
+  stored int64 domain. Sums come from exact decimal-string per-segment
+  sums (`stats.SegmentStats.sum_repr`) accumulated as DECIMAL(38,0).
+* floats: `min_dbl`/`max_dbl`; NaN-bearing segments carry null bounds
+  and poison the rollup (NaN sits outside ordered comparisons). No
+  float sum — order-dependent rounding makes it inexact by nature.
+* strings: `min_str`/`max_str` are the first-64-char PREFIXES of the
+  true bounds (stats reprs truncate at `_REPR_CAP`; truncation is
+  order-preserving, so min-of-truncations == truncation-of-min), gated
+  to pure-ASCII reprs where Arrow's UTF-8-byte order, Java's UTF-16
+  order, and Python's code-point order all agree.
+* COUNT(*) / COUNT(col) / COUNT nulls are always exact for every type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.pruning import _ASCII_RE, _with_typed_bounds
+
+_INT_FAMILY = ("int8", "int16", "int32", "int64", "uint8", "uint16",
+               "uint32", "uint64", "bool", "timestamp_s", "timestamp_ms",
+               "timestamp_us", "timestamp_ns", "date32")
+
+_SUM_DEC = "decimal(38,0)"
+
+
+def _missing(flag: Column) -> Column:
+    """1 when any non-empty segment trips `flag` (aggregated with max)."""
+    nonempty = F.col("n_rows") > F.col("n_nulls")
+    return F.max(F.when(nonempty & flag, F.lit(1)).otherwise(F.lit(0)))
+
+
+def aggregate_segments(segments: DataFrame,
+                       columns: list[str] | None = None) -> DataFrame:
+    """Per-column COUNT/MIN/MAX/SUM from manifest stats only.
+
+    Accepts the segments table or the manifest (payload never
+    referenced — Catalyst prunes it from the scan). Returns one row per
+    column: (col_name, logical_type, n_segments, n_rows, n_values,
+    n_nulls, min_long, max_long, min_dbl, max_dbl, min_str, max_str,
+    sum_dec) with the domain/NULL semantics in the module docstring.
+    """
+    m = _with_typed_bounds(segments)
+    if columns is not None:
+        m = m.where(F.col("column").isin(list(columns)))
+
+    sum_cast = F.col("sum_repr").cast(_SUM_DEC)
+    non_ascii = lambda c: ~F.col(c).rlike(_ASCII_RE)  # noqa: E731
+    agg = (m.groupBy(F.col("column").alias("col_name"))
+           .agg(F.first("logical_type").alias("logical_type"),
+                F.count(F.lit(1)).alias("n_segments"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum(F.col("n_rows") - F.col("n_nulls")).alias("n_values"),
+                F.sum("n_nulls").alias("n_nulls"),
+                F.min("min_num").alias("_min_num"),
+                F.max("max_num").alias("_max_num"),
+                F.min("min_flt").alias("_min_flt"),
+                F.max("max_flt").alias("_max_flt"),
+                F.min("min_repr").alias("_min_str"),
+                F.max("max_repr").alias("_max_str"),
+                F.sum(sum_cast).alias("_sum"),
+                _missing(F.col("min_num").isNull()).alias("_miss_num"),
+                _missing(F.col("min_flt").isNull()).alias("_miss_flt"),
+                _missing(F.col("min_repr").isNull()
+                         | non_ascii("min_repr")
+                         | non_ascii("max_repr")).alias("_miss_str"),
+                # missing sum: absent, or present but outside
+                # DECIMAL(38,0) (cast yields null)
+                _missing(F.col("sum_repr").isNull()
+                         | sum_cast.isNull()).alias("_miss_sum")))
+
+    lt = F.col("logical_type")
+    known = lambda miss, c: F.when(F.col(miss) == 0, c)  # noqa: E731
+    return agg.select(
+        "col_name", "logical_type", "n_segments", "n_rows", "n_values",
+        "n_nulls",
+        known("_miss_num", F.col("_min_num")).alias("min_long"),
+        known("_miss_num", F.col("_max_num")).alias("max_long"),
+        known("_miss_flt", F.col("_min_flt")).alias("min_dbl"),
+        known("_miss_flt", F.col("_max_flt")).alias("max_dbl"),
+        F.when((lt == "string") & (F.col("_miss_str") == 0),
+               F.col("_min_str")).alias("min_str"),
+        F.when((lt == "string") & (F.col("_miss_str") == 0),
+               F.col("_max_str")).alias("max_str"),
+        known("_miss_sum", F.col("_sum")).alias("sum_dec"),
+    )

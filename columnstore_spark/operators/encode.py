@@ -67,6 +67,11 @@ SEGMENT_SCHEMA = T.StructType([
     # probes on high-cardinality keys (conv_id) prune rowgroups that
     # min/max bounds can never separate; null = not built
     T.StructField("bloom", T.ArrayType(T.LongType()), True),
+    # exact stored-domain sum of the segment's non-null values as a
+    # decimal string (stats.py SegmentStats.sum_repr) — rolls up into
+    # the manifest-only COUNT/MIN/MAX/SUM pushdown
+    # (operators/aggregate.py); null = no exact integer sum exists
+    T.StructField("sum_repr", T.StringType(), True),
 ])
 
 _SUPPORTED_SPARK = (
@@ -140,7 +145,7 @@ def _encode_rowgroup(rowgroup_id: int, tbl: pa.Table,
                      st.max_repr, st.min_num, st.max_num,
                      st.min_flt, st.max_flt,
                      st.raw_bytes, len(seg.payload),
-                     seg.checksum, ms, blm))
+                     seg.checksum, ms, blm, st.sum_repr))
     cols = list(zip(*rows))
     return pa.RecordBatch.from_arrays(
         [pa.array(c, type=f.type)

@@ -262,7 +262,7 @@ def _generic_cond(lo, hi, eq: bool) -> Column | None:
 
 _TYPED_BOUND_COLS = {"min_num": "long", "max_num": "long",
                      "min_flt": "double", "max_flt": "double",
-                     "bloom": "array<bigint>"}
+                     "bloom": "array<bigint>", "sum_repr": "string"}
 
 
 def _with_typed_bounds(df: DataFrame) -> DataFrame:

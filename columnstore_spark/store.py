@@ -305,6 +305,18 @@ class TranscriptColumnStore:
                      F.sum("raw_bytes").alias("raw_bytes"),
                      F.sum("enc_bytes").alias("enc_bytes")))
 
+    def aggregate(self, columns: list[str] | None = None) -> DataFrame:
+        """COUNT/MIN/MAX/SUM per column answered from the manifest
+        alone (`operators/aggregate.py`): at warehouse scale the query
+        reads kilobytes of stats instead of the payload. Unknown beats
+        wrong — any non-empty segment missing a stat nulls that
+        aggregate. Integer-family bounds/sums are in the STORED domain
+        (epoch units, unscaled decimal units); string bounds are
+        64-char prefixes of the true min/max."""
+        from .operators.aggregate import aggregate_segments
+        return aggregate_segments(self._manifest_or_raise(),
+                                  columns=columns)
+
     # -- queries (S3/S4) -----------------------------------------------------
 
     def _manifest_or_raise(self) -> DataFrame:
@@ -385,6 +397,74 @@ class TranscriptColumnStore:
         return (decode_matching_range(pruned, column, lo, hi,
                                       schema=schema_from_segments(m))
                 .where(F.col(column).between(F.lit(lo), F.lit(hi))))
+
+    def query_where(self, predicates: dict[str, object]) -> DataFrame:
+        """Conjunctive (AND) multi-column query: `{column: probe}` where
+        a 2-tuple probe means an inclusive range and anything else an
+        equality. The reference composes `QueryByValue` one predicate at
+        a time (`ColumnSegment.cs:38-92`); at warehouse scale the win of
+        doing them together is pruning: each predicate's keep-set is
+        evaluated on the MANIFEST and the sets are INTERSECTED before
+        any payload is read — equality probes AND their per-segment
+        Bloom tests, so a conjunction on (conv_id, role) reads only
+        rowgroups that pass both filters.
+
+        Within the survivors, the most selective kernel-safe predicate
+        (smallest keep-set) runs on the encoded form
+        (`decode_matching[_range]`); every predicate is then re-applied
+        as Spark's own filter, so result semantics are exactly the
+        DataFrame conjunction's."""
+        if not predicates:
+            raise ValueError("query_where needs at least one predicate")
+        m = self._manifest_or_raise()
+        segs = self.warehouse.committed_segments(self.spark)
+        norm: list[tuple[str, object, object, bool, str]] = []
+        for col, probe in predicates.items():
+            if isinstance(probe, tuple) and len(probe) == 2:
+                lo, hi, eq = _naive_utc(probe[0]), _naive_utc(probe[1]), False
+            else:
+                lo = hi = _naive_utc(probe)
+                eq = True
+            norm.append((col, lo, hi, eq, self._logical_type(m, col) or ""))
+
+        # intersect manifest keep-sets; columns whose id-list form is
+        # unavailable (unprunable, or keep-set beyond the IN-list cap)
+        # chain the semi-join form instead — same predicate, any scale
+        ids: set[int] | None = None
+        sizes: dict[str, float] = {}
+        for col, lo, hi, eq, lt in norm:
+            s = prune_rowgroup_ids(m, col, lo, hi, eq, logical_type=lt)
+            if s is None:
+                sizes[col] = float("inf")
+                prune = (prune_rowgroups_by_value if eq
+                         else prune_rowgroups_by_range)
+                args = (lo,) if eq else (lo, hi)
+                segs = prune(segs, col, *args, logical_type=lt)
+            else:
+                sizes[col] = len(s)
+                ids = set(s) if ids is None else ids & set(s)
+        if ids is not None:
+            segs = segs.where(F.col("rowgroup_id").isin(sorted(ids)))
+
+        schema = schema_from_segments(m)
+        best = None  # most selective kernel-safe predicate
+        for col, lo, hi, eq, lt in sorted(norm, key=lambda p: sizes[p[0]]):
+            safe = (_kernel_safe_probe(lt, lo) if eq
+                    else not (lt.startswith("nested:") or lt == "binary"))
+            if safe:
+                best = (col, lo, hi, eq)
+                break
+        if best is None:
+            out = decode(segs, schema=schema)
+        elif best[3]:
+            out = decode_matching(segs, best[0], best[1], schema=schema)
+        else:
+            out = decode_matching_range(segs, best[0], best[1], best[2],
+                                        schema=schema)
+        for col, lo, hi, eq, _lt in norm:
+            out = out.where(F.col(col) == F.lit(lo) if eq
+                            else F.col(col).between(F.lit(lo), F.lit(hi)))
+        return out
 
     def query_by_window(self, rowgroup_id: int, start: int,
                         length: int) -> DataFrame:

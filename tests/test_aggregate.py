@@ -1,0 +1,127 @@
+"""Manifest-only aggregate pushdown (`operators/aggregate.py`):
+COUNT/MIN/MAX/SUM from per-segment stats with the unknown-beats-wrong
+NULL contract — the store-wide rollup of the reference's typed stats
+tree (`Sequences/Stats.cs:3`)."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnstore_spark.operators import encode
+from columnstore_spark.operators.aggregate import aggregate_segments
+
+
+def _rg():
+    return F.pmod(F.xxhash64("conv_id"), F.lit(2))
+
+
+def _agg(spark, rows, schema, **enc):
+    df = spark.createDataFrame(rows, schema)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",), **enc)
+    out = aggregate_segments(segs)
+    return {r["col_name"]: r.asDict() for r in out.collect()}
+
+
+SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("v", T.LongType(), True),
+])
+
+
+def test_int_counts_bounds_sum(spark):
+    rows = [(f"c{i:03d}", (i * 7 - 50) if i % 3 else None)
+            for i in range(40)]
+    a = _agg(spark, rows, SCHEMA)["v"]
+    vals = [v for _, v in rows if v is not None]
+    assert a["n_rows"] == 40
+    assert a["n_nulls"] == 40 - len(vals)
+    assert a["n_values"] == len(vals)
+    assert a["min_long"] == min(vals)
+    assert a["max_long"] == max(vals)
+    assert a["sum_dec"] == Decimal(sum(vals))
+    assert a["min_str"] is None and a["min_dbl"] is None
+
+
+def test_string_prefix_bounds(spark):
+    long_min = "aa" + "x" * 100   # beyond the 64-char repr cap
+    rows = [("c1", long_min), ("c2", "zz-top"), ("c3", None)]
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("v", T.StringType(), True)])
+    a = _agg(spark, rows, sch)["v"]
+    assert a["min_str"] == long_min[:64]   # truncation preserves order
+    assert a["max_str"] == "zz-top"
+    assert a["min_long"] is None and a["sum_dec"] is None
+
+
+def test_nonascii_string_bounds_unknown(spark):
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("v", T.StringType(), True)])
+    a = _agg(spark, [("c1", "café"), ("c2", "abc")], sch)["v"]
+    # UTF-8-byte vs UTF-16 vs code-point orders can disagree: unknown
+    assert a["min_str"] is None and a["max_str"] is None
+    assert a["n_values"] == 2   # counts stay exact
+
+
+def test_float_bounds_and_nan_poison(spark):
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("v", T.DoubleType(), True)])
+    a = _agg(spark, [("c1", 1.5), ("c2", -2.25), ("c3", None)], sch)["v"]
+    assert a["min_dbl"] == -2.25 and a["max_dbl"] == 1.5
+    assert a["sum_dec"] is None   # float sums are order-dependent
+    b = _agg(spark, [("c1", 1.5), ("c2", float("nan"))], sch)["v"]
+    assert b["min_dbl"] is None and b["max_dbl"] is None
+    assert b["n_values"] == 2
+
+
+def test_timestamp_epoch_domain(spark):
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("v", T.TimestampType(), True)])
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("c%d" % i, t0 + dt.timedelta(seconds=i)) for i in range(5)]
+    a = _agg(spark, rows, sch)["v"]
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert a["min_long"] == e0
+    assert a["max_long"] == e0 + 4_000_000
+    assert a["sum_dec"] == Decimal(5 * e0 + 10_000_000)
+
+
+def test_decimal_unscaled_domain(spark):
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("v", T.DecimalType(10, 2), True)])
+    rows = [("c1", Decimal("1.50")), ("c2", Decimal("-0.25")),
+            ("c3", Decimal("100.00"))]
+    a = _agg(spark, rows, sch)["v"]
+    assert a["min_long"] == -25 and a["max_long"] == 10000
+    assert a["sum_dec"] == Decimal(150 - 25 + 10000)
+
+
+def test_decimal128_exact_wide_sum(spark):
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("v", T.DecimalType(38, 0), True)])
+    big = int("9" * 25)
+    rows = [("c1", Decimal(big)), ("c2", Decimal(big)),
+            ("c3", Decimal(-17))]
+    a = _agg(spark, rows, sch)["v"]
+    assert a["sum_dec"] == Decimal(2 * big - 17)
+    # bounds exceed int64 -> unknown, never a wrapped number
+    assert a["min_long"] is None and a["max_long"] is None
+
+
+def test_back_compat_without_sum_column(spark):
+    rows = [("c%d" % i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",)).drop("sum_repr")
+    a = {r["col_name"]: r.asDict()
+         for r in aggregate_segments(segs).collect()}["v"]
+    assert a["sum_dec"] is None          # unknown, not an error
+    assert a["min_long"] == 0 and a["max_long"] == 9
+
+
+def test_all_null_column(spark):
+    rows = [("c%d" % i, None) for i in range(6)]
+    a = _agg(spark, rows, SCHEMA)["v"]
+    assert a["n_values"] == 0 and a["n_nulls"] == 6
+    assert a["min_long"] is None and a["sum_dec"] is None

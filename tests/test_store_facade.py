@@ -116,3 +116,66 @@ def test_store_rebuild_crash_is_atomic(spark, tmp_path, t):
     store2.rebuild(num_rowgroups=2)
     assert _sorted(store2.solid_rows(), cols) == _sorted(t, cols)
     assert store2.close() == 0
+
+
+def test_query_where_conjunction(spark, tmp_path, t):
+    """Multi-column AND: intersected manifest pruning (bloom on
+    conv_id, dict bounds on role, typed bounds on turn_idx) returns
+    exactly Spark's own conjunctive filter."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+    cols = t.columns
+
+    got = store.query_where({"role": "tool", "turn_idx": (2, 9)})
+    exp = t.where((F.col("role") == "tool")
+                  & F.col("turn_idx").between(2, 9))
+    assert _sorted(got, cols) == _sorted(exp, cols)
+
+    # point + equality pair (bloom-prunable key first)
+    key = t.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    got = store.query_where({"conv_id": key, "role": "user"})
+    exp = t.where((F.col("conv_id") == key) & (F.col("role") == "user"))
+    assert _sorted(got, cols) == _sorted(exp, cols)
+
+    # range on the ts column combined with a string equality
+    import datetime as dt
+    lo = t.agg(F.min("ts")).first()[0]
+    hi = lo + dt.timedelta(days=3)
+    got = store.query_where({"ts": (lo, hi), "role": "assistant"})
+    exp = t.where(F.col("ts").between(lo, hi)
+                  & (F.col("role") == "assistant"))
+    assert _sorted(got, cols) == _sorted(exp, cols)
+
+
+def test_query_where_empty_intersection_keeps_schema(spark, tmp_path, t):
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+    out = store.query_where({"conv_id": "zzz-absent", "role": "user"})
+    assert out.count() == 0
+    assert set(out.columns) == set(t.columns)
+
+
+def test_aggregate_facade_matches_direct(spark, tmp_path, t):
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+    a = {r["col_name"]: r.asDict() for r in store.aggregate().collect()}
+    d = t.agg(F.count("*"), F.min("turn_idx"), F.max("turn_idx"),
+              F.sum("turn_idx"), F.min("conv_id"), F.max("conv_id"),
+              F.count("tool")).first()
+    assert a["turn_idx"]["n_rows"] == d[0]
+    assert a["turn_idx"]["min_long"] == d[1]
+    assert a["turn_idx"]["max_long"] == d[2]
+    assert int(a["turn_idx"]["sum_dec"]) == d[3]
+    assert a["conv_id"]["min_str"] == d[4][:64]
+    assert a["conv_id"]["max_str"] == d[5][:64]
+    assert a["tool"]["n_values"] == d[6]
+    # metadata-only: the executed plan never reads the payload column
+    plan = store.aggregate()._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "payload" not in scan
