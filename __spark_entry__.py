@@ -260,6 +260,23 @@ def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "min_str", "max_str"))
 
 
+def _q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded-domain GROUP BY (`operators/aggregate.group_count`):
+    dict_rle segments aggregate straight off the dictionary + run
+    lengths (no row expansion — the reference's dictionary layout as a
+    free aggregation index, `DictionaryEncoding.cs:174-203`); the
+    nullable tool column exercises the SQL NULL group, which rides the
+    manifest's n_nulls."""
+    from columnstore_spark.operators.aggregate import group_count
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    role = group_count(segs, "role").select(
+        F.lit("role").alias("col_name"), "value", "cnt")
+    tool = group_count(segs, "tool").select(
+        F.lit("tool").alias("col_name"), "value", "cnt")
+    return role.unionAll(tool)
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -410,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_where": _q_query_where,
         "query_by_window": _q_query_by_window,
         "agg_pushdown": _q_agg_pushdown,
+        "group_count": _q_group_count,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -536,6 +554,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "
             "AND turn_idx BETWEEN 3 AND 30",
         "agg_pushdown": _agg_pushdown_oracle(),
+        "group_count":
+            f"{t} SELECT 'role' AS col_name, role AS value, "
+            "count(*) AS cnt FROM t GROUP BY role "
+            "UNION ALL SELECT 'tool' AS col_name, tool AS value, "
+            "count(*) AS cnt FROM t GROUP BY tool",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

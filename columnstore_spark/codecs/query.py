@@ -162,6 +162,44 @@ def query_value(payload: bytes | memoryview, logical: str,
     return _mask_to_ranges(np.asarray(mask))
 
 
+def value_counts(payload: bytes | memoryview, logical: str):
+    """Distinct values + exact counts of one segment, WITHOUT row
+    expansion on the compressed fast paths — the encoded-domain
+    aggregation the reference's dictionary layout makes free
+    (`DictionaryEncoding.cs:174-203` keys->ranges: the dictionary IS
+    the distinct set, the run lengths ARE the counts).
+
+    - dict_rle: bincount run lengths per code — never materializes a
+      row.
+    - constant: one (value, n_valid) pair.
+    - everything else: vectorized decode of this one column, then
+      Arrow value_counts (still never widens beyond the column).
+
+    Returns (values: pa.Array, counts: np.ndarray[int64], n_nulls);
+    values/counts are None for an all-null segment.
+    """
+    codec, n, validity, body = _parse_frame(payload)
+    n_nulls = 0 if validity is None else int(n - validity.sum())
+    n_valid = n - n_nulls
+    if n_valid == 0:
+        return None, None, n_nulls
+    if codec == dictrle.CODEC_ID:
+        uniques, run_idx, run_len = dictrle.parse_runs(body, logical)
+        k = (uniques.size if isinstance(uniques, V.VarChunk)
+             else len(uniques))
+        # float64 accumulation is exact for counts below 2^53
+        counts = np.bincount(run_idx, weights=run_len.astype(np.float64),
+                             minlength=k).astype(np.int64)
+        return to_arrow(uniques, None, logical, k), counts, n_nulls
+    if codec == constant.CODEC_ID:
+        vals = to_arrow(constant.decode(body, 1, logical), None, logical, 1)
+        return vals, np.array([n_valid], dtype=np.int64), n_nulls
+    arr = decode_segment(payload, logical)
+    vc = pc.value_counts(arr.drop_null())
+    return (vc.field("values"),
+            vc.field("counts").to_numpy(zero_copy_only=False), n_nulls)
+
+
 def _widened_bounds(dtype_kind: str, lo, hi, logical: str):
     """Convert range bounds into the stored domain, WIDENED (lo down,
     hi up): the caller re-applies the exact predicate on the decoded

@@ -33,8 +33,13 @@ Soundness contract — UNKNOWN beats WRONG:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..plans.pruning import _ASCII_RE, _with_typed_bounds
 
@@ -105,3 +110,61 @@ def aggregate_segments(segments: DataFrame,
                F.col("_max_str")).alias("max_str"),
         known("_miss_sum", F.col("_sum")).alias("sum_dec"),
     )
+
+
+def group_count(segments: DataFrame, column: str,
+                value_type: T.DataType | None = None) -> DataFrame:
+    """GROUP BY `column` -> (value, cnt) computed in the ENCODED domain
+    (`codecs/query.value_counts`): dict_rle segments answer from the
+    dictionary + run lengths without materializing a row — the
+    reference's dictionary layout used as a free aggregation index
+    (`DictionaryEncoding.cs:174-203`); other codecs decode only this
+    one column. Each segment emits at most NDV+1 rows (the +1 is the
+    SQL NULL group when the segment holds nulls), so the shuffle the
+    final groupBy pays is over per-segment DISTINCTS, not rows —
+    map-side-combine shape by construction. At 100 TB a GROUP BY over
+    a low-cardinality column never touches the wide text payloads and
+    never expands runs."""
+    from ..codecs.query import value_counts as _vc
+    from .arrow_io import arrow_schema_for
+    from .decode import _spark_type_of
+
+    sub = segments.where(F.col("column") == column)
+    if value_type is None:
+        row = sub.select("logical_type").first()
+        if row is None:
+            raise ValueError(f"no segments for column {column!r}")
+        value_type = _spark_type_of(row["logical_type"])
+    out_schema = T.StructType([
+        T.StructField("value", value_type, True),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    pa_value_t = arrow_schema_for(out_schema).field("value").type
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column(
+                batch.schema.get_field_index("payload"))
+            logicals = batch.column(
+                batch.schema.get_field_index("logical_type")).to_pylist()
+            for i in range(batch.num_rows):
+                vals, counts, n_nulls = _vc(payloads[i].as_py(),
+                                            logicals[i])
+                if vals is None and n_nulls == 0:
+                    continue
+                varr = (vals.cast(pa_value_t) if vals is not None
+                        else pa.array([], type=pa_value_t))
+                cnts = (counts if counts is not None
+                        else np.array([], dtype=np.int64))
+                if n_nulls:
+                    varr = pa.concat_arrays(
+                        [varr, pa.array([None], type=pa_value_t)])
+                    cnts = np.concatenate(
+                        [cnts, np.array([n_nulls], dtype=np.int64)])
+                yield pa.RecordBatch.from_arrays(
+                    [varr, pa.array(cnts, type=pa.int64())],
+                    names=["value", "cnt"])
+
+    return (sub.select("payload", "logical_type")
+            .mapInArrow(run, out_schema)
+            .groupBy("value").agg(F.sum("cnt").alias("cnt")))

@@ -317,6 +317,16 @@ class TranscriptColumnStore:
         return aggregate_segments(self._manifest_or_raise(),
                                   columns=columns)
 
+    def group_count(self, column: str) -> DataFrame:
+        """GROUP BY `column` -> (value, cnt) in the encoded domain:
+        dict/constant segments answer from the dictionary and run
+        lengths without expanding a single row; the shuffle carries
+        per-segment distincts only (`operators/aggregate.group_count`).
+        Includes the SQL NULL group when the column holds nulls."""
+        from .operators.aggregate import group_count
+        return group_count(
+            self.warehouse.committed_segments(self.spark), column)
+
     # -- queries (S3/S4) -----------------------------------------------------
 
     def _manifest_or_raise(self) -> DataFrame:

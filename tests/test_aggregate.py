@@ -125,3 +125,72 @@ def test_all_null_column(spark):
     a = _agg(spark, rows, SCHEMA)["v"]
     assert a["n_values"] == 0 and a["n_nulls"] == 6
     assert a["min_long"] is None and a["sum_dec"] is None
+
+
+# --------------------------------------------------------------------------
+# group_count: encoded-domain GROUP BY
+# --------------------------------------------------------------------------
+
+
+def test_group_count_matches_spark(spark):
+    from columnstore_spark.operators.aggregate import group_count
+    rows = [(f"c{i:03d}", i % 5 if i % 7 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    got = {r["value"]: r["cnt"] for r in group_count(segs, "v").collect()}
+    exp = {r[0]: r[1] for r in df.groupBy("v").count().collect()}
+    assert got == exp          # includes the NULL group
+    assert None in got
+
+
+def test_group_count_string_and_decimal(spark):
+    from columnstore_spark.operators.aggregate import group_count
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("d", T.DecimalType(10, 2), True),
+    ])
+    rows = [(f"c{i:02d}", ["aa", "bb", None][i % 3],
+             Decimal(i % 4).scaleb(-2)) for i in range(60)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    for col in ("s", "d"):
+        got = {r["value"]: r["cnt"]
+               for r in group_count(segs, col).collect()}
+        exp = {r[0]: r[1] for r in df.groupBy(col).count().collect()}
+        assert got == exp, col
+
+
+def test_group_count_constant_column(spark):
+    from columnstore_spark.operators.aggregate import group_count
+    rows = [(f"c{i:02d}", 42) for i in range(30)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    got = {r["value"]: r["cnt"] for r in group_count(segs, "v").collect()}
+    assert got == {42: 30}
+
+
+def test_group_count_unknown_column(spark):
+    from columnstore_spark.operators.aggregate import group_count
+    rows = [(f"c{i:02d}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    with pytest.raises(ValueError, match="no segments"):
+        group_count(segs, "absent")
+
+
+def test_value_counts_kernel_no_expansion_paths(spark):
+    """The dict fast path must agree with a forced plain decode."""
+    import pyarrow as pa
+    from columnstore_spark.codecs import dictrle, plain
+    from columnstore_spark.codecs.query import value_counts
+    from columnstore_spark.codecs.segment import encode_segment
+    arr = pa.array(["x"] * 5 + ["y"] * 3 + [None, "x", "z"])
+    by_codec = {}
+    for codec in (dictrle.CODEC_ID, plain.CODEC_ID):
+        seg = encode_segment(arr, codec=codec)
+        vals, counts, n_nulls = value_counts(seg.payload, seg.logical)
+        by_codec[codec] = (sorted(zip(vals.to_pylist(),
+                                      counts.tolist())), n_nulls)
+    assert by_codec[dictrle.CODEC_ID] == by_codec[plain.CODEC_ID]
+    assert by_codec[dictrle.CODEC_ID] == ([("x", 6), ("y", 3), ("z", 1)], 1)

@@ -179,3 +179,7 @@ def test_aggregate_facade_matches_direct(spark, tmp_path, t):
     plan = store.aggregate()._jdf.queryExecution().executedPlan().toString()
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "payload" not in scan
+    # encoded-domain GROUP BY through the facade (incl. NULL group)
+    got = {r["value"]: r["cnt"] for r in store.group_count("tool").collect()}
+    exp = {r[0]: r[1] for r in t.groupBy("tool").count().collect()}
+    assert got == exp
