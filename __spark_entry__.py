@@ -277,6 +277,21 @@ def _q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role.unionAll(tool)
 
 
+def _q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate pushdown (`operators/aggregate.group_agg`):
+    GROUP BY role with count(*)/count/sum/min/max over turn_idx,
+    computed as per-rowgroup partials in the encoded domain — group
+    codes ride the dictionary run stream (no group value materialized
+    per row), only the turn_idx payload decodes, and the shuffle moves
+    NDV+1 rows per rowgroup. Exact int64 sums keep DuckDB parity."""
+    from columnstore_spark.operators.aggregate import group_agg
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return group_agg(segs, "role", "turn_idx").select(
+        F.col("value").alias("role"), "cnt", "n_agg",
+        "sum_agg", "min_agg", "max_agg")
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -428,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_window": _q_query_by_window,
         "agg_pushdown": _q_agg_pushdown,
         "group_count": _q_group_count,
+        "group_agg": _q_group_agg,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -559,6 +575,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt FROM t GROUP BY role "
             "UNION ALL SELECT 'tool' AS col_name, tool AS value, "
             "count(*) AS cnt FROM t GROUP BY tool",
+        "group_agg":
+            f"{t} SELECT role, count(*) AS cnt, "
+            "count(turn_idx) AS n_agg, "
+            "CAST(sum(turn_idx) AS BIGINT) AS sum_agg, "
+            "min(turn_idx) AS min_agg, max(turn_idx) AS max_agg "
+            "FROM t GROUP BY role",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

@@ -200,6 +200,50 @@ def value_counts(payload: bytes | memoryview, logical: str):
             vc.field("counts").to_numpy(zero_copy_only=False), n_nulls)
 
 
+def group_codes(payload: bytes | memoryview, logical: str):
+    """One segment -> (distinct values, per-ROW group codes) — the
+    row-aligned companion to `value_counts` that grouped aggregation
+    needs: code[i] identifies row i's group (−1 = SQL NULL group), and
+    `values[code]` is its value. dict_rle segments never materialize a
+    value: the stored run stream IS the code stream
+    (`DictionaryEncoding.cs:174-203` — the dictionary as a free
+    grouping index), expanded to row positions with one np.repeat of
+    int codes. Other codecs decode this one column and
+    dictionary-encode it.
+
+    Returns (values: pa.Array | None, codes: np.ndarray[int64] of
+    length n_rows); values is None for an all-null segment (every code
+    is −1).
+    """
+    codec, n, validity, body = _parse_frame(payload)
+    n_valid = n if validity is None else int(validity.sum())
+    if n_valid == 0:
+        return None, np.full(n, -1, dtype=np.int64)
+    if codec == dictrle.CODEC_ID:
+        uniques, run_idx, run_len = dictrle.parse_runs(body, logical)
+        k = (uniques.size if isinstance(uniques, V.VarChunk)
+             else len(uniques))
+        valid_codes = np.repeat(run_idx, run_len)
+        if validity is None:
+            return to_arrow(uniques, None, logical, k), valid_codes
+        codes = np.full(n, -1, dtype=np.int64)
+        codes[validity] = valid_codes
+        return to_arrow(uniques, None, logical, k), codes
+    if codec == constant.CODEC_ID:
+        vals = to_arrow(constant.decode(body, 1, logical), None, logical, 1)
+        if validity is None:
+            return vals, np.zeros(n, dtype=np.int64)
+        codes = np.full(n, -1, dtype=np.int64)
+        codes[validity] = 0
+        return vals, codes
+    arr = decode_segment(payload, logical)
+    d = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    d = d.dictionary_encode()
+    codes = (d.indices.fill_null(-1)
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+    return d.dictionary, codes
+
+
 def _widened_bounds(dtype_kind: str, lo, hi, logical: str):
     """Convert range bounds into the stored domain, WIDENED (lo down,
     hi up): the caller re-applies the exact predicate on the decoded

@@ -327,6 +327,18 @@ class TranscriptColumnStore:
         return group_count(
             self.warehouse.committed_segments(self.spark), column)
 
+    def group_agg(self, group_col: str, agg_col: str) -> DataFrame:
+        """GROUP BY `group_col` with count(*)/count/sum/min/max over
+        `agg_col`, computed as per-rowgroup partials in the encoded
+        domain (`operators/aggregate.group_agg`): group codes come off
+        the dictionary run stream, only the agg column's payload is
+        decoded, and the shuffle carries at most NDV+1 rows per
+        rowgroup."""
+        from .operators.aggregate import group_agg
+        return group_agg(
+            self.warehouse.committed_segments(self.spark),
+            group_col, agg_col)
+
     # -- queries (S3/S4) -----------------------------------------------------
 
     def _manifest_or_raise(self) -> DataFrame:

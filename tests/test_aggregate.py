@@ -194,3 +194,95 @@ def test_value_counts_kernel_no_expansion_paths(spark):
                                       counts.tolist())), n_nulls)
     assert by_codec[dictrle.CODEC_ID] == by_codec[plain.CODEC_ID]
     assert by_codec[dictrle.CODEC_ID] == ([("x", 6), ("y", 3), ("z", 1)], 1)
+
+
+# --------------------------------------------------------------------------
+# group_agg: encoded-domain grouped aggregates
+# --------------------------------------------------------------------------
+
+
+def _spark_group_agg(df, group_col, agg_col):
+    exp = df.groupBy(F.col(group_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(agg_col).alias("n_agg"),
+        F.sum(agg_col).cast("long").alias("sum_agg"),
+        F.min(agg_col).alias("min_agg"),
+        F.max(agg_col).alias("max_agg"))
+    return {r["value"]: (r["cnt"], r["n_agg"], r["sum_agg"],
+                         r["min_agg"], r["max_agg"])
+            for r in exp.collect()}
+
+
+def test_group_agg_matches_spark_with_nulls(spark):
+    """Nulls in BOTH columns: group nulls form one group, agg nulls
+    count in cnt but not n_agg/sum/min/max."""
+    from columnstore_spark.operators.aggregate import group_agg
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("g", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    rows = [(f"c{i:03d}",
+             None if i % 11 == 0 else f"g{i % 4}",
+             None if i % 7 == 0 else i * 3 - 100) for i in range(300)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    out = group_agg(segs, "g", "v")
+    got = {r["value"]: (r["cnt"], r["n_agg"], r["sum_agg"],
+                        r["min_agg"], r["max_agg"])
+           for r in out.collect()}
+    assert got == _spark_group_agg(df, "g", "v")
+    assert None in got
+
+
+def test_group_agg_temporal_and_float(spark):
+    from columnstore_spark.operators.aggregate import group_agg
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("g", T.IntegerType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("f", T.DoubleType(), True),
+    ])
+    base = dt.datetime(2025, 1, 1)
+    rows = [(f"c{i:02d}", i % 3,
+             base + dt.timedelta(minutes=i) if i % 5 else None,
+             dt.date(2025, 1, 1 + i % 27),
+             float(i) * 0.5) for i in range(90)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    for col in ("ts", "d"):
+        out = {r["value"]: (r["cnt"], r["n_agg"], r["min_agg"], r["max_agg"])
+               for r in group_agg(segs, "g", col)
+               .select("value", "cnt", "n_agg", "min_agg", "max_agg")
+               .collect()}
+        exp = {r["value"]: (r["cnt"], r["n_agg"], r["min_agg"], r["max_agg"])
+               for r in df.groupBy(F.col("g").alias("value")).agg(
+                   F.count(F.lit(1)).alias("cnt"),
+                   F.count(col).alias("n_agg"),
+                   F.min(col).alias("min_agg"),
+                   F.max(col).alias("max_agg")).collect()}
+        assert out == exp, col
+    # float: min/max exact; sums compared exactly too (each value is a
+    # dyadic rational, so float64 addition is exact here)
+    out = {r["value"]: (r["sum_agg"], r["min_agg"], r["max_agg"])
+           for r in group_agg(segs, "g", "f").collect()}
+    exp = {r["g"]: (r["s"], r["lo"], r["hi"])
+           for r in df.groupBy("g").agg(
+               F.sum("f").alias("s"), F.min("f").alias("lo"),
+               F.max("f").alias("hi")).collect()}
+    assert out == exp
+
+
+def test_group_agg_group_by_self_and_errors(spark):
+    from columnstore_spark.operators.aggregate import group_agg
+    rows = [(f"c{i:02d}", i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    got = {r["value"]: (r["cnt"], r["sum_agg"])
+           for r in group_agg(segs, "v", "v").collect()}
+    assert got == {k: (10, 10 * k) for k in range(4)}
+    with pytest.raises(ValueError, match="no segments"):
+        group_agg(segs, "absent", "v")
+    with pytest.raises(ValueError, match="unsupported agg"):
+        group_agg(segs, "v", "conv_id")
