@@ -292,6 +292,21 @@ def _q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_agg", "min_agg", "max_agg")
 
 
+def _q_group_agg_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered grouped aggregate, fully pushed down: the role='tool'
+    equality runs as an encoded probe (`query_value` — dictionary fast
+    path) and only the matching row ranges feed the GROUP BY tool
+    partials over turn_idx. Three narrow payloads decode; the text
+    column never leaves storage."""
+    from columnstore_spark.operators.aggregate import group_agg
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return group_agg(segs, "tool", "turn_idx",
+                     where=("role", "tool")).select(
+        F.col("value").alias("tool"), "cnt", "n_agg",
+        "sum_agg", "min_agg", "max_agg")
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -444,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": _q_agg_pushdown,
         "group_count": _q_group_count,
         "group_agg": _q_group_agg,
+        "group_agg_where": _q_group_agg_where,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -581,6 +597,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(turn_idx) AS BIGINT) AS sum_agg, "
             "min(turn_idx) AS min_agg, max(turn_idx) AS max_agg "
             "FROM t GROUP BY role",
+        "group_agg_where":
+            f"{t} SELECT tool, count(*) AS cnt, "
+            "count(turn_idx) AS n_agg, "
+            "CAST(sum(turn_idx) AS BIGINT) AS sum_agg, "
+            "min(turn_idx) AS min_agg, max(turn_idx) AS max_agg "
+            "FROM t WHERE role = 'tool' GROUP BY tool",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

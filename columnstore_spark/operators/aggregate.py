@@ -201,6 +201,7 @@ def _from_arith(vals: np.ndarray, valid: np.ndarray, t: pa.DataType):
 
 
 def group_agg(segments: DataFrame, group_col: str, agg_col: str,
+              where: tuple[str, object] | None = None,
               num_partitions: int | None = None) -> DataFrame:
     """GROUP BY `group_col` -> (value, cnt, n_agg, sum_agg, min_agg,
     max_agg) over `agg_col`, computed as PER-ROWGROUP PARTIALS in the
@@ -222,17 +223,35 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
     once per group per rowgroup — deterministic at fixed rowgroup
     assignment but order-dependent across rewrites, so float-sum
     oracle parity is not guaranteed (min/max/cnt are).
+
+    `where=(column, value)` pushes an exact EQUALITY predicate into
+    the same pass: the filter column's segment is probed on the
+    encoded form (`query_value` — dictionary/constant fast paths, no
+    expansion) and only the matching row ranges feed the group/agg
+    partials, so GROUP BY tool WHERE role='tool' reads three narrow
+    payloads and zero text bytes. The probe must be in the column's
+    stored domain (the facade gates coercion-dependent probes to a
+    decode fallback via `_kernel_safe_probe`); a null probe is
+    rejected — SQL equality never matches null.
     """
     from ..codecs.query import group_codes as _gc
+    from ..codecs.query import query_value
     from ..codecs.segment import decode_segment
     from .arrow_io import arrow_schema_for
     from .decode import _rowgroup_stage, _spark_type_of
 
+    need = {group_col, agg_col}
+    if where is not None:
+        where_col, where_val = where
+        if where_val is None:
+            raise ValueError("where probe must be non-null (nulls "
+                             "never match an equality predicate)")
+        need.add(where_col)
     lt = {r["column"]: r["logical_type"]
           for r in (segments
-                    .where(F.col("column").isin([group_col, agg_col]))
+                    .where(F.col("column").isin(sorted(need)))
                     .select("column", "logical_type").distinct().collect())}
-    missing = sorted({group_col, agg_col} - set(lt))
+    missing = sorted(need - set(lt))
     if missing:
         raise ValueError(f"no segments for column(s) {missing}")
     agg_logical = lt[agg_col]
@@ -263,6 +282,16 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
         gvals, codes = _gc(payloads[gi].as_py(), logicals[gi])
         vals, mask = _to_arith(decode_segment(payloads[ai].as_py(),
                                               logicals[ai]))
+        if where is not None:
+            wi = colnames.index(where_col)
+            ranges = query_value(payloads[wi].as_py(), logicals[wi],
+                                 where_val)
+            if not ranges:
+                return None
+            rows = np.zeros(codes.size, dtype=bool)
+            for s, ln in ranges:
+                rows[s:s + ln] = True
+            codes, vals, mask = codes[rows], vals[rows], mask[rows]
         k = len(gvals) if gvals is not None else 0
         ng = k + 1                      # slot 0 = the SQL NULL group
         gcode = codes + 1
@@ -296,8 +325,7 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
             "max_agg": _from_arith(maxs[keep], has_agg[keep], pa_agg_t),
         }
 
-    sub = segments.where(F.col("column").isin(
-        sorted({group_col, agg_col})))
+    sub = segments.where(F.col("column").isin(sorted(need)))
     parts = _rowgroup_stage(sub, partial_schema, num_partitions, group_fn)
     return (parts.groupBy("value")
             .agg(F.sum("cnt").alias("cnt"),

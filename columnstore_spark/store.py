@@ -327,17 +327,45 @@ class TranscriptColumnStore:
         return group_count(
             self.warehouse.committed_segments(self.spark), column)
 
-    def group_agg(self, group_col: str, agg_col: str) -> DataFrame:
+    def group_agg(self, group_col: str, agg_col: str,
+                  where: tuple[str, object] | None = None) -> DataFrame:
         """GROUP BY `group_col` with count(*)/count/sum/min/max over
         `agg_col`, computed as per-rowgroup partials in the encoded
         domain (`operators/aggregate.group_agg`): group codes come off
         the dictionary run stream, only the agg column's payload is
         decoded, and the shuffle carries at most NDV+1 rows per
-        rowgroup."""
+        rowgroup.
+
+        `where=(column, value)` pushes an equality predicate all the
+        way down: rowgroups are pruned on the MANIFEST first (typed
+        bounds + blooms + dictionaries — payload never scanned for an
+        excluded rowgroup), then the filter column's encoded probe
+        selects the row ranges that feed the partials. Probe/column
+        pairs whose Spark coercion the exact-typed kernels cannot
+        reproduce fall back to decode-then-filter over the pruned
+        segments — same results, fewer skipped bytes."""
         from .operators.aggregate import group_agg
-        return group_agg(
-            self.warehouse.committed_segments(self.spark),
-            group_col, agg_col)
+        if where is None:
+            return group_agg(
+                self.warehouse.committed_segments(self.spark),
+                group_col, agg_col)
+        wcol, wval = where
+        wval = _naive_utc(wval)
+        m = self._manifest_or_raise()
+        pruned, lt = self._pruned_segments(m, wcol, wval, wval, eq=True)
+        if not _kernel_safe_probe(lt or "", wval):
+            agg_t = F.col(agg_col)
+            sum_t = ("double" if (self._logical_type(m, agg_col) or "")
+                     .startswith("float") else "long")
+            return (decode(pruned, schema=schema_from_segments(m))
+                    .where(F.col(wcol) == F.lit(wval))
+                    .groupBy(F.col(group_col).alias("value"))
+                    .agg(F.count(F.lit(1)).alias("cnt"),
+                         F.count(agg_t).alias("n_agg"),
+                         F.sum(agg_t).cast(sum_t).alias("sum_agg"),
+                         F.min(agg_t).alias("min_agg"),
+                         F.max(agg_t).alias("max_agg")))
+        return group_agg(pruned, group_col, agg_col, where=(wcol, wval))
 
     # -- queries (S3/S4) -----------------------------------------------------
 

@@ -286,3 +286,27 @@ def test_group_agg_group_by_self_and_errors(spark):
         group_agg(segs, "absent", "v")
     with pytest.raises(ValueError, match="unsupported agg"):
         group_agg(segs, "v", "conv_id")
+
+
+def test_group_agg_where_pushdown(spark):
+    """Equality predicate pushed into the encoded pass matches Spark's
+    filter-then-groupBy, including a probe that matches nothing."""
+    from columnstore_spark.operators.aggregate import group_agg
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("g", T.StringType(), True),
+        T.StructField("w", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    rows = [(f"c{i:03d}", f"g{i % 3}",
+             None if i % 13 == 0 else f"w{i % 5}",
+             None if i % 7 == 0 else i) for i in range(260)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    got = {r["value"]: (r["cnt"], r["n_agg"], r["sum_agg"],
+                        r["min_agg"], r["max_agg"])
+           for r in group_agg(segs, "g", "v", where=("w", "w2")).collect()}
+    assert got == _spark_group_agg(df.where(F.col("w") == "w2"), "g", "v")
+    assert group_agg(segs, "g", "v", where=("w", "nope")).count() == 0
+    with pytest.raises(ValueError, match="non-null"):
+        group_agg(segs, "g", "v", where=("w", None))

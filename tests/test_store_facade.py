@@ -183,3 +183,34 @@ def test_aggregate_facade_matches_direct(spark, tmp_path, t):
     got = {r["value"]: r["cnt"] for r in store.group_count("tool").collect()}
     exp = {r[0]: r[1] for r in t.groupBy("tool").count().collect()}
     assert got == exp
+
+
+def test_group_agg_facade_where(spark, tmp_path, t):
+    """Facade group_agg with a pushed predicate: manifest pruning +
+    encoded probe on the safe path, decode fallback when the probe's
+    Spark coercion can't ride the exact-typed kernels — identical
+    results either way."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "ga"))
+    store.add_range(t)
+    store.close()
+
+    def norm(df):
+        return {r["value"]: (r["cnt"], r["n_agg"], r["sum_agg"],
+                             r["min_agg"], r["max_agg"])
+                for r in df.collect()}
+
+    exp = {r["role"]: (r["cnt"], r["n_agg"], r["sum_agg"],
+                       r["lo"], r["hi"])
+           for r in t.where(F.col("turn_idx") == 3)
+           .groupBy("role").agg(
+               F.count(F.lit(1)).alias("cnt"),
+               F.count("turn_idx").alias("n_agg"),
+               F.sum("turn_idx").cast("long").alias("sum_agg"),
+               F.min("turn_idx").alias("lo"),
+               F.max("turn_idx").alias("hi")).collect()}
+    # safe probe: int on int32 — encoded path
+    assert norm(store.group_agg("role", "turn_idx",
+                                where=("turn_idx", 3))) == exp
+    # coercion probe: string on int32 — decode fallback, same answer
+    assert norm(store.group_agg("role", "turn_idx",
+                                where=("turn_idx", "3"))) == exp
