@@ -168,6 +168,20 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_query_by_point"] = _best(q_query_by_point)
 
+        # q_group_agg — filtered GROUP BY answered in the encoded
+        # domain: role='tool' probed on the dictionary, group codes
+        # off the run stream, NDV+1 partial rows per rowgroup shuffle;
+        # the text payload never decodes.
+        from columnstore_spark.operators.aggregate import group_agg
+
+        def q_group_agg():
+            pruned = prune_rowgroups_by_value(segs_on_disk, "role",
+                                              "tool")
+            _noop(group_agg(pruned, "tool", "turn_idx",
+                            where=("role", "tool")))
+
+        timings["q_group_agg"] = _best(q_group_agg)
+
         # q_compression_summary — per-column codec/bytes rollup
         timings["q_compression_summary"] = _best(
             lambda: _noop(manifest_of(segs_on_disk).groupBy("column")
