@@ -307,6 +307,19 @@ def _q_group_agg_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_agg", "min_agg", "max_agg")
 
 
+def _q_group_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key grouped aggregate: GROUP BY (role, tool) with
+    aggregates over turn_idx — per-column dictionary codes combine
+    into one mixed-radix group id per rowgroup, so the pass and the
+    shuffle cost are those of a single-key GROUP BY over the distinct
+    (role, tool) combinations."""
+    from columnstore_spark.operators.aggregate import group_agg
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return group_agg(segs, ["role", "tool"], "turn_idx").select(
+        "role", "tool", "cnt", "n_agg", "sum_agg", "min_agg", "max_agg")
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -460,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_count": _q_group_count,
         "group_agg": _q_group_agg,
         "group_agg_where": _q_group_agg_where,
+        "group_agg_multi": _q_group_agg_multi,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -603,6 +617,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(turn_idx) AS BIGINT) AS sum_agg, "
             "min(turn_idx) AS min_agg, max(turn_idx) AS max_agg "
             "FROM t WHERE role = 'tool' GROUP BY tool",
+        "group_agg_multi":
+            f"{t} SELECT role, tool, count(*) AS cnt, "
+            "count(turn_idx) AS n_agg, "
+            "CAST(sum(turn_idx) AS BIGINT) AS sum_agg, "
+            "min(turn_idx) AS min_agg, max(turn_idx) AS max_agg "
+            "FROM t GROUP BY role, tool",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

@@ -200,7 +200,7 @@ def _from_arith(vals: np.ndarray, valid: np.ndarray, t: pa.DataType):
     return a.cast(t)
 
 
-def group_agg(segments: DataFrame, group_col: str, agg_col: str,
+def group_agg(segments: DataFrame, group_col, agg_col: str,
               where: tuple[str, object] | None = None,
               num_partitions: int | None = None) -> DataFrame:
     """GROUP BY `group_col` -> (value, cnt, n_agg, sum_agg, min_agg,
@@ -214,6 +214,14 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
     min, max) partials. The shuffle carries at most NDV+1 rows PER
     ROWGROUP — Spark's partial-aggregation shape built by hand, so at
     100 TB a GROUP BY role AGG turn_idx moves kilobytes, not rows.
+
+    `group_col` may be a SEQUENCE of column names for a composite
+    GROUP BY: per-column codes combine into one mixed-radix group id
+    (falling back to row-wise np.unique if the radix would overflow
+    int64), so the pass stays one argsort+reduceat regardless of key
+    arity; the result then carries one column per group key (named as
+    the key) instead of `value`, and the shuffle moves the number of
+    DISTINCT COMBINATIONS per rowgroup.
 
     SQL semantics throughout: nulls in `group_col` form one group;
     nulls in `agg_col` count in `cnt` (count(*)) but not in `n_agg`
@@ -240,7 +248,17 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
     from .arrow_io import arrow_schema_for
     from .decode import _rowgroup_stage, _spark_type_of
 
-    need = {group_col, agg_col}
+    group_cols = ([group_col] if isinstance(group_col, str)
+                  else list(group_col))
+    if not group_cols:
+        raise ValueError("group_agg: need at least one group column")
+    out_names = (["value"] if isinstance(group_col, str) else group_cols)
+    reserved = {"cnt", "n_agg", "sum_agg", "min_agg", "max_agg"}
+    clash = sorted(reserved & set(out_names))
+    if clash:
+        raise ValueError(f"group column name(s) {clash} collide with "
+                         "the aggregate output columns")
+    need = {*group_cols, agg_col}
     if where is not None:
         where_col, where_val = where
         if where_val is None:
@@ -264,8 +282,9 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
             f"group_agg: unsupported agg column type {agg_logical!r} "
             "(int family, temporals, bool, and floats only)")
     agg_type = _spark_type_of(agg_logical)
-    partial_schema = T.StructType([
-        T.StructField("value", _spark_type_of(lt[group_col]), True),
+    partial_schema = T.StructType(
+        [T.StructField(name, _spark_type_of(lt[col]), True)
+         for name, col in zip(out_names, group_cols)] + [
         T.StructField("cnt", T.LongType(), False),
         T.StructField("n_agg", T.LongType(), False),
         T.StructField("sum_agg", sum_type, True),
@@ -273,30 +292,53 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
         T.StructField("max_agg", agg_type, True),
     ])
     pa_schema = arrow_schema_for(partial_schema)
-    pa_group_t = pa_schema.field("value").type
+    pa_group_ts = [pa_schema.field(n).type for n in out_names]
     pa_agg_t = pa_schema.field("min_agg").type
 
     def group_fn(payloads, logicals, colnames):
-        gi = colnames.index(group_col)
         ai = colnames.index(agg_col)
-        gvals, codes = _gc(payloads[gi].as_py(), logicals[gi])
+        per = [_gc(payloads[colnames.index(c)].as_py(),
+                   logicals[colnames.index(c)]) for c in group_cols]
         vals, mask = _to_arith(decode_segment(payloads[ai].as_py(),
                                               logicals[ai]))
+        code_cols = [codes + 1 for _, codes in per]  # 0 = SQL NULL
         if where is not None:
             wi = colnames.index(where_col)
             ranges = query_value(payloads[wi].as_py(), logicals[wi],
                                  where_val)
             if not ranges:
                 return None
-            rows = np.zeros(codes.size, dtype=bool)
+            rows = np.zeros(vals.size, dtype=bool)
             for s, ln in ranges:
                 rows[s:s + ln] = True
-            codes, vals, mask = codes[rows], vals[rows], mask[rows]
-        k = len(gvals) if gvals is not None else 0
-        ng = k + 1                      # slot 0 = the SQL NULL group
-        gcode = codes + 1
-        cnt = np.bincount(gcode, minlength=ng)
-        gv, vv = gcode[mask], vals[mask]
+            code_cols = [c[rows] for c in code_cols]
+            vals, mask = vals[rows], mask[rows]
+        # combine per-column codes into one dense group id: mixed
+        # radix when the product of dictionary sizes fits int64,
+        # row-wise np.unique otherwise
+        sizes = [(len(v) + 1 if v is not None else 1) for v, _ in per]
+        radix_total = 1
+        for s in sizes:
+            radix_total *= s
+        if radix_total <= (1 << 62):
+            combined = code_cols[0]
+            for s, c in zip(sizes[1:], code_cols[1:]):
+                combined = combined * s + c
+            present, inv = np.unique(combined, return_inverse=True)
+            col_codes = []
+            rem = present.copy()
+            for s in reversed(sizes):
+                col_codes.append(rem % s - 1)
+                rem //= s
+            col_codes.reverse()
+        else:
+            stacked = np.stack(code_cols, axis=1)
+            uniq, inv = np.unique(stacked, axis=0, return_inverse=True)
+            inv = inv.reshape(-1)  # numpy 2.x axis-unique shape drift
+            col_codes = [uniq[:, j] - 1 for j in range(len(per))]
+        ng = len(col_codes[0])
+        cnt = np.bincount(inv, minlength=ng)
+        gv, vv = inv[mask], vals[mask]
         n_agg = np.bincount(gv, minlength=ng)
         sums = np.zeros(ng, dtype=vals.dtype)
         mins = np.zeros(ng, dtype=vals.dtype)
@@ -305,29 +347,28 @@ def group_agg(segments: DataFrame, group_col: str, agg_col: str,
             order = np.argsort(gv, kind="stable")
             sg, sv = gv[order], vv[order]
             b = np.flatnonzero(np.diff(sg, prepend=-1))
-            present = sg[b]
-            sums[present] = np.add.reduceat(sv, b)
-            mins[present] = np.minimum.reduceat(sv, b)
-            maxs[present] = np.maximum.reduceat(sv, b)
+            sums[sg[b]] = np.add.reduceat(sv, b)
+            mins[sg[b]] = np.minimum.reduceat(sv, b)
+            maxs[sg[b]] = np.maximum.reduceat(sv, b)
         has_agg = n_agg > 0
-        keep = cnt > 0                  # drop an empty NULL-group slot
-        varr = (gvals.cast(pa_group_t) if gvals is not None
-                else pa.array([], type=pa_group_t))
-        value_full = pa.concat_arrays(
-            [pa.array([None], type=pa_group_t), varr])
-        kp = pa.array(keep)
-        return {
-            "value": value_full.filter(kp),
-            "cnt": pa.array(cnt[keep], type=pa.int64()),
-            "n_agg": pa.array(n_agg[keep], type=pa.int64()),
-            "sum_agg": pa.array(sums[keep], mask=~has_agg[keep]),
-            "min_agg": _from_arith(mins[keep], has_agg[keep], pa_agg_t),
-            "max_agg": _from_arith(maxs[keep], has_agg[keep], pa_agg_t),
-        }
+        out = {}
+        for name, pa_t, (gvals, _), idx in zip(out_names, pa_group_ts,
+                                               per, col_codes):
+            if gvals is None:
+                out[name] = pa.nulls(ng, type=pa_t)
+            else:
+                take_idx = pa.array(idx, type=pa.int64(), mask=idx < 0)
+                out[name] = gvals.cast(pa_t).take(take_idx)
+        out["cnt"] = pa.array(cnt, type=pa.int64())
+        out["n_agg"] = pa.array(n_agg, type=pa.int64())
+        out["sum_agg"] = pa.array(sums, mask=~has_agg)
+        out["min_agg"] = _from_arith(mins, has_agg, pa_agg_t)
+        out["max_agg"] = _from_arith(maxs, has_agg, pa_agg_t)
+        return out
 
     sub = segments.where(F.col("column").isin(sorted(need)))
     parts = _rowgroup_stage(sub, partial_schema, num_partitions, group_fn)
-    return (parts.groupBy("value")
+    return (parts.groupBy(*out_names)
             .agg(F.sum("cnt").alias("cnt"),
                  F.sum("n_agg").alias("n_agg"),
                  F.sum("sum_agg").alias("sum_agg"),

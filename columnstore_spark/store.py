@@ -327,7 +327,7 @@ class TranscriptColumnStore:
         return group_count(
             self.warehouse.committed_segments(self.spark), column)
 
-    def group_agg(self, group_col: str, agg_col: str,
+    def group_agg(self, group_col, agg_col: str,
                   where: tuple[str, object] | None = None) -> DataFrame:
         """GROUP BY `group_col` with count(*)/count/sum/min/max over
         `agg_col`, computed as per-rowgroup partials in the encoded
@@ -357,9 +357,12 @@ class TranscriptColumnStore:
             agg_t = F.col(agg_col)
             sum_t = ("double" if (self._logical_type(m, agg_col) or "")
                      .startswith("float") else "long")
+            keys = ([F.col(group_col).alias("value")]
+                    if isinstance(group_col, str)
+                    else [F.col(c) for c in group_col])
             return (decode(pruned, schema=schema_from_segments(m))
                     .where(F.col(wcol) == F.lit(wval))
-                    .groupBy(F.col(group_col).alias("value"))
+                    .groupBy(*keys)
                     .agg(F.count(F.lit(1)).alias("cnt"),
                          F.count(agg_t).alias("n_agg"),
                          F.sum(agg_t).cast(sum_t).alias("sum_agg"),

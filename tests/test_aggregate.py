@@ -310,3 +310,44 @@ def test_group_agg_where_pushdown(spark):
     assert group_agg(segs, "g", "v", where=("w", "nope")).count() == 0
     with pytest.raises(ValueError, match="non-null"):
         group_agg(segs, "g", "v", where=("w", None))
+
+
+def test_group_agg_composite_key(spark):
+    """Multi-column GROUP BY: mixed-radix combined codes match Spark's
+    groupBy over both columns, nulls in either key included."""
+    from columnstore_spark.operators.aggregate import group_agg
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("a", T.StringType(), True),
+        T.StructField("b", T.IntegerType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    rows = [(f"c{i:03d}",
+             None if i % 11 == 0 else f"a{i % 3}",
+             None if i % 5 == 0 else i % 4,
+             None if i % 7 == 0 else i) for i in range(330)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    got = {(r["a"], r["b"]): (r["cnt"], r["n_agg"], r["sum_agg"],
+                              r["min_agg"], r["max_agg"])
+           for r in group_agg(segs, ["a", "b"], "v").collect()}
+    exp = {(r["a"], r["b"]): (r["cnt"], r["n_agg"], r["sum_agg"],
+                              r["lo"], r["hi"])
+           for r in df.groupBy("a", "b").agg(
+               F.count(F.lit(1)).alias("cnt"),
+               F.count("v").alias("n_agg"),
+               F.sum("v").alias("sum_agg"),
+               F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert got == exp
+    # composite key + pushed predicate compose
+    got_w = {(r["a"], r["b"]): r["cnt"]
+             for r in group_agg(segs, ["a", "b"], "v",
+                                where=("b", 2)).collect()}
+    exp_w = {(r["a"], r["b"]): r["cnt"]
+             for r in df.where(F.col("b") == 2).groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got_w == exp_w
+    with pytest.raises(ValueError, match="collide"):
+        group_agg(segs, ["a", "cnt"], "v")
+    with pytest.raises(ValueError, match="at least one"):
+        group_agg(segs, [], "v")
