@@ -109,6 +109,18 @@ def _kernel_safe_probe(lt: str, value) -> bool:
 
 
 class TranscriptColumnStore:
+    """The reference's `IColumnStore` surface over the warehouse
+    (`IColumnStore.cs:6-34`, `ColumnStore.cs:6-100`).
+
+    Read contract: `rows()` enumerates the WHOLE store — solid
+    rowgroups then pending delta batches, every row exactly once, the
+    reference's enumerator order. Everything that answers from the
+    encoded form or its manifest (`stats`, `aggregate`, `group_count`,
+    `group_agg`, `query_by_*`, `query_where`) covers the COMMITTED
+    store only: pending deltas hold raw un-encoded rows, so there is
+    no segment to probe until `close()` folds them. Call `close()`
+    first when queries must see just-added data."""
+
     def __init__(self, spark: SparkSession, root: str,
                  num_rowgroups: int = 8,
                  rows_per_segment: int = 1_000_000,
