@@ -202,7 +202,8 @@ def _from_arith(vals: np.ndarray, valid: np.ndarray, t: pa.DataType):
 
 def group_agg(segments: DataFrame, group_col, agg_col: str,
               where: tuple[str, object] | None = None,
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              logical_types: dict[str, str] | None = None) -> DataFrame:
     """GROUP BY `group_col` -> (value, cnt, n_agg, sum_agg, min_agg,
     max_agg) over `agg_col`, computed as PER-ROWGROUP PARTIALS in the
     encoded domain: the group column yields row-aligned codes without
@@ -265,10 +266,19 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
             raise ValueError("where probe must be non-null (nulls "
                              "never match an equality predicate)")
         need.add(where_col)
-    lt = {r["column"]: r["logical_type"]
-          for r in (segments
-                    .where(F.col("column").isin(sorted(need)))
-                    .select("column", "logical_type").distinct().collect())}
+    # the output schema needs the columns' logical types up front;
+    # callers that already hold them (the facade reads its manifest,
+    # bench reuses one dict across calls) pass `logical_types` and
+    # skip this driver job — it is a fixed cost that dwarfs the
+    # actual aggregation at small scale
+    if logical_types is not None and need <= set(logical_types):
+        lt = {c: logical_types[c] for c in need}
+    else:
+        lt = {r["column"]: r["logical_type"]
+              for r in (segments
+                        .where(F.col("column").isin(sorted(need)))
+                        .select("column", "logical_type")
+                        .distinct().collect())}
     missing = sorted(need - set(lt))
     if missing:
         raise ValueError(f"no segments for column(s) {missing}")

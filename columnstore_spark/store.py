@@ -357,13 +357,20 @@ class TranscriptColumnStore:
         reproduce fall back to decode-then-filter over the pruned
         segments — same results, fewer skipped bytes."""
         from .operators.aggregate import group_agg
+        m = self._manifest_or_raise()
+        keys = [group_col] if isinstance(group_col, str) else list(group_col)
+        need = {*keys, agg_col} | ({where[0]} if where else set())
+        # logical types come off the MANIFEST (tiny metadata parquet),
+        # not the segments table — the operator skips its own job
+        lts = {r["column"]: r["logical_type"]
+               for r in m.where(F.col("column").isin(sorted(need)))
+               .select("column", "logical_type").distinct().collect()}
         if where is None:
             return group_agg(
                 self.warehouse.committed_segments(self.spark),
-                group_col, agg_col)
+                group_col, agg_col, logical_types=lts)
         wcol, wval = where
         wval = _naive_utc(wval)
-        m = self._manifest_or_raise()
         pruned, lt = self._pruned_segments(m, wcol, wval, wval, eq=True)
         if not _kernel_safe_probe(lt or "", wval):
             agg_t = F.col(agg_col)
@@ -380,7 +387,8 @@ class TranscriptColumnStore:
                          F.sum(agg_t).cast(sum_t).alias("sum_agg"),
                          F.min(agg_t).alias("min_agg"),
                          F.max(agg_t).alias("max_agg")))
-        return group_agg(pruned, group_col, agg_col, where=(wcol, wval))
+        return group_agg(pruned, group_col, agg_col, where=(wcol, wval),
+                         logical_types=lts)
 
     # -- queries (S3/S4) -----------------------------------------------------
 
