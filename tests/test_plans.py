@@ -153,3 +153,25 @@ def test_embedding_lsh_dedup_is_hash_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # and it is a real equi-join on the band buckets
     assert "band_" in plan
+
+
+def test_group_agg_plan_shape(spark, warehouse):
+    """The encoded-domain GROUP BY must show its promises in the plan:
+    the column filter is pushed to the segments parquet scan (only the
+    three probed columns' rows are read), and the final combine is a
+    partial-then-final hash aggregate over the mapInArrow partials —
+    never a row-expanding decode."""
+    from columnstore_spark.operators.aggregate import group_agg
+
+    segs = warehouse.committed_segments(spark)
+    df = group_agg(segs, "tool", "turn_idx", where=("role", "tool"))
+    plan = _executed_plan(df)
+    # AQE prints Final + Initial sections; gate on the final plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    flat = plan.replace(" ", "")
+    assert "PushedFilters: [" in plan
+    assert "In(column,[role,tool,turn_idx])" in flat
+    # partial aggregation before the exchange: the shuffle moves
+    # NDV-sized partials, not rows
+    assert "partial_sum" in flat or "HashAggregate" in plan
+    assert plan.count("MapInArrow") == 1
