@@ -320,6 +320,20 @@ def _q_group_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role", "tool", "cnt", "n_agg", "sum_agg", "min_agg", "max_agg")
 
 
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k pushdown (`operators/topk.py`): the 20 most recent turns
+    by timestamp, found via the manifest's typed max bounds — a seed
+    rowgroup yields the k-th-value threshold, every rowgroup whose max
+    ts falls below it never decodes, and TakeOrderedAndProject finishes
+    over the survivors. Unique (conv_id, turn_idx) tie-break keeps the
+    result deterministic for the oracle."""
+    from columnstore_spark.operators import topk
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return topk(segs, "ts", 20, columns=["conv_id", "turn_idx", "ts"],
+                tie_cols=("conv_id", "turn_idx"))
+
+
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
@@ -474,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": _q_group_agg,
         "group_agg_where": _q_group_agg_where,
         "group_agg_multi": _q_group_agg_multi,
+        "topk_ts": _q_topk,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -623,6 +638,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(turn_idx) AS BIGINT) AS sum_agg, "
             "min(turn_idx) AS min_agg, max(turn_idx) AS max_agg "
             "FROM t GROUP BY role, tool",
+        "topk_ts":
+            f"{t} SELECT conv_id, turn_idx, ts FROM t "
+            "WHERE ts IS NOT NULL "
+            "ORDER BY ts DESC, conv_id, turn_idx LIMIT 20",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

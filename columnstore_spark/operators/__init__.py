@@ -3,10 +3,12 @@ from .decode import (decode, decode_matching, decode_matching_range,
                      schema_from_segments)
 from .encode import (SEGMENT_SCHEMA, default_rowgroup_expr, encode,
                      encode_files, manifest_of, write_bucketed_layout)
+from .topk import topk
 from .verify import roundtrip_equal
 
 __all__ = [
     "SEGMENT_SCHEMA", "default_rowgroup_expr", "encode", "encode_files",
     "manifest_of", "write_bucketed_layout",
     "decode", "decode_matching", "decode_matching_range", "decode_window", "schema_from_segments", "roundtrip_equal",
+    "topk",
 ]

@@ -390,6 +390,21 @@ class TranscriptColumnStore:
         return group_agg(pruned, group_col, agg_col, where=(wcol, wval),
                          logical_types=lts)
 
+    def topk(self, column: str, k: int, descending: bool = True,
+             columns: list[str] | None = None,
+             tie_cols: tuple[str, ...] = ()) -> DataFrame:
+        """k rows with the extreme non-null `column` values, driven by
+        manifest bounds (`operators/topk.py`): a seed rowgroup yields
+        the k-th-value threshold, bounds prune everything that can't
+        clear it, and only the survivors decode — payload read scales
+        with k, not the store."""
+        from .operators.topk import topk
+        m = self._manifest_or_raise()
+        return topk(self.warehouse.committed_segments(self.spark),
+                    column, k, descending=descending, columns=columns,
+                    tie_cols=tie_cols,
+                    logical_type=self._logical_type(m, column))
+
     # -- queries (S3/S4) -----------------------------------------------------
 
     def _manifest_or_raise(self) -> DataFrame:
