@@ -320,6 +320,26 @@ def _q_group_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role", "tool", "cnt", "n_agg", "sum_agg", "min_agg", "max_agg")
 
 
+def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact predicate COUNT from probe-range lengths alone
+    (`operators/aggregate.count_matching`): no gather, no other
+    column's payload — the dictionary answers `role='tool'`, the
+    bloom-pruned point probe answers the conv_id lookup."""
+    from columnstore_spark.operators.aggregate import count_matching
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    a = count_matching(
+        prune_rowgroups_by_value(segs, "role", "tool"),
+        "role", "tool").select(
+        F.lit("role=tool").alias("probe"), "cnt")
+    b = count_matching(
+        prune_rowgroups_by_value(segs, "conv_id", _POINT_KEY,
+                                 logical_type="string"),
+        "conv_id", _POINT_KEY).select(
+        F.lit("conv=key").alias("probe"), "cnt")
+    return a.unionAll(b)
+
+
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k pushdown (`operators/topk.py`): the 20 most recent turns
     by timestamp, found via the manifest's typed max bounds — a seed
@@ -489,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg_where": _q_group_agg_where,
         "group_agg_multi": _q_group_agg_multi,
         "topk_ts": _q_topk,
+        "count_where": _q_count_where,
         "compression_summary": _q_compression_summary,
         "raw_sizes": _q_raw_sizes,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
@@ -642,6 +663,11 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx, ts FROM t "
             "WHERE ts IS NOT NULL "
             "ORDER BY ts DESC, conv_id, turn_idx LIMIT 20",
+        "count_where":
+            f"{t} SELECT 'role=tool' AS probe, count(*) AS cnt FROM t "
+            "WHERE role = 'tool' "
+            "UNION ALL SELECT 'conv=key' AS probe, count(*) AS cnt "
+            f"FROM t WHERE conv_id = '{_POINT_KEY}'",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

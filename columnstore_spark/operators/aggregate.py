@@ -170,6 +170,46 @@ def group_count(segments: DataFrame, column: str,
             .groupBy("value").agg(F.sum("cnt").alias("cnt")))
 
 
+def count_matching(segments: DataFrame, column: str, value) -> DataFrame:
+    """COUNT(*) WHERE `column` = `value`, answered from probe ranges
+    alone: each segment of the probed column runs `query_value`
+    (dictionary/constant fast paths — the reference's `QueryByValue`
+    range results, `ColumnSegment.cs:38-92`) and contributes the SUM OF
+    RANGE LENGTHS; nothing is ever gathered, no other column's payload
+    is touched, and the shuffle moves one long per segment. With
+    manifest pruning in front (the facade's path) a selective count
+    reads a handful of narrow payloads out of the whole store.
+
+    Returns a 1-row DataFrame (cnt: long). The probe must be in the
+    column's stored domain — same contract as `decode_matching` (the
+    facade gates coercion-dependent probes to a decode fallback)."""
+    if value is None:
+        raise ValueError("probe value must be non-null (nulls never "
+                         "match an equality probe)")
+    from collections.abc import Iterator as _It
+
+    from ..codecs.query import query_value
+
+    def run(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column(
+                batch.schema.get_field_index("payload"))
+            logicals = batch.column(
+                batch.schema.get_field_index("logical_type")).to_pylist()
+            n = 0
+            for i in range(batch.num_rows):
+                n += sum(ln for _, ln in query_value(
+                    payloads[i].as_py(), logicals[i], value))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([n], type=pa.int64())], names=["cnt"])
+
+    sub = segments.where(F.col("column") == column)
+    out_schema = T.StructType([T.StructField("cnt", T.LongType(), False)])
+    return (sub.select("payload", "logical_type")
+            .mapInArrow(run, out_schema)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt")))
+
+
 _AGG_SUM_LONG = set(_INT_FAMILY)
 _AGG_SUM_DBL = ("float32", "float64")
 

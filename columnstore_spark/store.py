@@ -390,6 +390,24 @@ class TranscriptColumnStore:
         return group_agg(pruned, group_col, agg_col, where=(wcol, wval),
                          logical_types=lts)
 
+    def count_by_value(self, column: str, value) -> DataFrame:
+        """Exact COUNT(*) WHERE column = value without gathering a
+        row: manifest pruning (bounds + bloom) drops rowgroups, the
+        survivors answer from probe-range LENGTHS on the one probed
+        column (`operators/aggregate.count_matching`). Probes whose
+        Spark coercion the kernels can't reproduce fall back to
+        decode-then-count over the pruned segments."""
+        from .operators.aggregate import count_matching
+        value = _naive_utc(value)
+        m = self._manifest_or_raise()
+        pruned, lt = self._pruned_segments(m, column, value, value,
+                                           eq=True)
+        if not _kernel_safe_probe(lt or "", value):
+            return (decode(pruned, schema=schema_from_segments(m))
+                    .where(F.col(column) == F.lit(value))
+                    .agg(F.count(F.lit(1)).alias("cnt")))
+        return count_matching(pruned, column, value)
+
     def topk(self, column: str, k: int, descending: bool = True,
              columns: list[str] | None = None,
              tie_cols: tuple[str, ...] = ()) -> DataFrame:

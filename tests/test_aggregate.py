@@ -351,3 +351,36 @@ def test_group_agg_composite_key(spark):
         group_agg(segs, ["a", "cnt"], "v")
     with pytest.raises(ValueError, match="at least one"):
         group_agg(segs, [], "v")
+
+
+def test_count_matching(spark):
+    from columnstore_spark.operators.aggregate import count_matching
+    rows = [(f"c{i:03d}", None if i % 9 == 0 else i % 5)
+            for i in range(180)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    for probe in (0, 3, 99):
+        got = count_matching(segs, "v", probe).collect()[0]["cnt"]
+        assert got == df.where(F.col("v") == probe).count(), probe
+    with pytest.raises(ValueError, match="non-null"):
+        count_matching(segs, "v", None)
+
+
+def test_count_by_value_facade(spark, tmp_path):
+    import os
+
+    from columnstore_spark.sources.transcripts import load_transcripts
+    from columnstore_spark.store import TranscriptColumnStore
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    t = load_transcripts(spark, sf)
+    store = TranscriptColumnStore(spark, str(tmp_path / "cw"))
+    store.add_range(t)
+    store.close()
+    exp = t.where(F.col("role") == "tool").count()
+    assert store.count_by_value("role", "tool").collect()[0]["cnt"] == exp
+    # coercion probe (string on int) falls back to decode-then-count
+    exp3 = t.where(F.col("turn_idx") == 3).count()
+    assert (store.count_by_value("turn_idx", "3")
+            .collect()[0]["cnt"] == exp3)
+    assert (store.count_by_value("turn_idx", 3)
+            .collect()[0]["cnt"] == exp3)
