@@ -96,3 +96,55 @@ def test_query_range_strings_superset(vals, a, b):
     # must still cover every in-bounds row under python ordering
     want = set(_matching_rows(vals, lambda v: lo <= v <= hi))
     assert want <= got
+
+
+# ---------------------------------------------------------------------------
+# aggregation kernels: value_counts / group_codes
+# ---------------------------------------------------------------------------
+
+
+def _vc_dict(payload, logical):
+    from columnstore_spark.codecs.query import value_counts
+    vals, counts, n_nulls = value_counts(payload, logical)
+    d = {} if vals is None else dict(zip(vals.to_pylist(),
+                                         counts.tolist()))
+    return d, n_nulls
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(INTS, STRS))
+def test_value_counts_matches_python(vals):
+    """For ANY array and null pattern, value_counts must equal the
+    Python-side Counter of non-null values (whatever codec the chooser
+    picked), and the null count must be exact."""
+    from collections import Counter
+    arr = (pa.array(vals, type=pa.int64())
+           if all(v is None or isinstance(v, int) for v in vals)
+           else pa.array(vals, type=pa.large_utf8()))
+    seg = encode_segment(arr)
+    got, n_nulls = _vc_dict(seg.payload, seg.logical)
+    exp = Counter(v for v in vals if v is not None)
+    assert got == dict(exp)
+    assert n_nulls == sum(v is None for v in vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(INTS, STRS))
+def test_group_codes_reconstructs_rows(vals):
+    """values[code[i]] must equal row i for every non-null row, and
+    code −1 must mark exactly the nulls — for ANY codec the chooser
+    picked (the dict fast path and the decode fallback must agree with
+    the source array)."""
+    from columnstore_spark.codecs.query import group_codes
+    arr = (pa.array(vals, type=pa.int64())
+           if all(v is None or isinstance(v, int) for v in vals)
+           else pa.array(vals, type=pa.large_utf8()))
+    seg = encode_segment(arr)
+    gvals, codes = group_codes(seg.payload, seg.logical)
+    assert len(codes) == len(vals)
+    lst = [] if gvals is None else gvals.to_pylist()
+    for i, v in enumerate(vals):
+        if v is None:
+            assert codes[i] == -1
+        else:
+            assert lst[codes[i]] == v
