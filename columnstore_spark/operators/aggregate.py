@@ -182,7 +182,12 @@ def count_matching(segments: DataFrame, column: str, value) -> DataFrame:
 
     Returns a 1-row DataFrame (cnt: long). The probe must be in the
     column's stored domain — same contract as `decode_matching` (the
-    facade gates coercion-dependent probes to a decode fallback)."""
+    facade gates coercion-dependent probes to a decode fallback).
+    A column with no segment rows counts 0 — deliberately NOT an
+    error, because callers hand this operator PRUNED segment sets
+    where an empty input legitimately means "nothing can match";
+    resolve the column against the manifest first (as the facade
+    does) when a typo guard is wanted."""
     if value is None:
         raise ValueError("probe value must be non-null (nulls never "
                          "match an equality probe)")

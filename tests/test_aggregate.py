@@ -384,3 +384,15 @@ def test_count_by_value_facade(spark, tmp_path):
             .collect()[0]["cnt"] == exp3)
     assert (store.count_by_value("turn_idx", 3)
             .collect()[0]["cnt"] == exp3)
+
+
+def test_count_matching_fully_pruned_is_zero(spark):
+    """An empty (fully-pruned) segment set legitimately counts 0 —
+    never an error: pruning hands this operator empty inputs whenever
+    the manifest proves nothing can match."""
+    from columnstore_spark.operators.aggregate import count_matching
+    rows = [(f"c{i:02d}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    empty = segs.where(F.lit(False))
+    assert count_matching(empty, "v", 1).collect()[0]["cnt"] == 0
