@@ -396,3 +396,41 @@ def test_count_matching_fully_pruned_is_zero(spark):
     segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
     empty = segs.where(F.lit(False))
     assert count_matching(empty, "v", 1).collect()[0]["cnt"] == 0
+
+
+def test_group_by_float_key_normalizes_like_spark(spark):
+    """SQL groups -0.0 with 0.0 and all NaNs together. The encoded
+    kernels factorize float BIT PATTERNS (bit-identical round-trip
+    requirement), so the partials may carry -0.0/0.0/NaN-payload rows
+    separately — the final Spark groupBy must merge them back to
+    exactly Spark's own grouping."""
+    import math
+
+    from columnstore_spark.operators.aggregate import group_agg, group_count
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("g", T.DoubleType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    keys = [0.0, -0.0, float("nan"), 1.5, None]
+    rows = [(f"c{i:02d}", keys[i % 5], i) for i in range(100)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+
+    def norm(k):
+        if k is None:
+            return None
+        return "nan" if math.isnan(k) else k + 0.0
+
+    got = {norm(r["value"]): r["cnt"]
+           for r in group_count(segs, "g").collect()}
+    exp = {norm(r["g"]): r["count"]
+           for r in df.groupBy("g").count().collect()}
+    assert got == exp
+    got_a = {norm(r["value"]): (r["cnt"], r["sum_agg"])
+             for r in group_agg(segs, "g", "v").collect()}
+    exp_a = {norm(r["g"]): (r["c"], r["s"])
+             for r in df.groupBy("g").agg(
+                 F.count(F.lit(1)).alias("c"),
+                 F.sum("v").alias("s")).collect()}
+    assert got_a == exp_a
