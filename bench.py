@@ -191,6 +191,19 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_group_agg"] = _best(q_group_agg)
 
+        # q_topk — ORDER BY ts DESC LIMIT 20 via manifest bounds: a
+        # seed rowgroup yields the k-th-value threshold, rowgroups
+        # whose max ts can't clear it never decode
+        from columnstore_spark.operators import topk
+
+        def q_topk():
+            _noop(topk(segs_on_disk, "ts", 20,
+                       columns=["conv_id", "turn_idx", "ts"],
+                       tie_cols=("conv_id", "turn_idx"),
+                       logical_type="timestamp_us"))
+
+        timings["q_topk"] = _best(q_topk)
+
         # q_compression_summary — per-column codec/bytes rollup
         timings["q_compression_summary"] = _best(
             lambda: _noop(manifest_of(segs_on_disk).groupBy("column")
