@@ -27,8 +27,14 @@ pruned). Nulls never participate (SQL `WHERE column IS NOT NULL
 ORDER BY ... LIMIT k` semantics).
 
 Supported probe columns: the integer family (ints, bool, timestamps,
-dates, decimals — compared as stored int64) and floats (double
-bounds). Strings and nested types fall back to the unpruned sort.
+dates, decimals — compared as stored int64), floats (double bounds),
+and strings via the ASCII-gated repr bounds (non-ASCII reprs are
+unbounded = always kept; a repr at the 64-char truncation cap is a
+PREFIX of the true bound, i.e. a LOWER bound on it — so a truncated
+max cannot serve the descending keep test `max >= tau` and those
+segments stay unbounded, while a truncated min still soundly serves
+the ascending `min <= tau`, which it implies). Nested/binary types
+fall back to the unpruned sort.
 """
 
 from __future__ import annotations
@@ -36,7 +42,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..codecs.stats import _REPR_CAP
 from ..plans.pruning import (
+    _ASCII_RE,
     _ISIN_CAP,
     _PLAIN_INT_LOGICALS,
     _to_stored_num,
@@ -51,14 +59,29 @@ _SEED_ROWGROUPS = 64  # bounded rowgroups fetched to cover k seed values
 
 
 def _bound_domain(logical: str) -> str | None:
-    """'num' | 'flt' | None (no orderable manifest bound)."""
+    """'num' | 'flt' | 'str' | None (no orderable manifest bound)."""
     if (logical in _INT_BOUND_LOGICALS
             or logical.startswith("decimal64_")
             or logical.startswith("decimal128_")):
         return "num"
     if logical in ("float32", "float64"):
         return "flt"
+    if logical == "string":
+        return "str"
     return None
+
+
+def _string_bound(descending: bool):
+    """Orderable string bound or NULL (= unbounded, always kept).
+    Both reprs must be pure ASCII (UTF-8-byte vs UTF-16 order
+    agreement needs one ASCII side); a truncated max additionally
+    cannot bound the descending test (see module docstring)."""
+    ascii_ok = (F.col("min_repr").rlike(_ASCII_RE)
+                & F.col("max_repr").rlike(_ASCII_RE))
+    if descending:
+        return F.when(ascii_ok & (F.length("max_repr") < _REPR_CAP),
+                      F.col("max_repr"))
+    return F.when(ascii_ok, F.col("min_repr"))
 
 
 def topk(segments: DataFrame, column: str, k: int,
@@ -96,9 +119,12 @@ def topk(segments: DataFrame, column: str, k: int,
     if domain is None:
         return finish(segments)  # no orderable bounds: unpruned sort
 
-    bound = F.col("max_num" if domain == "num" else "max_flt") \
-        if descending else F.col("min_num" if domain == "num"
-                                 else "min_flt")
+    if domain == "str":
+        bound = _string_bound(descending)
+    elif descending:
+        bound = F.col("max_num" if domain == "num" else "max_flt")
+    else:
+        bound = F.col("min_num" if domain == "num" else "min_flt")
     m = (_with_typed_bounds(segments)
          .where(F.col("column") == column)
          .select("rowgroup_id", bound.alias("bound"),
@@ -127,7 +153,9 @@ def topk(segments: DataFrame, column: str, k: int,
                  .where(F.col(column).isNotNull())
                  .orderBy(order[0]).limit(k).collect())
     tau = seed_vals[-1][column]
-    if domain == "flt":
+    if domain == "str":
+        tau_stored = str(tau)
+    elif domain == "flt":
         tau_stored = float(tau)
         if tau_stored != tau_stored:  # NaN tau: everything may qualify
             return finish(segments)

@@ -112,3 +112,29 @@ def test_topk_facade(spark, tmp_path):
            .orderBy(F.col("ts").desc(), "conv_id", "turn_idx").limit(5)
            .select("conv_id", "turn_idx", "ts").collect()]
     assert got == exp
+
+
+def test_topk_string_prunes_rowgroups(spark):
+    """String top-k rides the ASCII-gated repr bounds: rowgroups whose
+    max repr can't clear the threshold never decode (poison proof),
+    and a rowgroup holding a truncated (>= 64-char) max stays
+    unbounded — always decoded, never wrongly pruned."""
+    long_tail = "k" + "x" * 80  # truncated repr, sorts between j and l
+    rows = ([(f"c{i:03d}", f"{chr(97 + i // 40)}{i:03d}")  # a… j buckets
+             for i in range(400)]
+            + [(f"d{i:02d}", long_tail) for i in range(10)])
+    sch = T.StructType([T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("s", T.StringType(), True)])
+    df = spark.createDataFrame(rows, sch)
+    s = encode(df, rowgroup_expr=F.ascii(F.substring("s", 1, 1)) - 97,
+               order=("conv_id",))
+    poisoned = s.withColumn(
+        "payload",
+        F.when((F.col("rowgroup_id") < 6) & (F.col("column") == "s"),
+               F.lit(b"\xff broken")).otherwise(F.col("payload")))
+    got = [r["s"] for r in topk(poisoned, "s", 3,
+                                tie_cols=("conv_id",)).collect()]
+    exp = [r["s"] for r in df.orderBy(F.col("s").desc(), "conv_id")
+           .limit(3).collect()]
+    assert got == exp  # the truncated-long-tail rowgroup was decoded
+    assert got[0] == long_tail  # …and its rows win the top slots
