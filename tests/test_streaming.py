@@ -68,3 +68,44 @@ def test_stream_ingest_roundtrip_and_restart(spark, stream_dirs):
             .toPandas()["run_id"].tolist())
     assert sorted(runs) == ["stream-000000", "stream-000001"]
     t.unpersist()
+
+
+def test_stream_ingested_store_answers_encoded_analytics(spark, stream_dirs):
+    """The encoded-domain analytics surface must work unchanged over a
+    warehouse a STREAM built: segments committed by micro-batches are
+    the same tables the batch path writes, so group_count / group_agg /
+    count_matching / topk answer straight off them."""
+    from columnstore_spark.operators import topk
+    from columnstore_spark.operators.aggregate import (
+        count_matching,
+        group_agg,
+        group_count,
+    )
+
+    t = load_transcripts(spark, SF_DIR).persist()
+    _write_chunk(t, stream_dirs["input"])
+    q = encode_stream(spark, stream_dirs["input"], stream_dirs["warehouse"],
+                      stream_dirs["ckpt"], num_rowgroups=4)
+    q.awaitTermination(120)
+    segs = Warehouse(stream_dirs["warehouse"]).committed_segments(spark)
+
+    got = {r["value"]: r["cnt"] for r in group_count(segs, "role").collect()}
+    exp = {r[0]: r[1] for r in t.groupBy("role").count().collect()}
+    assert got == exp
+
+    ga = {r["value"]: r["sum_agg"]
+          for r in group_agg(segs, "role", "turn_idx").collect()}
+    ge = {r["role"]: r["s"] for r in t.groupBy("role")
+          .agg(F.sum("turn_idx").alias("s")).collect()}
+    assert ga == ge
+
+    assert (count_matching(segs, "role", "tool").collect()[0]["cnt"]
+            == t.where(F.col("role") == "tool").count())
+
+    tk = [tuple(r) for r in
+          topk(segs, "ts", 5, columns=["conv_id", "turn_idx", "ts"],
+               tie_cols=("conv_id", "turn_idx")).collect()]
+    te = [tuple(r) for r in t.where(F.col("ts").isNotNull())
+          .orderBy(F.col("ts").desc(), "conv_id", "turn_idx").limit(5)
+          .select("conv_id", "turn_idx", "ts").collect()]
+    assert tk == te
