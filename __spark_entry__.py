@@ -23,16 +23,20 @@ from columnstore_spark.functions.multimodal import (
 )
 from columnstore_spark.functions.pipeline import all_pipeline_sql
 from columnstore_spark.operators import (
-    decode,
     decode_matching,
+    decode_matching_in,
+    decode_matching_null,
     decode_matching_range,
     decode_window,
+    decode,
     encode,
     manifest_of,
 )
 from columnstore_spark.plans.pruning import (
+    prune_rowgroups_by_null,
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
+    prune_rowgroups_by_values,
 )
 from columnstore_spark.sources.transcripts import (
     TRANSCRIPTS_SQL,
@@ -218,6 +222,68 @@ def _q_query_by_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                             schema=t.schema)
             .where(F.col("conv_id") == _POINT_KEY)
             .select(TRANSCRIPT_COLS))
+
+
+# IN-list probe keys, shared by the Spark query and its oracle: three
+# present conversations plus one provably-absent key (exercises the
+# per-value bloom test dropping it from the keep-set union)
+_IN_KEYS = ["c000000000003", "c000000000013", "c000000000021"]
+_IN_ABSENT = "c999999999999"
+
+
+def _q_query_by_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point lookup — `conv_id IN (k1..k3, absent)`: every probe
+    value prunes on the manifest (typed bounds AND its per-segment
+    Bloom test) and the keep-sets UNION; the survivors run ONE
+    encoded-form pass that tests each dictionary once per value and
+    gathers the union of matching runs (`decode_matching_in`,
+    `codecs/query.query_values`) — k conversations fetched for one
+    scan of the probe column's surviving payloads."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr(), bloom_columns=("conv_id",))
+    probes = _IN_KEYS + [_IN_ABSENT]
+    pruned = prune_rowgroups_by_values(segs, "conv_id", probes,
+                                       logical_type="string")
+    return (decode_matching_in(pruned, "conv_id", probes, schema=t.schema)
+            .where(F.col("conv_id").isin(probes))
+            .select(TRANSCRIPT_COLS))
+
+
+def _q_query_by_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL query — the one predicate that is always FULLY
+    prunable: the manifest's exact per-segment n_nulls eliminates
+    every rowgroup without a null before any payload read
+    (`plans/pruning.prune_rowgroups_by_null`), and the survivors
+    probe the frame validity bitmap alone (`codecs/query.query_nulls`
+    — zero body bytes on the probe column) before run-clipping the
+    matching rows out of the other columns."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    pruned = prune_rowgroups_by_null(segs, "tool")
+    return (decode_matching_null(pruned, "tool", schema=t.schema)
+            .where(F.col("tool").isNull())
+            .select("conv_id", "turn_idx", "role", "tool"))
+
+
+# prefix probe, shared by the Spark query and its oracle
+_PREFIX = "c00000000001"
+
+
+def _q_query_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE 'prefix%' as a value-range rewrite: the ASCII prefix maps
+    to [prefix, prefix-with-last-char-incremented] — every string
+    carrying the prefix falls inside in both byte order and UTF-16
+    order — so manifest bounds prune rowgroups and the dictionary
+    range-test clips runs (`store.query_by_prefix` internals);
+    Spark's exact `startswith` narrows the superset."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    upper = _PREFIX[:-1] + chr(ord(_PREFIX[-1]) + 1)
+    pruned = prune_rowgroups_by_range(segs, "conv_id", _PREFIX, upper,
+                                      logical_type="string")
+    return (decode_matching_range(pruned, "conv_id", _PREFIX, upper,
+                                  columns=["conv_id", "turn_idx", "role"])
+            .where(F.col("conv_id").startswith(_PREFIX)))
 
 
 def _q_query_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_range": _q_query_by_range,
         "query_by_range_encoded": _q_query_by_range_encoded,
         "query_by_range_ts": _q_query_by_range_ts,
+        "query_by_in": _q_query_by_in,
+        "query_by_null": _q_query_by_null,
+        "query_by_prefix": _q_query_by_prefix,
         "query_where": _q_query_where,
         "query_by_window": _q_query_by_window,
         "agg_pushdown": _q_agg_pushdown,
@@ -635,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "
             "AND turn_idx BETWEEN 3 AND 30",
+        "query_by_in":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            f"WHERE conv_id IN ("
+            + ", ".join(f"'{k}'" for k in _IN_KEYS + [_IN_ABSENT]) + ")",
+        "query_by_null":
+            f"{t} SELECT conv_id, turn_idx, role, tool FROM t "
+            "WHERE tool IS NULL",
+        "query_by_prefix":
+            f"{t} SELECT conv_id, turn_idx, role FROM t "
+            f"WHERE conv_id LIKE '{_PREFIX}%'",
         "agg_pushdown": _agg_pushdown_oracle(),
         "group_count":
             f"{t} SELECT 'role' AS col_name, role AS value, "

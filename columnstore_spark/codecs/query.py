@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from . import constant, dictrle
 from . import values as V
-from .segment import decode_segment, read_frame, to_arrow
+from .segment import ARROW_IPC_CODEC_ID, decode_segment, read_frame, to_arrow
 
 # frame grammar has exactly one reader (segment.read_frame)
 _parse_frame = read_frame
@@ -148,18 +148,88 @@ def query_value(payload: bytes | memoryview, logical: str,
     # generic: decode vectorized, scan equality mask (nulls never match;
     # a probe unrepresentable in the column's type matches nothing)
     arr = decode_segment(payload, logical)
+    mask = _generic_eq_mask(arr, value)
+    return [] if mask is None else _mask_to_ranges(mask)
+
+
+def _generic_eq_mask(arr: pa.Array, value) -> np.ndarray | None:
+    """Equality mask of a decoded array against one probe, under the
+    same representability contract as the dictionary probe: None when
+    the probe can't be represented in the column's type (then nothing
+    matches); nulls never match."""
     try:
         needle = pa.scalar(value, type=arr.type)
     except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, ValueError):
-        return []
+        return None
     # pa.scalar silently truncates (7.5 -> int 7): a numeric probe that
     # doesn't round-trip is unrepresentable in the column -> no match
     if (isinstance(value, (int, float)) and not isinstance(value, bool)
             and needle.as_py() != value):
+        return None
+    mask = pc.fill_null(pc.equal(arr, needle), False)
+    return np.asarray(mask)
+
+
+def query_values(payload: bytes | memoryview, logical: str,
+                 values) -> list[tuple[int, int]]:
+    """Row ranges where the segment equals ANY of `values` — the
+    IN-list probe, one pass over the encoded form. Null probes are
+    dropped (SQL: `x IN (..., NULL)` never evaluates true); an empty
+    effective list matches nothing.
+
+    Same fast-path structure as `query_value` (which it generalizes):
+    the dictionary is tested once per probe value and the matching
+    runs are emitted without expansion; generic codecs decode ONCE and
+    OR the per-value equality masks. The reference's per-value
+    `QueryByValue` (`ColumnSegment.cs:38-92`) composed across a probe
+    batch without re-reading the segment."""
+    probes = [v for v in values if v is not None]
+    if not probes:
         return []
-    mask = pc.equal(arr, needle)
-    mask = pc.fill_null(mask, False)
-    return _mask_to_ranges(np.asarray(mask))
+    codec, n, validity, body = _parse_frame(payload)
+
+    if validity is None and codec == constant.CODEC_ID:
+        arr = decode_segment(payload, logical)
+        if n and any(arr[0].as_py() == v for v in probes):
+            return [(0, n)]
+        return []
+
+    if validity is None and codec == dictrle.CODEC_ID:
+        uniques, run_idx, starts, run_len = _dict_runs(body, logical)
+        keys = np.unique(np.concatenate(
+            [_dict_key_hits(uniques, logical, v) for v in probes]))
+        if keys.size == 0:
+            return []
+        hit = np.isin(run_idx, keys)
+        return [(int(s), int(ln)) for s, ln
+                in zip(starts[hit], run_len[hit])]
+
+    arr = decode_segment(payload, logical)
+    mask: np.ndarray | None = None
+    for v in probes:
+        m = _generic_eq_mask(arr, v)
+        if m is not None:
+            mask = m if mask is None else (mask | m)
+    return [] if mask is None else _mask_to_ranges(mask)
+
+
+def query_nulls(payload: bytes | memoryview,
+                logical: str) -> list[tuple[int, int]]:
+    """Row ranges where the segment IS NULL — answered from the frame's
+    validity bitmap alone for every scalar codec (nulls are hoisted to
+    the frame header at encode time, so no body byte is read); nested
+    Arrow-IPC segments carry nulls inside the stream body and decode
+    this one column to read its validity. A frame without the
+    has-nulls flag holds no nulls by construction."""
+    codec, n, validity, _body = _parse_frame(payload)
+    if validity is not None:
+        return _mask_to_ranges(~validity)
+    if codec == ARROW_IPC_CODEC_ID:
+        arr = decode_segment(payload, logical)
+        if arr.null_count == 0:
+            return []
+        return _mask_to_ranges(np.asarray(pc.is_null(arr)))
+    return []
 
 
 def value_counts(payload: bytes | memoryview, logical: str):

@@ -171,6 +171,42 @@ def decode_matching(segments: DataFrame, column: str, value,
         columns, schema, num_partitions)
 
 
+def decode_matching_in(segments: DataFrame, column: str, values,
+                       columns: list[str] | None = None,
+                       schema: T.StructType | None = None,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Rows where `column` equals ANY of `values`, from the encoded
+    form — the IN-list composition of `decode_matching`: ONE probe
+    pass per segment tests the dictionary once per value and gathers
+    the union of matching runs (`query_values`), so a batch point
+    lookup (fetch these k conversations) costs one scan of the probe
+    column's encoded payloads, not k. Null probes never match (SQL IN
+    semantics); an empty effective list yields an empty frame."""
+    from ..codecs.query import query_values
+
+    probes = [v for v in values if v is not None]
+    return _matching_stage(
+        segments, column,
+        lambda payload, logical: query_values(payload, logical, probes),
+        columns, schema, num_partitions)
+
+
+def decode_matching_null(segments: DataFrame, column: str,
+                         columns: list[str] | None = None,
+                         schema: T.StructType | None = None,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Rows where `column` IS NULL, from the encoded form: the probe
+    reads the frame's validity bitmap only (`query_nulls` — zero body
+    bytes for every scalar codec) and run-clips the matching ranges
+    out of the other columns. Behind the manifest's n_nulls prune
+    (plans/pruning.prune_rowgroups_by_null) a null scan touches only
+    rowgroups that actually hold nulls."""
+    from ..codecs.query import query_nulls
+
+    return _matching_stage(segments, column, query_nulls,
+                           columns, schema, num_partitions)
+
+
 def decode_matching_range(segments: DataFrame, column: str, lo, hi,
                           columns: list[str] | None = None,
                           schema: T.StructType | None = None,

@@ -375,3 +375,79 @@ def prune_rowgroups_by_range(segments: DataFrame, column: str,
                              ) -> DataFrame:
     return _prune(segments, column, lo, hi, eq=False,
                   logical_type=logical_type)
+
+
+def _keep_cond_in(values, logical_type: str | None) -> Column | None:
+    """OR of the per-value equality keep-conditions (typed bounds AND
+    bloom membership per value): a rowgroup survives when ANY probe
+    value may be present. None when any single value is unprunable —
+    the whole IN-list then keeps everything (conservative). An empty
+    list (after the caller drops SQL-null probes) matches nothing."""
+    conds: list[Column] = []
+    for v in values:
+        c = _keep_cond(v, v, eq=True, logical_type=logical_type)
+        if c is None:
+            return None
+        conds.append(c)
+    if not conds:
+        return F.lit(False)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def prune_rowgroup_ids_in(manifest: DataFrame, column: str, values,
+                          logical_type: str | None = None,
+                          ) -> list[int] | None:
+    """IN-list analogue of `prune_rowgroup_ids`: kept rowgroup ids for
+    `column IN (values)` evaluated on manifest rows (bounds + bloom
+    per probe value, OR-combined), or None when pruning can't apply or
+    the keep-set exceeds the IN-plan cap."""
+    cond = _keep_cond_in(values, logical_type)
+    if cond is None:
+        return None
+    rows = (_with_typed_bounds(manifest)
+            .where((F.col("column") == column) & cond)
+            .select("rowgroup_id").distinct().limit(_ISIN_CAP + 1)
+            .collect())
+    if len(rows) > _ISIN_CAP:
+        return None
+    return sorted(r["rowgroup_id"] for r in rows)
+
+
+def prune_rowgroups_by_values(segments: DataFrame, column: str, values,
+                              logical_type: str | None = None) -> DataFrame:
+    """Keep only rowgroups whose `column` segment may contain ANY of
+    `values` — the semi-join form of the IN-list prune."""
+    cond = _keep_cond_in(values, logical_type)
+    if cond is None:
+        return segments
+    keep = (_with_typed_bounds(segments)
+            .where((F.col("column") == column) & cond)
+            .select("rowgroup_id").distinct())
+    return segments.join(keep, on="rowgroup_id", how="left_semi")
+
+
+def prune_rowgroup_ids_null(manifest: DataFrame,
+                            column: str) -> list[int] | None:
+    """Kept rowgroup ids for `column IS NULL`: the manifest's exact
+    per-segment `n_nulls` (every logical type carries it) makes this
+    the one predicate that is always fully prunable — a rowgroup
+    without a single null never decodes. None only when the keep-set
+    exceeds the IN-plan cap (callers fall back to the semi-join)."""
+    rows = (manifest
+            .where((F.col("column") == column) & (F.col("n_nulls") > 0))
+            .select("rowgroup_id").distinct().limit(_ISIN_CAP + 1)
+            .collect())
+    if len(rows) > _ISIN_CAP:
+        return None
+    return sorted(r["rowgroup_id"] for r in rows)
+
+
+def prune_rowgroups_by_null(segments: DataFrame, column: str) -> DataFrame:
+    """Semi-join form of the IS NULL prune (any keep-set size)."""
+    keep = (segments
+            .where((F.col("column") == column) & (F.col("n_nulls") > 0))
+            .select("rowgroup_id").distinct())
+    return segments.join(keep, on="rowgroup_id", how="left_semi")

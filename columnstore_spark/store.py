@@ -37,6 +37,8 @@ from .codecs import chooser
 from .operators import (
     decode,
     decode_matching,
+    decode_matching_in,
+    decode_matching_null,
     decode_matching_range,
     decode_window,
 )
@@ -44,8 +46,12 @@ from .operators.decode import schema_from_segments
 from .plans.pruning import (
     _with_typed_bounds,
     prune_rowgroup_ids,
+    prune_rowgroup_ids_in,
+    prune_rowgroup_ids_null,
+    prune_rowgroups_by_null,
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
+    prune_rowgroups_by_values,
 )
 from .sources.warehouse import Warehouse
 
@@ -64,6 +70,22 @@ def _naive_utc(value):
     if isinstance(value, dt.datetime) and value.tzinfo is not None:
         return value.astimezone(dt.timezone.utc).replace(tzinfo=None)
     return value
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest ASCII string upper-bounding every string that starts
+    with `prefix`: trailing 0x7F chars drop, the last remaining char
+    increments. Any s carrying the prefix compares < the result in
+    BOTH UTF-8 byte order and UTF-16 order — the comparison resolves
+    at the incremented position, which is ASCII on both sides. None
+    when no finite bound exists (empty or all-DEL prefix)."""
+    b = bytearray(prefix.encode("ascii"))
+    while b and b[-1] >= 0x7F:
+        b.pop()
+    if not b:
+        return None
+    b[-1] += 1
+    return b.decode("ascii")
 
 
 def _kernel_safe_probe(lt: str, value) -> bool:
@@ -503,6 +525,95 @@ class TranscriptColumnStore:
         return (decode_matching_range(pruned, column, lo, hi,
                                       schema=schema_from_segments(m))
                 .where(F.col(column).between(F.lit(lo), F.lit(hi))))
+
+    def query_by_in(self, column: str, values) -> DataFrame:
+        """Rows where `column` IN (`values`) — the batch point lookup
+        ("fetch these k conversations"): every probe value prunes on
+        the manifest (typed bounds AND its per-segment Bloom test),
+        the keep-sets UNION, and the survivors run ONE encoded-form
+        pass that tests each dictionary once per value and gathers the
+        union of matching runs (`decode_matching_in`) — k lookups for
+        one scan of the probe column's surviving payloads. SQL IN
+        semantics: null probes never match, duplicates collapse, an
+        empty effective list returns an empty frame. Probe/column
+        pairs the exact-typed kernels can't reproduce fall back to
+        decode + Spark's own `isin` over the pruned segments."""
+        m = self._manifest_or_raise()
+        seen: set = set()
+        probes = []
+        for v in values:
+            if v is None:
+                continue
+            v = _naive_utc(v)
+            if v not in seen:
+                seen.add(v)
+                probes.append(v)
+        schema = schema_from_segments(m)
+        segs = self.warehouse.committed_segments(self.spark)
+        if not probes:
+            return decode(segs.where(F.lit(False)), schema=schema)
+        lt = self._logical_type(m, column)
+        ids = prune_rowgroup_ids_in(m, column, probes, logical_type=lt)
+        if ids is not None:
+            pruned = segs.where(F.col("rowgroup_id").isin(ids))
+        else:
+            pruned = prune_rowgroups_by_values(segs, column, probes,
+                                               logical_type=lt)
+        if not all(_kernel_safe_probe(lt or "", v) for v in probes):
+            return (decode(pruned, schema=schema)
+                    .where(F.col(column).isin(probes)))
+        return (decode_matching_in(pruned, column, probes, schema=schema)
+                .where(F.col(column).isin(probes)))
+
+    def query_by_null(self, column: str) -> DataFrame:
+        """Rows where `column` IS NULL. The one predicate that is
+        always FULLY prunable: the manifest's exact per-segment
+        `n_nulls` (kept for every logical type) eliminates each
+        rowgroup without a single null before any payload is read, and
+        the survivors probe the frame validity bitmap alone
+        (`decode_matching_null` — zero body bytes on the probe column
+        for every scalar codec)."""
+        m = self._manifest_or_raise()
+        schema = schema_from_segments(m)
+        segs = self.warehouse.committed_segments(self.spark)
+        ids = prune_rowgroup_ids_null(m, column)
+        if ids is not None:
+            pruned = segs.where(F.col("rowgroup_id").isin(ids))
+        else:
+            pruned = prune_rowgroups_by_null(segs, column)
+        return (decode_matching_null(pruned, column, schema=schema)
+                .where(F.col(column).isNull()))
+
+    def query_by_prefix(self, column: str, prefix: str) -> DataFrame:
+        """Rows where string `column` starts with `prefix`
+        (LIKE 'prefix%'). An ASCII prefix converts to the value range
+        [prefix, prefix-with-last-char-incremented] — every string
+        carrying the prefix falls inside it in byte order AND UTF-16
+        order (the comparison resolves at the incremented ASCII
+        position), so the existing range machinery does the work:
+        manifest bounds prune rowgroups, the dictionary range-test
+        clips runs, and Spark's exact `startswith` narrows the
+        superset. Non-ASCII prefixes (where the two orders can
+        disagree) fall back to decode + filter — same rows, no skip."""
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, column)
+        if lt != "string":
+            raise ValueError(
+                f"query_by_prefix needs a string column; {column!r} "
+                f"is {lt!r}")
+        if not isinstance(prefix, str):
+            raise ValueError("prefix must be a str")
+        schema = schema_from_segments(m)
+        upper = _prefix_upper(prefix) if prefix.isascii() else None
+        if not prefix or upper is None:
+            segs = self.warehouse.committed_segments(self.spark)
+            return (decode(segs, schema=schema)
+                    .where(F.col(column).startswith(prefix)))
+        pruned, _lt = self._pruned_segments(m, column, prefix, upper,
+                                            eq=False)
+        return (decode_matching_range(pruned, column, prefix, upper,
+                                      schema=schema)
+                .where(F.col(column).startswith(prefix)))
 
     def query_where(self, predicates: dict[str, object]) -> DataFrame:
         """Conjunctive (AND) multi-column query: `{column: probe}` where

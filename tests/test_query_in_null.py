@@ -1,0 +1,260 @@
+"""IN-list, IS NULL, and prefix queries on the encoded form.
+
+Kernel level (`codecs/query.query_values` / `query_nulls`): golden
+range lists per codec, consistency with per-value `query_value`, the
+SQL null-probe and empty-list contracts, and nested-segment nulls.
+Pruning level: `prune_rowgroup_ids_in` unions per-value keep-sets
+(bounds + bloom); `prune_rowgroup_ids_null` keeps exactly the
+rowgroups with nulls. Facade level: results equal Spark's own
+`isin` / `isNull` / `startswith` over the full store, including the
+byte-order-vs-UTF-16 poison case for prefixes."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from columnstore_spark.codecs import CODEC_IDS
+from columnstore_spark.codecs.query import (
+    query_nulls,
+    query_value,
+    query_values,
+)
+from columnstore_spark.codecs.segment import encode_segment
+from columnstore_spark.store import TranscriptColumnStore, _prefix_upper
+
+I32 = pa.int32()
+S = pa.large_utf8()
+
+
+def seg(values, typ, codec=None):
+    return encode_segment(pa.array(values, type=typ),
+                          codec=CODEC_IDS[codec] if codec else None)
+
+
+# ---------------------------------------------------------------------------
+# query_values kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict_rle", "sequential",
+                                   "for_bitpack"])
+def test_query_values_per_codec(codec):
+    values = [5, 5, 9, 5, 1, 1]
+    s = seg(values, I32, codec)
+    hit = set()
+    for st, ln in query_values(s.payload, "int32", [5, 1]):
+        hit.update(range(st, st + ln))
+    assert hit == {0, 1, 3, 4, 5}
+    # absent values contribute nothing; present ones still hit
+    assert sum(ln for _, ln in query_values(
+        s.payload, "int32", [404, 9])) == 1
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict_rle", "sequential",
+                                   "for_bitpack"])
+def test_query_values_matches_union_of_query_value(codec):
+    values = [5, 5, 9, 5, 1, 1, 9, 9]
+    s = seg(values, I32, codec)
+    for probe_set in ([5], [5, 9], [1, 404], [404], [9, 1, 5]):
+        rows_multi = set()
+        for st, ln in query_values(s.payload, "int32", probe_set):
+            rows_multi.update(range(st, st + ln))
+        rows_single = set()
+        for v in probe_set:
+            for st, ln in query_value(s.payload, "int32", v):
+                rows_single.update(range(st, st + ln))
+        assert rows_multi == rows_single
+
+
+def test_query_values_contracts():
+    s = seg([1, 2, 2, 3], I32)
+    # null probes are dropped (SQL: IN (..., NULL) never matches)
+    assert query_values(s.payload, "int32", [None, 2]) == \
+        query_value(s.payload, "int32", 2)
+    # empty (or all-null) list matches nothing
+    assert query_values(s.payload, "int32", []) == []
+    assert query_values(s.payload, "int32", [None]) == []
+    # unrepresentable probes are ignored, representable ones still hit
+    assert query_values(s.payload, "int32", [2.5, "x", 3]) == \
+        query_value(s.payload, "int32", 3)
+    assert query_values(s.payload, "int32", [2.5]) == []
+
+
+def test_query_values_constant_segment():
+    s = seg([7, 7, 7, 7], I32, "constant")
+    assert query_values(s.payload, "int32", [1, 7]) == [(0, 4)]
+    assert query_values(s.payload, "int32", [1, 2]) == []
+
+
+def test_query_values_strings_and_nulls():
+    s = seg(["a", None, "b", "a", None], S)
+    assert query_values(s.payload, "string", ["a", "b"]) == \
+        [(0, 1), (2, 2)]
+    assert query_values(s.payload, "string", ["z"]) == []
+
+
+# ---------------------------------------------------------------------------
+# query_nulls kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict_rle"])
+def test_query_nulls_ranges(codec):
+    s = seg([None, 1, 2, None, None, 3], I32, codec)
+    assert query_nulls(s.payload, "int32") == [(0, 1), (3, 2)]
+
+
+def test_query_nulls_none_and_all():
+    assert query_nulls(seg([1, 2, 3], I32).payload, "int32") == []
+    s = encode_segment(pa.array([None, None, None], type=I32))
+    assert query_nulls(s.payload, "int32") == [(0, 3)]
+
+
+def test_query_nulls_nested_segment():
+    arr = pa.array([[1.0, 2.0], None, [3.0], None], pa.list_(pa.float64()))
+    s = encode_segment(arr)
+    logical = "nested:array<double>"
+    assert query_nulls(s.payload, logical) == [(1, 1), (3, 1)]
+    no_nulls = encode_segment(pa.array([[1.0], [2.0]],
+                                       pa.list_(pa.float64())))
+    assert query_nulls(no_nulls.payload, logical) == []
+
+
+# ---------------------------------------------------------------------------
+# pruning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def segs(spark, transcripts):
+    from columnstore_spark.operators import encode
+
+    df = encode(transcripts,
+                rowgroup_expr=F.expr("CAST(substring(conv_id, 2) AS BIGINT) % 8"),
+                bloom_columns=("conv_id",)).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_prune_ids_in_unions_keepsets(spark, segs, transcripts):
+    from columnstore_spark.plans.pruning import (
+        prune_rowgroup_ids,
+        prune_rowgroup_ids_in,
+    )
+
+    keys = [r["conv_id"] for r in
+            transcripts.select("conv_id").distinct().orderBy("conv_id")
+            .limit(2).collect()]
+    ids_in = prune_rowgroup_ids_in(segs, "conv_id", keys,
+                                   logical_type="string")
+    per_value = set()
+    for k in keys:
+        per_value |= set(prune_rowgroup_ids(segs, "conv_id", k, k, True,
+                                            logical_type="string"))
+    assert set(ids_in) == per_value
+    # empty probe list keeps nothing
+    assert prune_rowgroup_ids_in(segs, "conv_id", [],
+                                 logical_type="string") == []
+
+
+def test_prune_ids_null_exact(spark, segs):
+    from columnstore_spark.plans.pruning import prune_rowgroup_ids_null
+
+    with_nulls = sorted(
+        r["rowgroup_id"] for r in
+        segs.where((F.col("column") == "tool") & (F.col("n_nulls") > 0))
+        .select("rowgroup_id").distinct().collect())
+    assert prune_rowgroup_ids_null(segs, "tool") == with_nulls
+    # conv_id never holds nulls -> everything pruned
+    assert prune_rowgroup_ids_null(segs, "conv_id") == []
+
+
+# ---------------------------------------------------------------------------
+# facade
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def store(spark, transcripts, tmp_path_factory):
+    s = TranscriptColumnStore(
+        spark, str(tmp_path_factory.mktemp("innull") / "store"),
+        num_rowgroups=4)
+    s.add_range(transcripts)
+    s.close()
+    return s
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_store_query_by_in(spark, store, transcripts):
+    keys = [r["conv_id"] for r in
+            transcripts.select("conv_id").distinct().orderBy("conv_id")
+            .limit(3).collect()]
+    probe = keys + ["c_absent", None, keys[0]]  # dup + null + miss
+    got = store.query_by_in("conv_id", probe)
+    want = transcripts.where(F.col("conv_id").isin(keys))
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_store_query_by_in_numeric_and_empty(spark, store, transcripts):
+    got = store.query_by_in("turn_idx", [0, 3, 2.5])  # 2.5 can't match
+    want = transcripts.where(F.col("turn_idx").isin([0, 3]))
+    assert got.count() == want.count()
+    empty = store.query_by_in("conv_id", [None])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == transcripts.columns
+
+
+def test_store_query_by_null(spark, store, transcripts):
+    got = store.query_by_null("tool")
+    want = transcripts.where(F.col("tool").isNull())
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    assert want.count() > 0
+    assert _rows(got, cols) == _rows(want, cols)
+    assert store.query_by_null("conv_id").count() == 0
+
+
+def test_store_query_by_prefix(spark, store, transcripts):
+    some = transcripts.select("conv_id").first()["conv_id"]
+    p = some[: len(some) - 1]
+    got = store.query_by_prefix("conv_id", p)
+    want = transcripts.where(F.col("conv_id").startswith(p))
+    assert want.count() > 0
+    assert _rows(got, ["conv_id", "turn_idx"]) == \
+        _rows(want, ["conv_id", "turn_idx"])
+    # empty prefix = every row (non-null column)
+    assert store.query_by_prefix("conv_id", "").count() == \
+        transcripts.count()
+    with pytest.raises(ValueError):
+        store.query_by_prefix("turn_idx", "1")
+
+
+def test_prefix_poison_non_ascii_payload(spark, tmp_path):
+    """A non-ASCII string sharing an ASCII prefix must survive the
+    range rewrite: 'abé' sorts AFTER 'ab...' in UTF-16 but
+    its UTF-8 bytes start 0x61 0x62 0xC3 — both orders still place it
+    inside [prefix, prefix-incremented], which is the soundness claim
+    `_prefix_upper` documents."""
+    df = spark.createDataFrame(
+        [("ab", 1), ("abé", 2), ("ac", 3), ("b", 4), ("abz", 5)],
+        "conv_id string, turn_idx int")
+    store = TranscriptColumnStore(spark, str(tmp_path / "p"),
+                                  num_rowgroups=1,
+                                  bloom_columns=())
+    store.add_range(df)
+    store.close()
+    got = sorted(r["turn_idx"] for r in
+                 store.query_by_prefix("conv_id", "ab").collect())
+    assert got == [1, 2, 5]
+
+
+def test_prefix_upper_unit():
+    assert _prefix_upper("a") == "b"
+    assert _prefix_upper("ab\x7f") == "ac"
+    assert _prefix_upper("\x7f\x7f") is None
+    assert _prefix_upper("") is None
+    assert _prefix_upper("c00") == "c01"
