@@ -424,6 +424,27 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
 
+def _q_query_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One conjunction mixing all three predicate kinds (facade
+    `store.query_where` composition): conv_id IN-list (per-value
+    bloom+bounds keep-sets unioned), tool IS NULL (exact n_nulls
+    prune), turn_idx range (typed bounds) — keep-sets INTERSECT on
+    the manifest, the IN probe runs on the encoded form, every
+    predicate re-applies as Spark's own filter."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr(), bloom_columns=("conv_id",))
+    pruned = prune_rowgroups_by_values(segs, "conv_id", _IN_KEYS,
+                                       logical_type="string")
+    pruned = prune_rowgroups_by_null(pruned, "tool")
+    pruned = prune_rowgroups_by_range(pruned, "turn_idx", 0, 15,
+                                      logical_type="int32")
+    return (decode_matching_in(pruned, "conv_id", _IN_KEYS, schema=t.schema)
+            .where(F.col("conv_id").isin(_IN_KEYS)
+                   & F.col("tool").isNull()
+                   & F.col("turn_idx").between(0, 15))
+            .select(TRANSCRIPT_COLS))
+
+
 def _q_query_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4/E8/S4: row-window selection on the encoded form — decode only
     rows [start, start+len) of one rowgroup under its stable
@@ -571,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_null": _q_query_by_null,
         "query_by_prefix": _q_query_by_prefix,
         "query_where": _q_query_where,
+        "query_mixed": _q_query_mixed,
         "query_by_window": _q_query_by_window,
         "agg_pushdown": _q_agg_pushdown,
         "group_count": _q_group_count,
@@ -711,6 +733,11 @@ def oracle_sql() -> dict[str, str]:
         "query_by_null":
             f"{t} SELECT conv_id, turn_idx, role, tool FROM t "
             "WHERE tool IS NULL",
+        "query_mixed":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            "WHERE conv_id IN ("
+            + ", ".join(f"'{k}'" for k in _IN_KEYS)
+            + ") AND tool IS NULL AND turn_idx BETWEEN 0 AND 15",
         "query_by_prefix":
             f"{t} SELECT conv_id, turn_idx, role FROM t "
             f"WHERE conv_id LIKE '{_PREFIX}%'",

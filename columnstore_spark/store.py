@@ -617,70 +617,123 @@ class TranscriptColumnStore:
 
     def query_where(self, predicates: dict[str, object]) -> DataFrame:
         """Conjunctive (AND) multi-column query: `{column: probe}` where
-        a 2-tuple probe means an inclusive range and anything else an
-        equality. The reference composes `QueryByValue` one predicate at
-        a time (`ColumnSegment.cs:38-92`); at warehouse scale the win of
-        doing them together is pruning: each predicate's keep-set is
-        evaluated on the MANIFEST and the sets are INTERSECTED before
-        any payload is read — equality probes AND their per-segment
-        Bloom tests, so a conjunction on (conv_id, role) reads only
+        a 2-tuple probe means an inclusive range, a list/set an IN-list
+        (SQL semantics: null members never match, duplicates collapse,
+        an empty effective list matches nothing), `None` means IS NULL,
+        and anything else an equality. The reference composes
+        `QueryByValue` one predicate at a time (`ColumnSegment.cs:38-92`);
+        at warehouse scale the win of doing them together is pruning:
+        each predicate's keep-set is evaluated on the MANIFEST and the
+        sets are INTERSECTED before any payload is read — equality/IN
+        probes AND their per-segment Bloom tests, IS NULL the exact
+        n_nulls test — so a conjunction on (conv_id, role) reads only
         rowgroups that pass both filters.
 
         Within the survivors, the most selective kernel-safe predicate
         (smallest keep-set) runs on the encoded form
-        (`decode_matching[_range]`); every predicate is then re-applied
-        as Spark's own filter, so result semantics are exactly the
-        DataFrame conjunction's."""
+        (`decode_matching[_range/_in/_null]`); every predicate is then
+        re-applied as Spark's own filter, so result semantics are
+        exactly the DataFrame conjunction's."""
         if not predicates:
             raise ValueError("query_where needs at least one predicate")
         m = self._manifest_or_raise()
+        schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
-        norm: list[tuple[str, object, object, bool, str]] = []
+        norm: list[tuple[str, str, object, str]] = []  # col, kind, payload, lt
         for col, probe in predicates.items():
-            if isinstance(probe, tuple) and len(probe) == 2:
-                lo, hi, eq = _naive_utc(probe[0]), _naive_utc(probe[1]), False
+            lt = self._logical_type(m, col) or ""
+            if probe is None:
+                norm.append((col, "null", None, lt))
+            elif isinstance(probe, tuple) and len(probe) == 2:
+                norm.append((col, "range",
+                             (_naive_utc(probe[0]), _naive_utc(probe[1])),
+                             lt))
+            elif isinstance(probe, (list, set, frozenset)):
+                seen: set = set()
+                vals = []
+                for v in probe:
+                    if v is None:
+                        continue
+                    v = _naive_utc(v)
+                    if v not in seen:
+                        seen.add(v)
+                        vals.append(v)
+                if not vals:  # IN () is false for every row
+                    return decode(segs.where(F.lit(False)), schema=schema)
+                norm.append((col, "in", vals, lt))
             else:
-                lo = hi = _naive_utc(probe)
-                eq = True
-            norm.append((col, lo, hi, eq, self._logical_type(m, col) or ""))
+                norm.append((col, "eq", _naive_utc(probe), lt))
 
         # intersect manifest keep-sets; columns whose id-list form is
         # unavailable (unprunable, or keep-set beyond the IN-list cap)
         # chain the semi-join form instead — same predicate, any scale
         ids: set[int] | None = None
         sizes: dict[str, float] = {}
-        for col, lo, hi, eq, lt in norm:
-            s = prune_rowgroup_ids(m, col, lo, hi, eq, logical_type=lt)
+        for col, kind, payload, lt in norm:
+            if kind == "null":
+                s = prune_rowgroup_ids_null(m, col)
+            elif kind == "in":
+                s = prune_rowgroup_ids_in(m, col, payload, logical_type=lt)
+            elif kind == "range":
+                s = prune_rowgroup_ids(m, col, payload[0], payload[1],
+                                       False, logical_type=lt)
+            else:
+                s = prune_rowgroup_ids(m, col, payload, payload, True,
+                                       logical_type=lt)
             if s is None:
                 sizes[col] = float("inf")
-                prune = (prune_rowgroups_by_value if eq
-                         else prune_rowgroups_by_range)
-                args = (lo,) if eq else (lo, hi)
-                segs = prune(segs, col, *args, logical_type=lt)
+                if kind == "null":
+                    segs = prune_rowgroups_by_null(segs, col)
+                elif kind == "in":
+                    segs = prune_rowgroups_by_values(segs, col, payload,
+                                                     logical_type=lt)
+                elif kind == "range":
+                    segs = prune_rowgroups_by_range(segs, col, *payload,
+                                                    logical_type=lt)
+                else:
+                    segs = prune_rowgroups_by_value(segs, col, payload,
+                                                    logical_type=lt)
             else:
                 sizes[col] = len(s)
                 ids = set(s) if ids is None else ids & set(s)
         if ids is not None:
             segs = segs.where(F.col("rowgroup_id").isin(sorted(ids)))
 
-        schema = schema_from_segments(m)
         best = None  # most selective kernel-safe predicate
-        for col, lo, hi, eq, lt in sorted(norm, key=lambda p: sizes[p[0]]):
-            safe = (_kernel_safe_probe(lt, lo) if eq
-                    else not (lt.startswith("nested:") or lt == "binary"))
+        for col, kind, payload, lt in sorted(norm, key=lambda p: sizes[p[0]]):
+            if kind == "eq":
+                safe = _kernel_safe_probe(lt, payload)
+            elif kind == "in":
+                safe = all(_kernel_safe_probe(lt, v) for v in payload)
+            elif kind == "range":
+                safe = not (lt.startswith("nested:") or lt == "binary")
+            else:  # null: the validity probe covers every codec
+                safe = True
             if safe:
-                best = (col, lo, hi, eq)
+                best = (col, kind, payload)
                 break
         if best is None:
             out = decode(segs, schema=schema)
-        elif best[3]:
-            out = decode_matching(segs, best[0], best[1], schema=schema)
-        else:
-            out = decode_matching_range(segs, best[0], best[1], best[2],
+        elif best[1] == "eq":
+            out = decode_matching(segs, best[0], best[2], schema=schema)
+        elif best[1] == "in":
+            out = decode_matching_in(segs, best[0], best[2], schema=schema)
+        elif best[1] == "range":
+            out = decode_matching_range(segs, best[0], *best[2],
                                         schema=schema)
-        for col, lo, hi, eq, _lt in norm:
-            out = out.where(F.col(col) == F.lit(lo) if eq
-                            else F.col(col).between(F.lit(lo), F.lit(hi)))
+        else:
+            out = decode_matching_null(segs, best[0], schema=schema)
+        for col, kind, payload, _lt in norm:
+            c = F.col(col)
+            if kind == "eq":
+                out = out.where(c == F.lit(payload))
+            elif kind == "in":
+                out = out.where(c.isin(payload))
+            elif kind == "range":
+                out = out.where(c.between(F.lit(payload[0]),
+                                          F.lit(payload[1])))
+            else:
+                out = out.where(c.isNull())
         return out
 
     def query_by_window(self, rowgroup_id: int, start: int,

@@ -233,6 +233,28 @@ def test_store_query_by_prefix(spark, store, transcripts):
         store.query_by_prefix("turn_idx", "1")
 
 
+def test_query_where_mixed_kinds(spark, store, transcripts):
+    """query_where composing IN + IS NULL + range in one conjunction:
+    keep-sets intersect on the manifest, one encoded probe runs, every
+    predicate re-applies as Spark's own filter."""
+    keys = [r["conv_id"] for r in
+            transcripts.select("conv_id").distinct().orderBy("conv_id")
+            .limit(4).collect()]
+    got = store.query_where({"conv_id": keys + [None, keys[0]],
+                             "tool": None,
+                             "turn_idx": (0, 15)})
+    want = transcripts.where(F.col("conv_id").isin(keys)
+                             & F.col("tool").isNull()
+                             & F.col("turn_idx").between(0, 15))
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    assert want.count() > 0
+    assert _rows(got, cols) == _rows(want, cols)
+    # empty effective IN-list: the whole conjunction matches nothing
+    empty = store.query_where({"conv_id": [None], "turn_idx": (0, 5)})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == transcripts.columns
+
+
 def test_prefix_poison_non_ascii_payload(spark, tmp_path):
     """A non-ASCII string sharing an ASCII prefix must survive the
     range rewrite: 'abé' sorts AFTER 'ab...' in UTF-16 but
