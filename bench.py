@@ -168,6 +168,29 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_query_by_point"] = _best(q_query_by_point)
 
+        # q_query_by_in — batch point lookup: 8 conversations fetched
+        # in ONE encoded pass (per-key bounds+bloom keep-sets unioned
+        # on the manifest; each surviving dictionary tested once per
+        # key, union of matching runs gathered) — k lookups for one
+        # scan of the probe column's surviving payloads.
+        from columnstore_spark.operators import decode_matching_in
+        from columnstore_spark.plans.pruning import (
+            prune_rowgroups_by_values,
+        )
+
+        in_keys = [r["conv_id"] for r in
+                   t.select("conv_id").distinct().limit(8).collect()]
+
+        def q_query_by_in():
+            pruned = prune_rowgroups_by_values(segs_on_disk, "conv_id",
+                                               in_keys,
+                                               logical_type="string")
+            _noop(decode_matching_in(pruned, "conv_id", in_keys,
+                                     schema=t.schema)
+                  .where(F.col("conv_id").isin(in_keys)))
+
+        timings["q_query_by_in"] = _best(q_query_by_in)
+
         # q_group_agg — filtered GROUP BY answered in the encoded
         # domain: role='tool' probed on the dictionary, group codes
         # off the run stream, NDV+1 partial rows per rowgroup shuffle;

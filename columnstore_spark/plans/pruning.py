@@ -377,12 +377,25 @@ def prune_rowgroups_by_range(segments: DataFrame, column: str,
                   logical_type=logical_type)
 
 
+# per-value pruning stops paying past this many IN-list members: the
+# OR-of-conditions expression grows linearly in the plan (each value
+# contributes a bounds test AND a bloom test), while a list this long
+# keeps most rowgroups anyway. Larger lists skip manifest pruning and
+# rely on the encoded-form probe, which handles any probe count in one
+# pass per segment.
+_IN_PRUNE_CAP = 256
+
+
 def _keep_cond_in(values, logical_type: str | None) -> Column | None:
     """OR of the per-value equality keep-conditions (typed bounds AND
     bloom membership per value): a rowgroup survives when ANY probe
     value may be present. None when any single value is unprunable —
-    the whole IN-list then keeps everything (conservative). An empty
-    list (after the caller drops SQL-null probes) matches nothing."""
+    the whole IN-list then keeps everything (conservative) — or when
+    the list exceeds `_IN_PRUNE_CAP` (the condition tree would bloat
+    the manifest plan for little skipping). An empty list (after the
+    caller drops SQL-null probes) matches nothing."""
+    if len(values) > _IN_PRUNE_CAP:
+        return None
     conds: list[Column] = []
     for v in values:
         c = _keep_cond(v, v, eq=True, logical_type=logical_type)

@@ -158,6 +158,17 @@ def test_prune_ids_in_unions_keepsets(spark, segs, transcripts):
                                  logical_type="string") == []
 
 
+def test_prune_ids_in_caps_oversized_lists(spark, segs):
+    from columnstore_spark.plans.pruning import (
+        _IN_PRUNE_CAP,
+        prune_rowgroup_ids_in,
+    )
+
+    big = [f"k{i:06d}" for i in range(_IN_PRUNE_CAP + 1)]
+    assert prune_rowgroup_ids_in(segs, "conv_id", big,
+                                 logical_type="string") is None
+
+
 def test_prune_ids_null_exact(spark, segs):
     from columnstore_spark.plans.pruning import prune_rowgroup_ids_null
 
