@@ -148,3 +148,54 @@ def test_group_codes_reconstructs_rows(vals):
             assert codes[i] == -1
         else:
             assert lst[codes[i]] == v
+
+
+# ---------------------------------------------------------------------------
+# IN-list / IS NULL kernels: query_values / query_nulls
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(INTS, st.lists(st.one_of(st.none(), st.integers(-60, 60)),
+                      max_size=6))
+def test_query_values_ints_exact(vals, probes):
+    """query_values must select exactly the rows equal to ANY non-null
+    probe — for ANY array, null pattern, probe multiset (duplicates,
+    absent values, None members), and whatever codec the chooser
+    picked."""
+    from columnstore_spark.codecs.query import query_values
+    seg = encode_segment(pa.array(vals, type=pa.int64()))
+    got = _expand(query_values(seg.payload, seg.logical, probes))
+    live = {p for p in probes if p is not None}
+    assert sorted(got) == _matching_rows(vals, lambda v: v in live)
+
+
+@settings(max_examples=60, deadline=None)
+@given(STRS, st.lists(st.one_of(st.none(), st.text(max_size=6)),
+                      max_size=6))
+def test_query_values_strings_exact(vals, probes):
+    from columnstore_spark.codecs.query import query_values
+    seg = encode_segment(pa.array(vals, type=pa.large_utf8()))
+    got = _expand(query_values(seg.payload, seg.logical, probes))
+    live = {p for p in probes if p is not None}
+    assert sorted(got) == _matching_rows(vals, lambda v: v in live)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(INTS, STRS, FLTS))
+def test_query_nulls_exact(vals):
+    """query_nulls must select exactly the null rows for ANY array and
+    codec — and its ranges must gather correctly from other columns
+    (gather_ranges over the same payload returns all-null slices)."""
+    from columnstore_spark.codecs.query import query_nulls
+    if all(v is None or isinstance(v, int) for v in vals):
+        arr = pa.array(vals, type=pa.int64())
+    elif all(v is None or isinstance(v, str) for v in vals):
+        arr = pa.array(vals, type=pa.large_utf8())
+    else:
+        arr = pa.array(vals, type=pa.float64())
+    seg = encode_segment(arr)
+    ranges = query_nulls(seg.payload, seg.logical)
+    assert _expand(ranges) == [i for i, v in enumerate(vals) if v is None]
+    gathered = gather_ranges(seg.payload, seg.logical, ranges)
+    assert gathered.null_count == len(gathered)

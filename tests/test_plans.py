@@ -175,3 +175,31 @@ def test_group_agg_plan_shape(spark, warehouse):
     # NDV-sized partials, not rows
     assert "partial_sum" in flat or "HashAggregate" in plan
     assert plan.count("MapInArrow") == 1
+
+
+def test_in_list_keepset_reaches_parquet_scan(spark, warehouse):
+    """The facade's IN-list path evaluates per-value bounds+bloom on
+    the manifest and turns the unioned keep-set into a
+    `rowgroup_id IN (...)` filter on the segments table — which must
+    reach the parquet scan as a pushed filter (whole row groups of
+    non-matching segments are skipped at the storage layer)."""
+    from columnstore_spark.plans.pruning import prune_rowgroup_ids_in
+
+    segs = warehouse.committed_segments(spark)
+    keys = ["c000000000001", "c000000000002"]
+    ids = prune_rowgroup_ids_in(segs, "conv_id", keys,
+                                logical_type="string")
+    total = segs.select("rowgroup_id").distinct().count()
+    assert ids is not None and 0 < len(ids) < total
+    pruned = (spark.read.parquet(warehouse.segments_path)
+              .where(F.col("rowgroup_id").isin(ids)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "In(rowgroup_id," in plan.replace(" ", "")
+    # pruning never changes results
+    from columnstore_spark.operators import decode_matching_in
+    a = (decode_matching_in(segs.where(F.col("rowgroup_id").isin(ids)),
+                            "conv_id", keys)
+         .where(F.col("conv_id").isin(keys)).count())
+    b = decode(segs).where(F.col("conv_id").isin(keys)).count()
+    assert a == b > 0
