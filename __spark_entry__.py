@@ -24,6 +24,7 @@ from columnstore_spark.functions.multimodal import (
 from columnstore_spark.functions.pipeline import all_pipeline_sql
 from columnstore_spark.operators import (
     decode_matching,
+    decode_matching_contains,
     decode_matching_in,
     decode_matching_null,
     decode_matching_range,
@@ -424,6 +425,27 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
 
 
+# substring probe, shared by the Spark query and its oracle
+_NEEDLE = "vector"
+
+
+def _q_query_by_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search (LIKE '%needle%') on the encoded form — the
+    text-search staple: dictionary segments substring-test each
+    DISTINCT value once and clip out the matching runs; FSST/plain
+    text segments decode only the probed column through Arrow's
+    vectorized match_substring, and the projected columns gather just
+    the matching ranges (`decode_matching_contains`)."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    # no trailing re-filter: the substring kernel is exact (byte
+    # containment of valid UTF-8 == codepoint containment), and the
+    # projection deliberately leaves the probed text column behind
+    return decode_matching_contains(segs, "text", _NEEDLE,
+                                    columns=["conv_id", "turn_idx",
+                                             "role"])
+
+
 def _q_query_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One conjunction mixing all three predicate kinds (facade
     `store.query_where` composition): conv_id IN-list (per-value
@@ -591,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_in": _q_query_by_in,
         "query_by_null": _q_query_by_null,
         "query_by_prefix": _q_query_by_prefix,
+        "query_by_contains": _q_query_by_contains,
         "query_where": _q_query_where,
         "query_mixed": _q_query_mixed,
         "query_by_window": _q_query_by_window,
@@ -733,6 +756,9 @@ def oracle_sql() -> dict[str, str]:
         "query_by_null":
             f"{t} SELECT conv_id, turn_idx, role, tool FROM t "
             "WHERE tool IS NULL",
+        "query_by_contains":
+            f"{t} SELECT conv_id, turn_idx, role FROM t "
+            f"WHERE text LIKE '%{_NEEDLE}%'",
         "query_mixed":
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             "WHERE conv_id IN ("

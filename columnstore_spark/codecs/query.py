@@ -213,6 +213,43 @@ def query_values(payload: bytes | memoryview, logical: str,
     return [] if mask is None else _mask_to_ranges(mask)
 
 
+def query_contains(payload: bytes | memoryview, logical: str,
+                   needle: str) -> list[tuple[int, int]]:
+    """Row ranges where the STRING segment contains `needle` (SQL
+    LIKE '%needle%') — the text-search staple over the encoded form.
+    Dictionary segments substring-test each DISTINCT value once and
+    emit the matching runs without expanding a row (a low-cardinality
+    column pays NDV tests regardless of row count); other codecs
+    decode this one column and run Arrow's vectorized
+    `match_substring`. Byte-level containment of valid UTF-8 in valid
+    UTF-8 equals codepoint containment (UTF-8 is self-synchronizing),
+    so the result matches Spark's `contains` exactly; nulls never
+    match. An empty needle matches every non-null row (LIKE '%%')."""
+    if logical != "string":
+        raise ValueError("query_contains needs a string column; got "
+                         f"{logical!r}")
+    codec, n, validity, body = _parse_frame(payload)
+
+    if validity is None and codec == constant.CODEC_ID:
+        arr = decode_segment(payload, logical)
+        if n and needle in arr[0].as_py():
+            return [(0, n)]
+        return []
+
+    if validity is None and codec == dictrle.CODEC_ID:
+        uniques, run_idx, starts, run_len = _dict_runs(body, logical)
+        arr = V.var_chunk_to_arrow(uniques, logical)
+        key_mask = np.asarray(pc.fill_null(
+            pc.match_substring(arr, needle), False))
+        hit = key_mask[run_idx]
+        return [(int(s), int(ln)) for s, ln
+                in zip(starts[hit], run_len[hit])]
+
+    arr = decode_segment(payload, logical)
+    mask = pc.fill_null(pc.match_substring(arr, needle), False)
+    return _mask_to_ranges(np.asarray(mask))
+
+
 def query_nulls(payload: bytes | memoryview,
                 logical: str) -> list[tuple[int, int]]:
     """Row ranges where the segment IS NULL — answered from the frame's

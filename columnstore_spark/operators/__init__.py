@@ -1,4 +1,5 @@
-from .decode import (decode, decode_matching, decode_matching_in,
+from .decode import (decode, decode_matching, decode_matching_contains,
+                     decode_matching_in,
                      decode_matching_null, decode_matching_range,
                      decode_window,
                      schema_from_segments)
@@ -10,7 +11,8 @@ from .verify import roundtrip_equal
 __all__ = [
     "SEGMENT_SCHEMA", "default_rowgroup_expr", "encode", "encode_files",
     "manifest_of", "write_bucketed_layout",
-    "decode", "decode_matching", "decode_matching_in",
+    "decode", "decode_matching", "decode_matching_contains",
+    "decode_matching_in",
     "decode_matching_null", "decode_matching_range", "decode_window",
     "schema_from_segments", "roundtrip_equal",
     "topk",

@@ -191,6 +191,26 @@ def decode_matching_in(segments: DataFrame, column: str, values,
         columns, schema, num_partitions)
 
 
+def decode_matching_contains(segments: DataFrame, column: str,
+                             needle: str,
+                             columns: list[str] | None = None,
+                             schema: T.StructType | None = None,
+                             num_partitions: int | None = None) -> DataFrame:
+    """Rows whose string `column` CONTAINS `needle` (LIKE '%needle%'),
+    from the encoded form: dictionary segments substring-test each
+    distinct value once and emit the matching runs without expanding
+    (`query_contains`); other codecs decode only the probed column
+    through Arrow's vectorized match_substring. The text-search
+    staple — with `columns` the other wide columns never decode for
+    non-matching rows."""
+    from ..codecs.query import query_contains
+
+    return _matching_stage(
+        segments, column,
+        lambda payload, logical: query_contains(payload, logical, needle),
+        columns, schema, num_partitions)
+
+
 def decode_matching_null(segments: DataFrame, column: str,
                          columns: list[str] | None = None,
                          schema: T.StructType | None = None,

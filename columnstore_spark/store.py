@@ -37,6 +37,7 @@ from .codecs import chooser
 from .operators import (
     decode,
     decode_matching,
+    decode_matching_contains,
     decode_matching_in,
     decode_matching_null,
     decode_matching_range,
@@ -614,6 +615,31 @@ class TranscriptColumnStore:
         return (decode_matching_range(pruned, column, prefix, upper,
                                       schema=schema)
                 .where(F.col(column).startswith(prefix)))
+
+    def query_by_contains(self, column: str, needle: str) -> DataFrame:
+        """Rows whose string `column` contains `needle`
+        (LIKE '%needle%') — the text-search staple. No zone map can
+        prune a substring probe, but the encoded form still skips
+        work: dictionary segments substring-test each DISTINCT value
+        once and clip out the matching runs; FSST/plain segments
+        decode only this column through Arrow's vectorized
+        match_substring, and the other columns gather just the
+        matching ranges. Spark's exact `contains` re-applies on the
+        survivors (byte containment of valid UTF-8 equals codepoint
+        containment, so the kernel is already exact — the trailing
+        filter is belt-and-braces, evaluated on matching rows only)."""
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, column)
+        if lt != "string":
+            raise ValueError(
+                f"query_by_contains needs a string column; {column!r} "
+                f"is {lt!r}")
+        if not isinstance(needle, str):
+            raise ValueError("needle must be a str")
+        segs = self.warehouse.committed_segments(self.spark)
+        return (decode_matching_contains(segs, column, needle,
+                                         schema=schema_from_segments(m))
+                .where(F.col(column).contains(needle)))
 
     def query_where(self, predicates: dict[str, object]) -> DataFrame:
         """Conjunctive (AND) multi-column query: `{column: probe}` where

@@ -199,3 +199,15 @@ def test_query_nulls_exact(vals):
     assert _expand(ranges) == [i for i, v in enumerate(vals) if v is None]
     gathered = gather_ranges(seg.payload, seg.logical, ranges)
     assert gathered.null_count == len(gathered)
+
+
+@settings(max_examples=60, deadline=None)
+@given(STRS, st.text(max_size=4))
+def test_query_contains_matches_python(vals, needle):
+    """query_contains must select exactly the rows where `needle in
+    value` (Python/UTF-16 codepoint semantics) — for ANY strings, null
+    pattern, needle (incl. multibyte and empty), and codec."""
+    from columnstore_spark.codecs.query import query_contains
+    seg = encode_segment(pa.array(vals, type=pa.large_utf8()))
+    got = _expand(query_contains(seg.payload, seg.logical, needle))
+    assert got == _matching_rows(vals, lambda v: needle in v)

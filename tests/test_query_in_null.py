@@ -94,6 +94,43 @@ def test_query_values_strings_and_nulls():
 
 
 # ---------------------------------------------------------------------------
+# query_contains kernel
+# ---------------------------------------------------------------------------
+
+
+def test_query_contains_dict_and_plain():
+    from columnstore_spark.codecs.query import query_contains
+    vals = ["alpha beta", "beta gamma", None, "delta", "beta gamma"]
+    for codec in ("dict_rle", "plain", "fsst"):
+        s = seg(vals, S, codec)
+        assert query_contains(s.payload, "string", "beta") == \
+            [(0, 2), (4, 1)]
+        assert query_contains(s.payload, "string", "zeta") == []
+        # empty needle = LIKE '%%': every non-null row
+        assert query_contains(s.payload, "string", "") == \
+            [(0, 2), (3, 2)]
+
+
+def test_query_contains_constant_and_type_guard():
+    from columnstore_spark.codecs.query import query_contains
+    c = seg(["xyx", "xyx", "xyx"], S, "constant")
+    assert query_contains(c.payload, "string", "yx") == [(0, 3)]
+    assert query_contains(c.payload, "string", "q") == []
+    with pytest.raises(ValueError):
+        query_contains(seg([1, 2], I32).payload, "int32", "1")
+
+
+def test_query_contains_multibyte_alignment():
+    """UTF-8 self-synchronization: an ASCII needle must not match
+    inside a multibyte sequence's continuation bytes."""
+    from columnstore_spark.codecs.query import query_contains
+    # 'é' = 0xC3 0xA9; needle '©' = 0xC2 0xA9 shares the 0xA9 byte
+    s = seg(["café", "naïve", "©right"], S, "plain")
+    assert query_contains(s.payload, "string", "©") == [(2, 1)]
+    assert query_contains(s.payload, "string", "é") == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
 # query_nulls kernel
 # ---------------------------------------------------------------------------
 
@@ -242,6 +279,17 @@ def test_store_query_by_prefix(spark, store, transcripts):
         transcripts.count()
     with pytest.raises(ValueError):
         store.query_by_prefix("turn_idx", "1")
+
+
+def test_store_query_by_contains(spark, store, transcripts):
+    got = store.query_by_contains("text", "vector")
+    want = transcripts.where(F.col("text").contains("vector"))
+    assert want.count() > 0
+    assert got.count() == want.count()
+    cols = ["conv_id", "turn_idx"]
+    assert _rows(got, cols) == _rows(want, cols)
+    with pytest.raises(ValueError):
+        store.query_by_contains("turn_idx", "1")
 
 
 def test_query_where_mixed_kinds(spark, store, transcripts):
