@@ -73,6 +73,20 @@ def _naive_utc(value):
     return value
 
 
+def _inner_columns(columns: list[str] | None,
+                   *probe_cols: str) -> list[str] | None:
+    """Projection the decode operator must carry so the facade's exact
+    trailing predicate can still evaluate: the user's `columns` plus
+    every probe column (deduped, order-stable). The facade selects the
+    user's list back out after filtering, so probe columns the user
+    didn't ask for never appear in the result — but their payloads are
+    the ONLY extra bytes read (encoded-level projection everywhere
+    else)."""
+    if columns is None:
+        return None
+    return list(dict.fromkeys([*columns, *probe_cols]))
+
+
 def _prefix_upper(prefix: str) -> str | None:
     """Smallest ASCII string upper-bounding every string that starts
     with `prefix`: trailing 0x7F chars drop, the last remaining char
@@ -235,24 +249,30 @@ class TranscriptColumnStore:
 
     # -- read (GetEnumerator) ------------------------------------------------
 
-    def solid_rows(self) -> DataFrame:
-        return decode(self.warehouse.committed_segments(self.spark))
+    def solid_rows(self, columns: list[str] | None = None) -> DataFrame:
+        return decode(self.warehouse.committed_segments(self.spark),
+                      columns=columns)
 
-    def rows(self) -> DataFrame:
+    def rows(self, columns: list[str] | None = None) -> DataFrame:
         """Every row exactly once: solid row groups decoded from the
         warehouse, then delta batches not yet compacted — the
-        reference's enumeration order (`ColumnStore.cs:76-87`)."""
+        reference's enumeration order (`ColumnStore.cs:76-87`).
+        `columns` projects the solid side at the ENCODED level (only
+        the named columns' segments are read) and the delta side at
+        the parquet scan."""
         pending = self._pending_batches()
         delta = None
         if pending:
             delta = self.spark.read.parquet(
                 *[f"{self._delta_root()}/{b}" for b in pending])
+            if columns is not None:
+                delta = delta.select(*columns)
         m = self.warehouse.manifest(self.spark)
         if m is None:
             if delta is None:
                 raise ValueError("empty store")
             return delta
-        solid = self.solid_rows()
+        solid = self.solid_rows(columns)
         return solid if delta is None else solid.unionByName(delta)
 
     # -- rebuild (I6) --------------------------------------------------------
@@ -479,7 +499,8 @@ class TranscriptColumnStore:
         args = (lo,) if eq else (lo, hi)
         return prune(segs, column, *args, logical_type=lt), lt
 
-    def query_by_value(self, column: str, value) -> DataFrame:
+    def query_by_value(self, column: str, value,
+                       columns: list[str] | None = None) -> DataFrame:
         """Rows where `column` equals `value`, reading only segments
         whose manifest stats admit the probe (the reference's
         `QueryByValue` inverted-index idea at warehouse scale). The
@@ -497,37 +518,54 @@ class TranscriptColumnStore:
         probe on a numeric column, NaN on floats, a float probe on a
         decimal column, nested/binary) skip the kernels and run
         Spark's own predicate over the decoded pruned segments — same
-        results, just fewer skipped bytes."""
+        results, just fewer skipped bytes.
+
+        `columns` projects at the ENCODED level: only the named
+        columns (plus the probe column) are gathered; a wide text
+        column the caller didn't ask for never leaves storage."""
         value = _naive_utc(value)
         m = self._manifest_or_raise()
+        inner = _inner_columns(columns, column)
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
         if not _kernel_safe_probe(lt or "", value):
-            return (decode(pruned, schema=schema_from_segments(m))
-                    .where(F.col(column) == F.lit(value)))
-        return (decode_matching(pruned, column, value,
-                                schema=schema_from_segments(m))
-                .where(F.col(column) == F.lit(value)))
+            out = (decode(pruned, schema=schema_from_segments(m),
+                          columns=inner)
+                   .where(F.col(column) == F.lit(value)))
+        else:
+            out = (decode_matching(pruned, column, value, columns=inner,
+                                   schema=schema_from_segments(m))
+                   .where(F.col(column) == F.lit(value)))
+        return out if columns is None else out.select(*columns)
 
-    def query_by_range(self, column: str, lo, hi) -> DataFrame:
+    def query_by_range(self, column: str, lo, hi,
+                       columns: list[str] | None = None) -> DataFrame:
         """Rows where lo <= `column` <= hi: manifest pruning, then the
         encoded-form range probe (`decode_matching_range` — a
         conservative superset off the dictionary/runs), with Spark's
         own `between` re-applied as the exact predicate. The range
         kernels widen unconvertible bounds out to the whole segment,
-        so only nested/binary columns need the decode fallback."""
+        so only nested/binary columns need the decode fallback.
+        `columns` projects at the encoded level (probe column always
+        gathered for the exact re-filter, then dropped)."""
         lo, hi = _naive_utc(lo), _naive_utc(hi)
         m = self._manifest_or_raise()
+        inner = _inner_columns(columns, column)
         pruned, lt = self._pruned_segments(m, column, lo, hi, eq=False)
         lt = lt or ""
         if lt.startswith("nested:") or lt == "binary":
-            return (decode(pruned, schema=schema_from_segments(m))
-                    .where(F.col(column).between(F.lit(lo), F.lit(hi))))
-        return (decode_matching_range(pruned, column, lo, hi,
-                                      schema=schema_from_segments(m))
-                .where(F.col(column).between(F.lit(lo), F.lit(hi))))
+            out = (decode(pruned, schema=schema_from_segments(m),
+                          columns=inner)
+                   .where(F.col(column).between(F.lit(lo), F.lit(hi))))
+        else:
+            out = (decode_matching_range(pruned, column, lo, hi,
+                                         columns=inner,
+                                         schema=schema_from_segments(m))
+                   .where(F.col(column).between(F.lit(lo), F.lit(hi))))
+        return out if columns is None else out.select(*columns)
 
-    def query_by_in(self, column: str, values) -> DataFrame:
+    def query_by_in(self, column: str, values,
+                    columns: list[str] | None = None) -> DataFrame:
         """Rows where `column` IN (`values`) — the batch point lookup
         ("fetch these k conversations"): every probe value prunes on
         the manifest (typed bounds AND its per-segment Bloom test),
@@ -538,7 +576,8 @@ class TranscriptColumnStore:
         semantics: null probes never match, duplicates collapse, an
         empty effective list returns an empty frame. Probe/column
         pairs the exact-typed kernels can't reproduce fall back to
-        decode + Spark's own `isin` over the pruned segments."""
+        decode + Spark's own `isin` over the pruned segments.
+        `columns` projects at the encoded level."""
         m = self._manifest_or_raise()
         seen: set = set()
         probes = []
@@ -550,9 +589,12 @@ class TranscriptColumnStore:
                 seen.add(v)
                 probes.append(v)
         schema = schema_from_segments(m)
+        inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
         if not probes:
-            return decode(segs.where(F.lit(False)), schema=schema)
+            out = decode(segs.where(F.lit(False)), schema=schema,
+                         columns=inner)
+            return out if columns is None else out.select(*columns)
         lt = self._logical_type(m, column)
         ids = prune_rowgroup_ids_in(m, column, probes, logical_type=lt)
         if ids is not None:
@@ -561,31 +603,40 @@ class TranscriptColumnStore:
             pruned = prune_rowgroups_by_values(segs, column, probes,
                                                logical_type=lt)
         if not all(_kernel_safe_probe(lt or "", v) for v in probes):
-            return (decode(pruned, schema=schema)
-                    .where(F.col(column).isin(probes)))
-        return (decode_matching_in(pruned, column, probes, schema=schema)
-                .where(F.col(column).isin(probes)))
+            out = (decode(pruned, schema=schema, columns=inner)
+                   .where(F.col(column).isin(probes)))
+        else:
+            out = (decode_matching_in(pruned, column, probes,
+                                      columns=inner, schema=schema)
+                   .where(F.col(column).isin(probes)))
+        return out if columns is None else out.select(*columns)
 
-    def query_by_null(self, column: str) -> DataFrame:
+    def query_by_null(self, column: str,
+                      columns: list[str] | None = None) -> DataFrame:
         """Rows where `column` IS NULL. The one predicate that is
         always FULLY prunable: the manifest's exact per-segment
         `n_nulls` (kept for every logical type) eliminates each
         rowgroup without a single null before any payload is read, and
         the survivors probe the frame validity bitmap alone
         (`decode_matching_null` — zero body bytes on the probe column
-        for every scalar codec)."""
+        for every scalar codec). `columns` projects at the encoded
+        level."""
         m = self._manifest_or_raise()
         schema = schema_from_segments(m)
+        inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
         ids = prune_rowgroup_ids_null(m, column)
         if ids is not None:
             pruned = segs.where(F.col("rowgroup_id").isin(ids))
         else:
             pruned = prune_rowgroups_by_null(segs, column)
-        return (decode_matching_null(pruned, column, schema=schema)
-                .where(F.col(column).isNull()))
+        out = (decode_matching_null(pruned, column, columns=inner,
+                                    schema=schema)
+               .where(F.col(column).isNull()))
+        return out if columns is None else out.select(*columns)
 
-    def query_by_prefix(self, column: str, prefix: str) -> DataFrame:
+    def query_by_prefix(self, column: str, prefix: str,
+                        columns: list[str] | None = None) -> DataFrame:
         """Rows where string `column` starts with `prefix`
         (LIKE 'prefix%'). An ASCII prefix converts to the value range
         [prefix, prefix-with-last-char-incremented] — every string
@@ -595,7 +646,8 @@ class TranscriptColumnStore:
         manifest bounds prune rowgroups, the dictionary range-test
         clips runs, and Spark's exact `startswith` narrows the
         superset. Non-ASCII prefixes (where the two orders can
-        disagree) fall back to decode + filter — same rows, no skip."""
+        disagree) fall back to decode + filter — same rows, no skip.
+        `columns` projects at the encoded level."""
         m = self._manifest_or_raise()
         lt = self._logical_type(m, column)
         if lt != "string":
@@ -605,18 +657,22 @@ class TranscriptColumnStore:
         if not isinstance(prefix, str):
             raise ValueError("prefix must be a str")
         schema = schema_from_segments(m)
+        inner = _inner_columns(columns, column)
         upper = _prefix_upper(prefix) if prefix.isascii() else None
         if not prefix or upper is None:
             segs = self.warehouse.committed_segments(self.spark)
-            return (decode(segs, schema=schema)
-                    .where(F.col(column).startswith(prefix)))
-        pruned, _lt = self._pruned_segments(m, column, prefix, upper,
-                                            eq=False)
-        return (decode_matching_range(pruned, column, prefix, upper,
-                                      schema=schema)
-                .where(F.col(column).startswith(prefix)))
+            out = (decode(segs, schema=schema, columns=inner)
+                   .where(F.col(column).startswith(prefix)))
+        else:
+            pruned, _lt = self._pruned_segments(m, column, prefix, upper,
+                                                eq=False)
+            out = (decode_matching_range(pruned, column, prefix, upper,
+                                         columns=inner, schema=schema)
+                   .where(F.col(column).startswith(prefix)))
+        return out if columns is None else out.select(*columns)
 
-    def query_by_contains(self, column: str, needle: str) -> DataFrame:
+    def query_by_contains(self, column: str, needle: str,
+                          columns: list[str] | None = None) -> DataFrame:
         """Rows whose string `column` contains `needle`
         (LIKE '%needle%') — the text-search staple. No zone map can
         prune a substring probe, but the encoded form still skips
@@ -627,7 +683,8 @@ class TranscriptColumnStore:
         matching ranges. Spark's exact `contains` re-applies on the
         survivors (byte containment of valid UTF-8 equals codepoint
         containment, so the kernel is already exact — the trailing
-        filter is belt-and-braces, evaluated on matching rows only)."""
+        filter is belt-and-braces, evaluated on matching rows only).
+        `columns` projects at the encoded level."""
         m = self._manifest_or_raise()
         lt = self._logical_type(m, column)
         if lt != "string":
@@ -636,12 +693,16 @@ class TranscriptColumnStore:
                 f"is {lt!r}")
         if not isinstance(needle, str):
             raise ValueError("needle must be a str")
+        inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
-        return (decode_matching_contains(segs, column, needle,
-                                         schema=schema_from_segments(m))
-                .where(F.col(column).contains(needle)))
+        out = (decode_matching_contains(segs, column, needle,
+                                        columns=inner,
+                                        schema=schema_from_segments(m))
+               .where(F.col(column).contains(needle)))
+        return out if columns is None else out.select(*columns)
 
-    def query_where(self, predicates: dict[str, object]) -> DataFrame:
+    def query_where(self, predicates: dict[str, object],
+                    columns: list[str] | None = None) -> DataFrame:
         """Conjunctive (AND) multi-column query: `{column: probe}` where
         a 2-tuple probe means an inclusive range, a list/set an IN-list
         (SQL semantics: null members never match, duplicates collapse,
@@ -685,7 +746,10 @@ class TranscriptColumnStore:
                         seen.add(v)
                         vals.append(v)
                 if not vals:  # IN () is false for every row
-                    return decode(segs.where(F.lit(False)), schema=schema)
+                    out = decode(segs.where(F.lit(False)), schema=schema,
+                                 columns=_inner_columns(columns))
+                    return (out if columns is None
+                            else out.select(*columns))
                 norm.append((col, "in", vals, lt))
             else:
                 norm.append((col, "eq", _naive_utc(probe), lt))
@@ -738,17 +802,23 @@ class TranscriptColumnStore:
             if safe:
                 best = (col, kind, payload)
                 break
+        # every predicate column must survive projection until the
+        # trailing exact filters run; the user's list selects at the end
+        inner = _inner_columns(columns, *[p[0] for p in norm])
         if best is None:
-            out = decode(segs, schema=schema)
+            out = decode(segs, schema=schema, columns=inner)
         elif best[1] == "eq":
-            out = decode_matching(segs, best[0], best[2], schema=schema)
+            out = decode_matching(segs, best[0], best[2], columns=inner,
+                                  schema=schema)
         elif best[1] == "in":
-            out = decode_matching_in(segs, best[0], best[2], schema=schema)
+            out = decode_matching_in(segs, best[0], best[2],
+                                     columns=inner, schema=schema)
         elif best[1] == "range":
             out = decode_matching_range(segs, best[0], *best[2],
-                                        schema=schema)
+                                        columns=inner, schema=schema)
         else:
-            out = decode_matching_null(segs, best[0], schema=schema)
+            out = decode_matching_null(segs, best[0], columns=inner,
+                                       schema=schema)
         for col, kind, payload, _lt in norm:
             c = F.col(col)
             if kind == "eq":
@@ -760,7 +830,7 @@ class TranscriptColumnStore:
                                           F.lit(payload[1])))
             else:
                 out = out.where(c.isNull())
-        return out
+        return out if columns is None else out.select(*columns)
 
     def query_by_window(self, rowgroup_id: int, start: int,
                         length: int) -> DataFrame:

@@ -281,6 +281,46 @@ def test_store_query_by_prefix(spark, store, transcripts):
         store.query_by_prefix("turn_idx", "1")
 
 
+def test_facade_columns_projection(spark, store, transcripts):
+    """`columns=` on every facade query: results equal the full query
+    projected, the schema carries exactly the asked columns (the probe
+    column gathered for the trailing filter is dropped), and unknown
+    names fail fast."""
+    key = transcripts.select("conv_id").first()["conv_id"]
+    cases = [
+        (store.query_by_value("role", "tool", columns=["conv_id"]),
+         transcripts.where(F.col("role") == "tool"), ["conv_id"]),
+        (store.query_by_in("conv_id", [key],
+                           columns=["turn_idx", "role"]),
+         transcripts.where(F.col("conv_id") == key),
+         ["turn_idx", "role"]),
+        (store.query_by_null("tool", columns=["conv_id", "turn_idx"]),
+         transcripts.where(F.col("tool").isNull()),
+         ["conv_id", "turn_idx"]),
+        (store.query_by_prefix("conv_id", key[:-1],
+                               columns=["turn_idx"]),
+         transcripts.where(F.col("conv_id").startswith(key[:-1])),
+         ["turn_idx"]),
+        (store.query_by_contains("text", "vector", columns=["conv_id"]),
+         transcripts.where(F.col("text").contains("vector")),
+         ["conv_id"]),
+        (store.query_where({"role": "tool", "turn_idx": (0, 9)},
+                           columns=["conv_id", "turn_idx"]),
+         transcripts.where((F.col("role") == "tool")
+                           & F.col("turn_idx").between(0, 9)),
+         ["conv_id", "turn_idx"]),
+        (store.query_by_range("turn_idx", 0, 2, columns=["role"]),
+         transcripts.where(F.col("turn_idx").between(0, 2)), ["role"]),
+    ]
+    for got, want, cols in cases:
+        assert got.columns == cols
+        assert _rows(got, cols) == _rows(want.select(*cols), cols)
+    assert store.rows(columns=["conv_id"]).columns == ["conv_id"]
+    assert store.rows(columns=["conv_id"]).count() == transcripts.count()
+    with pytest.raises(ValueError):
+        store.query_by_value("role", "tool", columns=["nope"]).collect()
+
+
 def test_store_query_by_contains(spark, store, transcripts):
     got = store.query_by_contains("text", "vector")
     want = transcripts.where(F.col("text").contains("vector"))
