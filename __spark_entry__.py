@@ -404,7 +404,13 @@ def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  logical_type="string"),
         "conv_id", _POINT_KEY).select(
         F.lit("conv=key").alias("probe"), "cnt")
-    return a.unionAll(b)
+    # COUNT(*) WHERE tool IS NULL is a pure MANIFEST read: the encoder
+    # already counted every segment's nulls (facade `count_null`)
+    c = (manifest_of(segs).where(F.col("column") == "tool")
+         .agg(F.coalesce(F.sum("n_nulls"), F.lit(0)).cast("long")
+              .alias("cnt"))
+         .select(F.lit("tool=null").alias("probe"), "cnt"))
+    return a.unionAll(b).unionAll(c)
 
 
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,7 +805,9 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT 'role=tool' AS probe, count(*) AS cnt FROM t "
             "WHERE role = 'tool' "
             "UNION ALL SELECT 'conv=key' AS probe, count(*) AS cnt "
-            f"FROM t WHERE conv_id = '{_POINT_KEY}'",
+            f"FROM t WHERE conv_id = '{_POINT_KEY}' "
+            "UNION ALL SELECT 'tool=null' AS probe, count(*) AS cnt "
+            "FROM t WHERE tool IS NULL",
         "raw_sizes": _raw_sizes_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

@@ -451,6 +451,21 @@ class TranscriptColumnStore:
                     .agg(F.count(F.lit(1)).alias("cnt")))
         return count_matching(pruned, column, value)
 
+    def count_null(self, column: str) -> DataFrame:
+        """Exact COUNT(*) WHERE `column` IS NULL answered from the
+        MANIFEST alone: the encoder already counted every segment's
+        nulls (`n_nulls`, exact for every logical type — T1-T4 stats),
+        so the query is a metadata sum — zero payload bytes, zero
+        kernel work, at any store size. Raises for a column the store
+        doesn't hold (a typo must not count 0)."""
+        m = self._manifest_or_raise()
+        sub = m.where(F.col("column") == column)
+        if self._logical_type(m, column) is None:
+            raise ValueError(f"unknown column {column!r}")
+        return sub.agg(
+            F.coalesce(F.sum("n_nulls"), F.lit(0)).cast("long")
+            .alias("cnt"))
+
     def topk(self, column: str, k: int, descending: bool = True,
              columns: list[str] | None = None,
              tie_cols: tuple[str, ...] = ()) -> DataFrame:

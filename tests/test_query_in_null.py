@@ -281,6 +281,14 @@ def test_store_query_by_prefix(spark, store, transcripts):
         store.query_by_prefix("turn_idx", "1")
 
 
+def test_store_count_null(spark, store, transcripts):
+    got = store.count_null("tool").first()["cnt"]
+    assert got == transcripts.where(F.col("tool").isNull()).count()
+    assert store.count_null("conv_id").first()["cnt"] == 0
+    with pytest.raises(ValueError):
+        store.count_null("nope")
+
+
 def test_facade_columns_projection(spark, store, transcripts):
     """`columns=` on every facade query: results equal the full query
     projected, the schema carries exactly the asked columns (the probe
