@@ -261,9 +261,13 @@ def _q_query_by_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_transcripts(spark, sf_dir)
     segs = encode(t, rowgroup_expr=_rg_expr())
     pruned = prune_rowgroups_by_null(segs, "tool")
-    return (decode_matching_null(pruned, "tool", schema=t.schema)
-            .where(F.col("tool").isNull())
-            .select("conv_id", "turn_idx", "role", "tool"))
+    # encoded-level projection: the wide text column (and ts) never
+    # decode — only the four projected columns' ranges gather
+    return (decode_matching_null(pruned, "tool",
+                                 columns=["conv_id", "turn_idx",
+                                          "role", "tool"],
+                                 schema=t.schema)
+            .where(F.col("tool").isNull()))
 
 
 # prefix probe, shared by the Spark query and its oracle
@@ -277,9 +281,11 @@ def _q_query_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — so manifest bounds prune rowgroups and the dictionary
     range-test clips runs (`store.query_by_prefix` internals);
     Spark's exact `startswith` narrows the superset."""
+    from columnstore_spark.store import _prefix_upper
+
     t = load_transcripts(spark, sf_dir)
     segs = encode(t, rowgroup_expr=_rg_expr())
-    upper = _PREFIX[:-1] + chr(ord(_PREFIX[-1]) + 1)
+    upper = _prefix_upper(_PREFIX)  # one audited increment (DEL-safe)
     pruned = prune_rowgroups_by_range(segs, "conv_id", _PREFIX, upper,
                                       logical_type="string")
     return (decode_matching_range(pruned, "conv_id", _PREFIX, upper,

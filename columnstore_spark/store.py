@@ -73,6 +73,51 @@ def _naive_utc(value):
     return value
 
 
+_SCALAR_PROBES = (str, int, float, bool, bytes)
+
+
+def _exact_in_cond(column: str, probes) -> "F.Column":
+    """Spark's exact IN predicate over non-null probes. `Column.isin`
+    (the InSet-optimized form) only lifts scalar literals; array/
+    struct/map probes go through an OR of `== lit(v)` equalities —
+    `F.lit` builds nested literals where isin's boxing cannot.
+    Equivalent semantics: the null members are already dropped."""
+    import datetime as dt
+    from decimal import Decimal
+
+    scalars = (*_SCALAR_PROBES, Decimal, dt.date, dt.datetime)
+    if all(isinstance(v, scalars) for v in probes):
+        return F.col(column).isin(probes)
+    cond = F.lit(False)
+    for v in probes:
+        cond = cond | (F.col(column) == F.lit(v))
+    return cond
+
+
+def _dedup_probes(values) -> list:
+    """IN-list probes normalized: SQL-null members dropped, tz-aware
+    datetimes made naive-UTC, duplicates collapsed — including
+    UNHASHABLE probes (a list probe against a nested column must reach
+    the decode+isin fallback, not die in a set)."""
+    seen: set = set()
+    unhashable: list = []
+    out: list = []
+    for v in values:
+        if v is None:
+            continue
+        v = _naive_utc(v)
+        try:
+            if v in seen:
+                continue
+            seen.add(v)
+        except TypeError:
+            if any(v == u for u in unhashable):
+                continue
+            unhashable.append(v)
+        out.append(v)
+    return out
+
+
 def _inner_columns(columns: list[str] | None,
                    *probe_cols: str) -> list[str] | None:
     """Projection the decode operator must carry so the facade's exact
@@ -594,15 +639,7 @@ class TranscriptColumnStore:
         decode + Spark's own `isin` over the pruned segments.
         `columns` projects at the encoded level."""
         m = self._manifest_or_raise()
-        seen: set = set()
-        probes = []
-        for v in values:
-            if v is None:
-                continue
-            v = _naive_utc(v)
-            if v not in seen:
-                seen.add(v)
-                probes.append(v)
+        probes = _dedup_probes(values)
         schema = schema_from_segments(m)
         inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
@@ -619,11 +656,11 @@ class TranscriptColumnStore:
                                                logical_type=lt)
         if not all(_kernel_safe_probe(lt or "", v) for v in probes):
             out = (decode(pruned, schema=schema, columns=inner)
-                   .where(F.col(column).isin(probes)))
+                   .where(_exact_in_cond(column, probes)))
         else:
             out = (decode_matching_in(pruned, column, probes,
                                       columns=inner, schema=schema)
-                   .where(F.col(column).isin(probes)))
+                   .where(_exact_in_cond(column, probes)))
         return out if columns is None else out.select(*columns)
 
     def query_by_null(self, column: str,
@@ -751,15 +788,7 @@ class TranscriptColumnStore:
                              (_naive_utc(probe[0]), _naive_utc(probe[1])),
                              lt))
             elif isinstance(probe, (list, set, frozenset)):
-                seen: set = set()
-                vals = []
-                for v in probe:
-                    if v is None:
-                        continue
-                    v = _naive_utc(v)
-                    if v not in seen:
-                        seen.add(v)
-                        vals.append(v)
+                vals = _dedup_probes(probe)
                 if not vals:  # IN () is false for every row
                     out = decode(segs.where(F.lit(False)), schema=schema,
                                  columns=_inner_columns(columns))
@@ -839,7 +868,7 @@ class TranscriptColumnStore:
             if kind == "eq":
                 out = out.where(c == F.lit(payload))
             elif kind == "in":
-                out = out.where(c.isin(payload))
+                out = out.where(_exact_in_cond(col, payload))
             elif kind == "range":
                 out = out.where(c.between(F.lit(payload[0]),
                                           F.lit(payload[1])))

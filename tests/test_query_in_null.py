@@ -405,6 +405,15 @@ def test_store_query_by_null_nested_column(spark, tmp_path):
     rows = store.query_by_in("conv_id", ["a", "c"]).collect()
     assert sorted(tuple(r["embedding"]) for r in rows) == \
         [(1.0, 2.0), (3.0, 4.0)]
+    # an UNHASHABLE probe on the nested column itself must reach the
+    # decode + Spark-isin fallback (kernels can't type it), not die
+    # in the dedup set; duplicates and None members still collapse
+    got2 = store.query_by_in("embedding",
+                             [[1.0, 2.0], [1.0, 2.0], None])
+    assert [r["conv_id"] for r in got2.collect()] == ["a"]
+    mixed = store.query_where({"embedding": [[3.0, 4.0]],
+                               "turn_idx": (0, 9)})
+    assert [r["conv_id"] for r in mixed.collect()] == ["c"]
 
 
 def test_prefix_upper_unit():
