@@ -435,6 +435,26 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # window query constants, shared by the Spark query and its oracle
 _WIN_RG, _WIN_START, _WIN_LEN = 3, 50, 100
+# global-page constants: at sf0.01 (~1250 rows/rowgroup) the page
+# spans a rowgroup boundary, exercising the manifest routing
+_GWIN_START, _GWIN_LEN = 1200, 300
+
+
+def _q_query_by_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference enumerator's PAGING at warehouse scale
+    (`ColumnStore.GetEnumerator`, `ColumnStore.cs:76-87`): a global
+    row window under the store's stable enumeration order (rowgroup_id
+    ascending, encode order within), routed through the manifest's
+    per-rowgroup row counts — only the touched rowgroups' run-clipped
+    windows decode, so a page costs payload proportional to its
+    length, not the store (`operators/decode.decode_window_global`)."""
+    from columnstore_spark.operators import decode_window_global
+
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    return (decode_window_global(segs, _GWIN_START, _GWIN_LEN,
+                                 schema=t.schema)
+            .select(TRANSCRIPT_COLS))
 
 
 # substring probe, shared by the Spark query and its oracle
@@ -629,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_where": _q_query_where,
         "query_mixed": _q_query_mixed,
         "query_by_window": _q_query_by_window,
+        "query_by_window_global": _q_query_by_window_global,
         "agg_pushdown": _q_agg_pushdown,
         "group_count": _q_group_count,
         "group_agg": _q_group_agg,
@@ -757,6 +778,12 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_RG_SQL} = {_WIN_RG} "
             f"ORDER BY conv_id, turn_idx "
             f"LIMIT {_WIN_LEN} OFFSET {_WIN_START}",
+        "query_by_window_global":
+            f"WITH t AS ({TRANSCRIPTS_SQL}), "
+            f"b AS (SELECT t.*, {_RG_SQL} AS rg FROM t) "
+            f"SELECT conv_id, turn_idx, role, text, tool, ts FROM b "
+            f"ORDER BY rg, conv_id, turn_idx "
+            f"LIMIT {_GWIN_LEN} OFFSET {_GWIN_START}",
         "query_where":
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "

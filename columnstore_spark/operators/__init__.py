@@ -1,7 +1,7 @@
 from .decode import (decode, decode_matching, decode_matching_contains,
                      decode_matching_in,
                      decode_matching_null, decode_matching_range,
-                     decode_window,
+                     decode_window, decode_window_global,
                      schema_from_segments)
 from .encode import (SEGMENT_SCHEMA, default_rowgroup_expr, encode,
                      encode_files, manifest_of, write_bucketed_layout)
@@ -14,6 +14,7 @@ __all__ = [
     "decode", "decode_matching", "decode_matching_contains",
     "decode_matching_in",
     "decode_matching_null", "decode_matching_range", "decode_window",
+    "decode_window_global",
     "schema_from_segments", "roundtrip_equal",
     "topk",
 ]

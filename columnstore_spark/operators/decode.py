@@ -58,13 +58,16 @@ def schema_from_segments(segments: DataFrame) -> T.StructType:
 
 
 def _rowgroup_stage(segments: DataFrame, schema: T.StructType,
-                    num_partitions: int | None, group_fn) -> DataFrame:
+                    num_partitions: int | None, group_fn,
+                    pass_rowgroup: bool = False) -> DataFrame:
     """The one decode-shaped stage every read path shares:
     hash-partition the segments table by rowgroup, stream each
     rowgroup's segment rows as one Arrow table through
     `group_fn(payloads, logicals, colnames) -> {column: pa.Array} | None`
     (None = the rowgroup contributes no rows), and zip the returned
-    columns back into `schema`."""
+    columns back into `schema`. With `pass_rowgroup` the callback
+    receives the rowgroup id as its first argument (per-rowgroup
+    parameterized reads, e.g. the global window's routing table)."""
     names = [f.name for f in schema.fields]
     out_pa_schema = arrow_schema_for(schema)
     if num_partitions is None:
@@ -74,9 +77,11 @@ def _rowgroup_stage(segments: DataFrame, schema: T.StructType,
     def run_partition(
             batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for _rg, tbl in iter_groups(batches, "rowgroup_id"):
-            by_name = group_fn(tbl.column("payload").combine_chunks(),
-                               tbl.column("logical_type").to_pylist(),
-                               tbl.column("column").to_pylist())
+            args = (tbl.column("payload").combine_chunks(),
+                    tbl.column("logical_type").to_pylist(),
+                    tbl.column("column").to_pylist())
+            by_name = (group_fn(_rg, *args) if pass_rowgroup
+                       else group_fn(*args))
             if by_name is None:
                 continue
             cols = [by_name[n].cast(f.type)
@@ -283,6 +288,59 @@ def _matching_stage(segments: DataFrame, column: str, probe_fn,
                 for i, name in enumerate(colnames) if name in names}
 
     return _rowgroup_stage(segments, schema, num_partitions, match_group)
+
+
+def decode_window_global(segments: DataFrame, start: int, length: int,
+                         schema: T.StructType | None = None,
+                         num_partitions: int | None = None) -> DataFrame:
+    """GLOBAL row window [start, start+length) over the store's stable
+    enumeration order — rowgroup_id ascending, encode order within
+    each rowgroup: the reference enumerator's paging
+    (`ColumnStore.GetEnumerator`, `ColumnStore.cs:76-87`) at warehouse
+    scale. The page is ROUTED through the manifest's per-rowgroup row
+    counts (one driver-side read of a row per rowgroup — metadata
+    only), each touched rowgroup gets its local [start, len) slice,
+    and ONE distributed stage run-clips exactly those windows —
+    rowgroups outside the page are excluded from the scan by a pushed
+    rowgroup_id filter and never read. A page costs payload
+    proportional to `length`, not to the store."""
+    from ..codecs.query import query_window
+
+    if schema is None:
+        schema = schema_from_segments(segments)
+    start, length = max(0, int(start)), max(0, int(length))
+    first_col = schema.fields[0].name if schema.fields else None
+    if length == 0 or first_col is None:
+        return decode(segments.where(F.lit(False)), schema=schema)
+
+    counts = (segments.where(F.col("column") == first_col)
+              .select("rowgroup_id", "n_rows")
+              .orderBy("rowgroup_id").collect())
+    end = start + length
+    windows: dict[int, tuple[int, int]] = {}
+    cum = 0
+    for r in counts:
+        lo, hi = cum, cum + r["n_rows"]
+        cum = hi
+        if hi <= start:
+            continue
+        if lo >= end:
+            break
+        windows[r["rowgroup_id"]] = (max(0, start - lo),
+                                     min(hi, end) - max(lo, start))
+    if not windows:
+        return decode(segments.where(F.lit(False)), schema=schema)
+
+    segs = segments.where(F.col("rowgroup_id").isin(sorted(windows)))
+
+    def win_group(rg, payloads, logicals, colnames):
+        ls, ll = windows[rg]
+        return {name: query_window(payloads[i].as_py(), logicals[i],
+                                   ls, ll)
+                for i, name in enumerate(colnames)}
+
+    return _rowgroup_stage(segs, schema, num_partitions, win_group,
+                           pass_rowgroup=True)
 
 
 def decode_window(segments: DataFrame, rowgroup_id: int, start: int,

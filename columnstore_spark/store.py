@@ -881,3 +881,18 @@ class TranscriptColumnStore:
         """Row window of one rowgroup via the run-clipping kernels."""
         segs = self.warehouse.committed_segments(self.spark)
         return decode_window(segs, rowgroup_id, start, length)
+
+    def rows_window(self, start: int, length: int) -> DataFrame:
+        """GLOBAL page [start, start+length) of the committed store
+        under its stable enumeration order (rowgroup_id ascending,
+        encode order within) — the reference enumerator's paging
+        (`ColumnStore.GetEnumerator`). Routed through the manifest's
+        per-rowgroup row counts, so only the touched rowgroups' run-
+        clipped windows decode: a page costs payload proportional to
+        `length`, not to the store (`operators/decode_window_global`).
+        Out-of-range windows clamp; a page past the end is empty."""
+        from .operators import decode_window_global
+        m = self._manifest_or_raise()
+        segs = self.warehouse.committed_segments(self.spark)
+        return decode_window_global(segs, start, length,
+                                    schema=schema_from_segments(m))

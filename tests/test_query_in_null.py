@@ -281,6 +281,36 @@ def test_store_query_by_prefix(spark, store, transcripts):
         store.query_by_prefix("turn_idx", "1")
 
 
+def test_rows_window_global_paging(spark, store, transcripts):
+    """rows_window pages the whole committed store under the stable
+    enumeration order (rowgroup_id asc, encode order within): pages
+    concatenate back to the full store, boundary-spanning pages route
+    through multiple rowgroups, and out-of-range windows clamp."""
+    total = transcripts.count()
+    # enumerate the expected order once: decode everything, tagged by
+    # the store's own enumeration (all pages concatenated == rows())
+    page = max(1, total // 3)
+    seen = []
+    start = 0
+    while start < total:
+        rows = store.rows_window(start, page).collect()
+        assert 0 < len(rows) <= page
+        seen.extend(rows)
+        start += page
+    assert len(seen) == total
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    assert sorted(tuple(r[c] for c in cols) for r in seen) == \
+        _rows(transcripts, cols)
+    # pages must not overlap: (conv_id, turn_idx) is unique
+    keys = [(r["conv_id"], r["turn_idx"]) for r in seen]
+    assert len(set(keys)) == total
+    # clamps
+    assert store.rows_window(total + 5, 10).count() == 0
+    assert store.rows_window(-5, 3).count() == 3
+    assert store.rows_window(total - 2, 100).count() == 2
+    assert store.rows_window(0, 0).count() == 0
+
+
 def test_store_count_null(spark, store, transcripts):
     got = store.count_null("tool").first()["cnt"]
     assert got == transcripts.where(F.col("tool").isNull()).count()
