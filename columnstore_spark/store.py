@@ -201,7 +201,12 @@ class TranscriptColumnStore:
     `group_agg`, `query_by_*`, `query_where`) covers the COMMITTED
     store only: pending deltas hold raw un-encoded rows, so there is
     no segment to probe until `close()` folds them. Call `close()`
-    first when queries must see just-added data."""
+    first when queries must see just-added data — or pass
+    `include_pending=True` to any `query_by_*`/`query_where`: the
+    solid side still answers from the encoded form, and the pending
+    batches (small, recent, raw parquet) are filtered with the same
+    Spark predicate and unioned in — the reference enumerating delta
+    rowgroups alongside solid ones, applied to queries."""
 
     def __init__(self, spark: SparkSession, root: str,
                  num_rowgroups: int = 8,
@@ -559,8 +564,30 @@ class TranscriptColumnStore:
         args = (lo,) if eq else (lo, hi)
         return prune(segs, column, *args, logical_type=lt), lt
 
+    def _finish_query(self, out: DataFrame, cond,
+                      columns: list[str] | None,
+                      include_pending: bool) -> DataFrame:
+        """Shared tail of every probe query: with `include_pending`,
+        union the pending delta batches' rows matching the SAME Spark
+        predicate — read-your-writes without `close()`, the analogue
+        of the reference querying its delta rowgroups alongside solid
+        ones (`ColumnStore.cs:76-87`); the solid side still answers
+        from the encoded form, the delta side is a plain parquet
+        filter over the (small, recent) un-compacted batches. Then
+        the user projection selects out any probe columns carried only
+        for the predicate."""
+        if include_pending:
+            pending = self._pending_batches()
+            if pending:
+                delta = self.spark.read.parquet(
+                    *[f"{self._delta_root()}/{b}" for b in pending])
+                out = out.unionByName(
+                    delta.where(cond).select(*out.columns))
+        return out if columns is None else out.select(*columns)
+
     def query_by_value(self, column: str, value,
-                       columns: list[str] | None = None) -> DataFrame:
+                       columns: list[str] | None = None,
+                       include_pending: bool = False) -> DataFrame:
         """Rows where `column` equals `value`, reading only segments
         whose manifest stats admit the probe (the reference's
         `QueryByValue` inverted-index idea at warehouse scale). The
@@ -586,20 +613,21 @@ class TranscriptColumnStore:
         value = _naive_utc(value)
         m = self._manifest_or_raise()
         inner = _inner_columns(columns, column)
+        cond = F.col(column) == F.lit(value)
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
         if not _kernel_safe_probe(lt or "", value):
-            out = (decode(pruned, schema=schema_from_segments(m),
-                          columns=inner)
-                   .where(F.col(column) == F.lit(value)))
+            out = decode(pruned, schema=schema_from_segments(m),
+                         columns=inner).where(cond)
         else:
-            out = (decode_matching(pruned, column, value, columns=inner,
-                                   schema=schema_from_segments(m))
-                   .where(F.col(column) == F.lit(value)))
-        return out if columns is None else out.select(*columns)
+            out = decode_matching(pruned, column, value, columns=inner,
+                                  schema=schema_from_segments(m)
+                                  ).where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
 
     def query_by_range(self, column: str, lo, hi,
-                       columns: list[str] | None = None) -> DataFrame:
+                       columns: list[str] | None = None,
+                       include_pending: bool = False) -> DataFrame:
         """Rows where lo <= `column` <= hi: manifest pruning, then the
         encoded-form range probe (`decode_matching_range` — a
         conservative superset off the dictionary/runs), with Spark's
@@ -611,21 +639,22 @@ class TranscriptColumnStore:
         lo, hi = _naive_utc(lo), _naive_utc(hi)
         m = self._manifest_or_raise()
         inner = _inner_columns(columns, column)
+        cond = F.col(column).between(F.lit(lo), F.lit(hi))
         pruned, lt = self._pruned_segments(m, column, lo, hi, eq=False)
         lt = lt or ""
         if lt.startswith("nested:") or lt == "binary":
-            out = (decode(pruned, schema=schema_from_segments(m),
-                          columns=inner)
-                   .where(F.col(column).between(F.lit(lo), F.lit(hi))))
+            out = decode(pruned, schema=schema_from_segments(m),
+                         columns=inner).where(cond)
         else:
-            out = (decode_matching_range(pruned, column, lo, hi,
-                                         columns=inner,
-                                         schema=schema_from_segments(m))
-                   .where(F.col(column).between(F.lit(lo), F.lit(hi))))
-        return out if columns is None else out.select(*columns)
+            out = decode_matching_range(pruned, column, lo, hi,
+                                        columns=inner,
+                                        schema=schema_from_segments(m)
+                                        ).where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
 
     def query_by_in(self, column: str, values,
-                    columns: list[str] | None = None) -> DataFrame:
+                    columns: list[str] | None = None,
+                    include_pending: bool = False) -> DataFrame:
         """Rows where `column` IN (`values`) — the batch point lookup
         ("fetch these k conversations"): every probe value prunes on
         the manifest (typed bounds AND its per-segment Bloom test),
@@ -654,17 +683,18 @@ class TranscriptColumnStore:
         else:
             pruned = prune_rowgroups_by_values(segs, column, probes,
                                                logical_type=lt)
+        cond = _exact_in_cond(column, probes)
         if not all(_kernel_safe_probe(lt or "", v) for v in probes):
-            out = (decode(pruned, schema=schema, columns=inner)
-                   .where(_exact_in_cond(column, probes)))
+            out = decode(pruned, schema=schema, columns=inner).where(cond)
         else:
-            out = (decode_matching_in(pruned, column, probes,
-                                      columns=inner, schema=schema)
-                   .where(_exact_in_cond(column, probes)))
-        return out if columns is None else out.select(*columns)
+            out = decode_matching_in(pruned, column, probes,
+                                     columns=inner, schema=schema
+                                     ).where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
 
     def query_by_null(self, column: str,
-                      columns: list[str] | None = None) -> DataFrame:
+                      columns: list[str] | None = None,
+                      include_pending: bool = False) -> DataFrame:
         """Rows where `column` IS NULL. The one predicate that is
         always FULLY prunable: the manifest's exact per-segment
         `n_nulls` (kept for every logical type) eliminates each
@@ -682,13 +712,14 @@ class TranscriptColumnStore:
             pruned = segs.where(F.col("rowgroup_id").isin(ids))
         else:
             pruned = prune_rowgroups_by_null(segs, column)
-        out = (decode_matching_null(pruned, column, columns=inner,
-                                    schema=schema)
-               .where(F.col(column).isNull()))
-        return out if columns is None else out.select(*columns)
+        cond = F.col(column).isNull()
+        out = decode_matching_null(pruned, column, columns=inner,
+                                   schema=schema).where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
 
     def query_by_prefix(self, column: str, prefix: str,
-                        columns: list[str] | None = None) -> DataFrame:
+                        columns: list[str] | None = None,
+                        include_pending: bool = False) -> DataFrame:
         """Rows where string `column` starts with `prefix`
         (LIKE 'prefix%'). An ASCII prefix converts to the value range
         [prefix, prefix-with-last-char-incremented] — every string
@@ -710,21 +741,22 @@ class TranscriptColumnStore:
             raise ValueError("prefix must be a str")
         schema = schema_from_segments(m)
         inner = _inner_columns(columns, column)
+        cond = F.col(column).startswith(prefix)
         upper = _prefix_upper(prefix) if prefix.isascii() else None
         if not prefix or upper is None:
             segs = self.warehouse.committed_segments(self.spark)
-            out = (decode(segs, schema=schema, columns=inner)
-                   .where(F.col(column).startswith(prefix)))
+            out = decode(segs, schema=schema, columns=inner).where(cond)
         else:
             pruned, _lt = self._pruned_segments(m, column, prefix, upper,
                                                 eq=False)
-            out = (decode_matching_range(pruned, column, prefix, upper,
-                                         columns=inner, schema=schema)
-                   .where(F.col(column).startswith(prefix)))
-        return out if columns is None else out.select(*columns)
+            out = decode_matching_range(pruned, column, prefix, upper,
+                                        columns=inner, schema=schema
+                                        ).where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
 
     def query_by_contains(self, column: str, needle: str,
-                          columns: list[str] | None = None) -> DataFrame:
+                          columns: list[str] | None = None,
+                          include_pending: bool = False) -> DataFrame:
         """Rows whose string `column` contains `needle`
         (LIKE '%needle%') — the text-search staple. No zone map can
         prune a substring probe, but the encoded form still skips
@@ -746,15 +778,16 @@ class TranscriptColumnStore:
         if not isinstance(needle, str):
             raise ValueError("needle must be a str")
         inner = _inner_columns(columns, column)
+        cond = F.col(column).contains(needle)
         segs = self.warehouse.committed_segments(self.spark)
-        out = (decode_matching_contains(segs, column, needle,
-                                        columns=inner,
-                                        schema=schema_from_segments(m))
-               .where(F.col(column).contains(needle)))
-        return out if columns is None else out.select(*columns)
+        out = decode_matching_contains(
+            segs, column, needle, columns=inner,
+            schema=schema_from_segments(m)).where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
 
     def query_where(self, predicates: dict[str, object],
-                    columns: list[str] | None = None) -> DataFrame:
+                    columns: list[str] | None = None,
+                    include_pending: bool = False) -> DataFrame:
         """Conjunctive (AND) multi-column query: `{column: probe}` where
         a 2-tuple probe means an inclusive range, a list/set an IN-list
         (SQL semantics: null members never match, duplicates collapse,
@@ -863,18 +896,20 @@ class TranscriptColumnStore:
         else:
             out = decode_matching_null(segs, best[0], columns=inner,
                                        schema=schema)
+        cond = F.lit(True)
         for col, kind, payload, _lt in norm:
             c = F.col(col)
             if kind == "eq":
-                out = out.where(c == F.lit(payload))
+                cond = cond & (c == F.lit(payload))
             elif kind == "in":
-                out = out.where(_exact_in_cond(col, payload))
+                cond = cond & _exact_in_cond(col, payload)
             elif kind == "range":
-                out = out.where(c.between(F.lit(payload[0]),
-                                          F.lit(payload[1])))
+                cond = cond & c.between(F.lit(payload[0]),
+                                        F.lit(payload[1]))
             else:
-                out = out.where(c.isNull())
-        return out if columns is None else out.select(*columns)
+                cond = cond & c.isNull()
+        return self._finish_query(out.where(cond), cond, columns,
+                                  include_pending)
 
     def query_by_window(self, rowgroup_id: int, start: int,
                         length: int) -> DataFrame:

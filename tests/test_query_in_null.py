@@ -281,6 +281,50 @@ def test_store_query_by_prefix(spark, store, transcripts):
         store.query_by_prefix("turn_idx", "1")
 
 
+def test_include_pending_read_your_writes(spark, tmp_path, transcripts):
+    """include_pending=True makes every probe query see un-compacted
+    delta batches (the reference queries its delta rowgroups too):
+    solid side from the encoded form, pending side from the raw
+    parquet, same predicate. Default stays committed-only."""
+    s = TranscriptColumnStore(spark, str(tmp_path / "ryw"),
+                              num_rowgroups=2)
+    even = transcripts.where(F.col("turn_idx") % 2 == 0)
+    odd = transcripts.where(F.col("turn_idx") % 2 == 1)
+    s.add_range(even)
+    s.close()
+    s.add_range(odd)  # left pending
+    cols = ["conv_id", "turn_idx"]
+
+    def want(pred):
+        return _rows(transcripts.where(pred).select(*cols), cols)
+
+    assert _rows(s.query_by_value("role", "tool", columns=cols,
+                                  include_pending=True), cols) == \
+        want(F.col("role") == "tool")
+    # default excludes the pending odd turns
+    assert _rows(s.query_by_value("role", "tool", columns=cols), cols) \
+        == _rows(even.where(F.col("role") == "tool").select(*cols), cols)
+    assert _rows(s.query_by_null("tool", columns=cols,
+                                 include_pending=True), cols) == \
+        want(F.col("tool").isNull())
+    key = transcripts.select("conv_id").first()["conv_id"]
+    assert _rows(s.query_by_in("conv_id", [key], columns=cols,
+                               include_pending=True), cols) == \
+        want(F.col("conv_id") == key)
+    assert _rows(s.query_where({"role": "tool", "turn_idx": (0, 9)},
+                               columns=cols, include_pending=True),
+                 cols) == \
+        want((F.col("role") == "tool") & F.col("turn_idx").between(0, 9))
+    assert _rows(s.query_by_prefix("conv_id", key[:-1], columns=cols,
+                                   include_pending=True), cols) == \
+        want(F.col("conv_id").startswith(key[:-1]))
+    # after close() the flag is a no-op (nothing pending)
+    s.close()
+    assert _rows(s.query_by_value("role", "tool", columns=cols,
+                                  include_pending=True), cols) == \
+        want(F.col("role") == "tool")
+
+
 def test_rows_window_global_paging(spark, store, transcripts):
     """rows_window pages the whole committed store under the stable
     enumeration order (rowgroup_id asc, encode order within): pages
