@@ -34,6 +34,7 @@ from columnstore_spark.operators import (
     manifest_of,
 )
 from columnstore_spark.plans.pruning import (
+    prune_rowgroups_any,
     prune_rowgroups_by_null,
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
@@ -313,6 +314,61 @@ def _q_query_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("role") == "assistant")
                    & F.col("turn_idx").between(3, 30))
             .select(TRANSCRIPT_COLS))
+
+
+def _q_query_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR) multi-column query (facade `store.query_any`):
+    the per-predicate manifest keep-sets UNION in one metadata pass
+    (`plans/pruning.prune_rowgroups_any` — bounds AND bloom per
+    branch, OR across branches), so a rowgroup decodes only when at
+    least one branch admits it; Spark's own OR filter gives exact
+    DataFrame-disjunction semantics on the survivors."""
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr(), bloom_columns=("conv_id",))
+    preds = [("conv_id", "eq", _POINT_KEY, "string"),
+             ("turn_idx", "range", (58, 63), "int32"),
+             ("role", "eq", "system", "string")]
+    pruned = prune_rowgroups_any(segs, preds)
+    return (decode(pruned, schema=t.schema)
+            .where((F.col("conv_id") == _POINT_KEY)
+                   | F.col("turn_idx").between(58, 63)
+                   | (F.col("role") == "system"))
+            .select(TRANSCRIPT_COLS))
+
+
+def _q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT off the encoded form
+    (`operators/aggregate.distinct_values`): each segment contributes
+    its dictionary — dict/constant codecs never expand a run — so the
+    distinct shuffle carries per-segment NDV rows, not table rows;
+    the nullable tool column exercises the SQL NULL distinct row."""
+    from columnstore_spark.operators.aggregate import distinct_values
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    role = distinct_values(segs, "role").select(
+        F.lit("role").alias("col_name"), "value")
+    tool = distinct_values(segs, "tool").select(
+        F.lit("tool").alias("col_name"), "value")
+    return role.unionAll(tool)
+
+
+def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) pushdown
+    (`operators/aggregate.count_distinct`): the aggregation input is
+    the union of per-segment dictionaries (NDV rows each), never the
+    table — covers a high-cardinality key (conv_id), a low-cardinality
+    dictionary column (role), and a nullable one (tool; SQL semantics
+    exclude the null)."""
+    from columnstore_spark.operators.aggregate import count_distinct
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    parts = [count_distinct(segs, c).select(
+        F.lit(c).alias("col_name"), "n_distinct")
+        for c in ("conv_id", "role", "tool")]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,7 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_prefix": _q_query_by_prefix,
         "query_by_contains": _q_query_by_contains,
         "query_where": _q_query_where,
+        "query_any": _q_query_any,
         "query_mixed": _q_query_mixed,
+        "distinct": _q_distinct,
+        "count_distinct": _q_count_distinct,
         "query_by_window": _q_query_by_window,
         "query_by_window_global": _q_query_by_window_global,
         "agg_pushdown": _q_agg_pushdown,
@@ -788,6 +847,22 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "
             "AND turn_idx BETWEEN 3 AND 30",
+        "query_any":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            f"WHERE conv_id = '{_POINT_KEY}' "
+            "OR turn_idx BETWEEN 58 AND 63 OR role = 'system'",
+        "distinct":
+            f"{t} SELECT 'role' AS col_name, role AS value FROM t "
+            "GROUP BY role "
+            "UNION ALL SELECT 'tool' AS col_name, tool AS value FROM t "
+            "GROUP BY tool",
+        "count_distinct":
+            f"{t} SELECT 'conv_id' AS col_name, "
+            "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_distinct FROM t "
+            "UNION ALL SELECT 'role' AS col_name, "
+            "CAST(count(DISTINCT role) AS BIGINT) AS n_distinct FROM t "
+            "UNION ALL SELECT 'tool' AS col_name, "
+            "CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct FROM t",
         "query_by_in":
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id IN ("

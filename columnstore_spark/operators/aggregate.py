@@ -112,19 +112,18 @@ def aggregate_segments(segments: DataFrame,
     )
 
 
-def group_count(segments: DataFrame, column: str,
-                value_type: T.DataType | None = None) -> DataFrame:
-    """GROUP BY `column` -> (value, cnt) computed in the ENCODED domain
+def _distinct_stage(segments: DataFrame, column: str,
+                    value_type: T.DataType | None = None) -> DataFrame:
+    """Per-SEGMENT (value, cnt) rows off the encoded form
     (`codecs/query.value_counts`): dict_rle segments answer from the
     dictionary + run lengths without materializing a row — the
     reference's dictionary layout used as a free aggregation index
     (`DictionaryEncoding.cs:174-203`); other codecs decode only this
     one column. Each segment emits at most NDV+1 rows (the +1 is the
-    SQL NULL group when the segment holds nulls), so the shuffle the
-    final groupBy pays is over per-segment DISTINCTS, not rows —
-    map-side-combine shape by construction. At 100 TB a GROUP BY over
-    a low-cardinality column never touches the wide text payloads and
-    never expands runs."""
+    SQL NULL group when the segment holds nulls), so whatever the
+    caller aggregates next shuffles per-segment DISTINCTS, not rows —
+    map-side-combine shape by construction. Shared spine of
+    `group_count` / `distinct_values` / `count_distinct`."""
     from ..codecs.query import value_counts as _vc
     from .arrow_io import arrow_schema_for
     from .decode import _spark_type_of
@@ -165,9 +164,42 @@ def group_count(segments: DataFrame, column: str,
                     [varr, pa.array(cnts, type=pa.int64())],
                     names=["value", "cnt"])
 
-    return (sub.select("payload", "logical_type")
-            .mapInArrow(run, out_schema)
+    return sub.select("payload", "logical_type").mapInArrow(run, out_schema)
+
+
+def group_count(segments: DataFrame, column: str,
+                value_type: T.DataType | None = None) -> DataFrame:
+    """GROUP BY `column` -> (value, cnt) computed in the ENCODED domain:
+    per-segment distinct counts (`_distinct_stage`) summed per value.
+    At 100 TB a GROUP BY over a low-cardinality column never touches
+    the wide text payloads and never expands runs."""
+    return (_distinct_stage(segments, column, value_type)
             .groupBy("value").agg(F.sum("cnt").alias("cnt")))
+
+
+def distinct_values(segments: DataFrame, column: str,
+                    value_type: T.DataType | None = None) -> DataFrame:
+    """SELECT DISTINCT `column` in the encoded domain: each segment
+    contributes its dictionary (dict/constant codecs never expand a
+    run; others decode this one column), and the distinct shuffle
+    carries per-segment NDV rows — at 100 TB the wire traffic is the
+    union of dictionaries, not the table. Includes the SQL NULL row
+    when the column holds nulls, exactly like `SELECT DISTINCT`."""
+    return (_distinct_stage(segments, column, value_type)
+            .select("value").distinct())
+
+
+def count_distinct(segments: DataFrame, column: str,
+                   value_type: T.DataType | None = None) -> DataFrame:
+    """Exact COUNT(DISTINCT `column`) -> one (n_distinct: long) row,
+    SQL semantics (nulls excluded). The distinct sets ride the same
+    per-segment dictionary stage, so the aggregation input is NDV rows
+    per segment — Spark's two-phase distinct aggregate then dedups
+    map-side before the single-row final."""
+    return (_distinct_stage(segments, column, value_type)
+            .where(F.col("value").isNotNull())
+            .agg(F.count_distinct(F.col("value"))
+                 .cast("long").alias("n_distinct")))
 
 
 def count_matching(segments: DataFrame, column: str, value) -> DataFrame:

@@ -464,3 +464,60 @@ def prune_rowgroups_by_null(segments: DataFrame, column: str) -> DataFrame:
             .where((F.col("column") == column) & (F.col("n_nulls") > 0))
             .select("rowgroup_id").distinct())
     return segments.join(keep, on="rowgroup_id", how="left_semi")
+
+
+def _keep_cond_any(preds) -> Column | None:
+    """Disjunctive keep-condition over manifest rows: a rowgroup
+    survives when ANY predicate's keep-test passes on ITS column's
+    manifest row. `preds` is a list of (column, kind, payload,
+    logical_type) with kind in {'eq', 'range', 'in', 'null'}. Returns
+    None when any single predicate is unprunable — under OR that
+    predicate alone can keep every rowgroup, so the whole prune must
+    no-op (conservative, never changes results)."""
+    cond: Column | None = None
+    for col, kind, payload, lt in preds:
+        if kind == "null":
+            c: Column | None = F.col("n_nulls") > 0
+        elif kind == "in":
+            c = _keep_cond_in(payload, lt)
+        elif kind == "range":
+            c = _keep_cond(payload[0], payload[1], eq=False,
+                           logical_type=lt)
+        else:
+            c = _keep_cond(payload, payload, eq=True, logical_type=lt)
+        if c is None:
+            return None
+        c = (F.col("column") == col) & c
+        cond = c if cond is None else cond | c
+    return cond
+
+
+def prune_rowgroup_ids_any(manifest: DataFrame,
+                           preds) -> list[int] | None:
+    """Kept rowgroup ids for an OR of predicates (`_keep_cond_any`) —
+    the UNION of the per-predicate keep-sets, evaluated in one manifest
+    pass. None when pruning can't apply (any branch unprunable) or the
+    keep-set exceeds the IN-plan cap; callers then fall back to
+    `prune_rowgroups_any`."""
+    cond = _keep_cond_any(preds)
+    if cond is None:
+        return None
+    rows = (_with_typed_bounds(manifest)
+            .where(cond)
+            .select("rowgroup_id").distinct().limit(_ISIN_CAP + 1)
+            .collect())
+    if len(rows) > _ISIN_CAP:
+        return None
+    return sorted(r["rowgroup_id"] for r in rows)
+
+
+def prune_rowgroups_any(segments: DataFrame, preds) -> DataFrame:
+    """Semi-join form of the disjunctive prune (any keep-set size);
+    no-ops when any branch is unprunable."""
+    cond = _keep_cond_any(preds)
+    if cond is None:
+        return segments
+    keep = (_with_typed_bounds(segments)
+            .where(cond)
+            .select("rowgroup_id").distinct())
+    return segments.join(keep, on="rowgroup_id", how="left_semi")

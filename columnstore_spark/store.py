@@ -47,8 +47,10 @@ from .operators.decode import schema_from_segments
 from .plans.pruning import (
     _with_typed_bounds,
     prune_rowgroup_ids,
+    prune_rowgroup_ids_any,
     prune_rowgroup_ids_in,
     prune_rowgroup_ids_null,
+    prune_rowgroups_any,
     prune_rowgroups_by_null,
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
@@ -501,6 +503,27 @@ class TranscriptColumnStore:
                     .agg(F.count(F.lit(1)).alias("cnt")))
         return count_matching(pruned, column, value)
 
+    def distinct(self, column: str) -> DataFrame:
+        """SELECT DISTINCT `column` -> (value) in the encoded domain:
+        each segment contributes its dictionary — dict/constant codecs
+        never expand a run, other codecs decode this one column — so
+        the distinct shuffle carries per-segment NDV rows, not table
+        rows (`operators/aggregate.distinct_values`). Includes the SQL
+        NULL row when the column holds nulls."""
+        from .operators.aggregate import distinct_values
+        return distinct_values(
+            self.warehouse.committed_segments(self.spark), column)
+
+    def count_distinct(self, column: str) -> DataFrame:
+        """Exact COUNT(DISTINCT `column`) -> (n_distinct) with SQL
+        semantics (nulls excluded), riding the same per-segment
+        dictionary stage as `distinct` — the aggregation input is the
+        union of dictionaries, never the rows
+        (`operators/aggregate.count_distinct`)."""
+        from .operators.aggregate import count_distinct
+        return count_distinct(
+            self.warehouse.committed_segments(self.spark), column)
+
     def count_null(self, column: str) -> DataFrame:
         """Exact COUNT(*) WHERE `column` IS NULL answered from the
         MANIFEST alone: the encoder already counted every segment's
@@ -908,6 +931,76 @@ class TranscriptColumnStore:
                                         F.lit(payload[1]))
             else:
                 cond = cond & c.isNull()
+        return self._finish_query(out.where(cond), cond, columns,
+                                  include_pending)
+
+    def query_any(self, predicates, columns: list[str] | None = None,
+                  include_pending: bool = False) -> DataFrame:
+        """Disjunctive (OR) multi-column query — the complement of
+        `query_where`: rows matching ANY predicate. Probes use the same
+        shapes (`None` IS NULL, 2-tuple inclusive range, list/set
+        IN-list, else equality); pass a dict `{column: probe}` or, for
+        several probes on one column, a list of `(column, probe)`
+        pairs.
+
+        Pruning under OR is the keep-set UNION, evaluated in one
+        manifest pass (`plans/pruning.prune_rowgroup_ids_any` — bounds
+        AND bloom AND n_nulls per branch, OR across branches): a
+        rowgroup is skipped only when EVERY branch excludes it. One
+        unprunable branch makes the whole prune a conservative no-op —
+        under OR that branch alone could match anywhere. Unlike the
+        conjunctive path there is no single-predicate encoded probe
+        (a row matching only another branch would be lost), so the
+        surviving rowgroups decode with encoded-level projection to
+        the needed columns and Spark's own OR filter runs on top —
+        results are exactly the DataFrame disjunction's."""
+        items = (list(predicates.items())
+                 if isinstance(predicates, dict) else list(predicates))
+        if not items:
+            raise ValueError("query_any needs at least one predicate")
+        m = self._manifest_or_raise()
+        schema = schema_from_segments(m)
+        segs = self.warehouse.committed_segments(self.spark)
+        norm: list[tuple[str, str, object, str]] = []
+        for col, probe in items:
+            lt = self._logical_type(m, col) or ""
+            if probe is None:
+                norm.append((col, "null", None, lt))
+            elif isinstance(probe, tuple) and len(probe) == 2:
+                norm.append((col, "range",
+                             (_naive_utc(probe[0]), _naive_utc(probe[1])),
+                             lt))
+            elif isinstance(probe, (list, set, frozenset)):
+                vals = _dedup_probes(probe)
+                if vals:  # IN () matches nothing: drop the branch
+                    norm.append((col, "in", vals, lt))
+            else:
+                norm.append((col, "eq", _naive_utc(probe), lt))
+        inner = _inner_columns(columns, *[p[0] for p in norm])
+        if not norm:  # every branch was an empty IN-list
+            out = decode(segs.where(F.lit(False)), schema=schema,
+                         columns=inner)
+            return out if columns is None else out.select(*columns)
+
+        ids = prune_rowgroup_ids_any(m, norm)
+        if ids is not None:
+            segs = segs.where(F.col("rowgroup_id").isin(ids))
+        else:
+            segs = prune_rowgroups_any(segs, norm)
+
+        out = decode(segs, schema=schema, columns=inner)
+        cond = F.lit(False)
+        for col, kind, payload, _lt in norm:
+            c = F.col(col)
+            if kind == "eq":
+                cond = cond | (c == F.lit(payload))
+            elif kind == "in":
+                cond = cond | _exact_in_cond(col, payload)
+            elif kind == "range":
+                cond = cond | c.between(F.lit(payload[0]),
+                                        F.lit(payload[1]))
+            else:
+                cond = cond | c.isNull()
         return self._finish_query(out.where(cond), cond, columns,
                                   include_pending)
 

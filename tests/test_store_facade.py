@@ -214,3 +214,94 @@ def test_group_agg_facade_where(spark, tmp_path, t):
     # coercion probe: string on int32 — decode fallback, same answer
     assert norm(store.group_agg("role", "turn_idx",
                                 where=("turn_idx", "3"))) == exp
+
+
+def test_query_any_disjunction(spark, tmp_path, t):
+    """Multi-column OR: the keep-set UNION prunes on the manifest in
+    one pass, results are exactly Spark's own disjunctive filter —
+    including IN-list and IS NULL branches and the pending-delta
+    union."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+    cols = t.columns
+
+    key = t.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    got = store.query_any({"conv_id": key, "turn_idx": (58, 63),
+                           "role": "system"})
+    exp = t.where((F.col("conv_id") == key)
+                  | F.col("turn_idx").between(58, 63)
+                  | (F.col("role") == "system"))
+    assert _sorted(got, cols) == _sorted(exp, cols)
+
+    # IS NULL and IN-list branches; list-of-pairs input form
+    got = store.query_any([("tool", None), ("role", ["system"])])
+    exp = t.where(F.col("tool").isNull() | (F.col("role") == "system"))
+    assert _sorted(got, cols) == _sorted(exp, cols)
+
+    # empty IN branches drop; all-empty means no rows, schema intact
+    got = store.query_any({"role": []})
+    assert got.count() == 0 and set(got.columns) == set(cols)
+
+    # column projection keeps predicate columns internal only
+    got = store.query_any({"role": "system", "turn_idx": (58, 63)},
+                          columns=["conv_id", "text"])
+    assert got.columns == ["conv_id", "text"]
+
+    # read-your-writes: pending delta rows join the disjunction
+    extra = t.limit(7).withColumn("role", F.lit("system"))
+    store.add_range(extra)
+    got = store.query_any({"role": "system"}, include_pending=True)
+    n_solid = t.where(F.col("role") == "system").count()
+    assert got.count() == n_solid + 7
+
+
+def test_query_any_prune_union(spark, t):
+    """prune_rowgroup_ids_any returns the UNION of per-branch
+    keep-sets, and degrades to None (no pruning) when any branch is
+    unprunable."""
+    from columnstore_spark.operators import encode, manifest_of
+    from columnstore_spark.plans.pruning import (
+        prune_rowgroup_ids,
+        prune_rowgroup_ids_any,
+        prune_rowgroup_ids_null,
+    )
+
+    segs = encode(t, rowgroup_expr=F.expr(
+        "CAST(substring(conv_id, 2) AS BIGINT) % 4")).persist()
+    m = manifest_of(segs)
+    a = prune_rowgroup_ids(m, "turn_idx", 58, 63, False,
+                           logical_type="int32")
+    b = prune_rowgroup_ids_null(m, "tool")
+    u = prune_rowgroup_ids_any(
+        m, [("turn_idx", "range", (58, 63), "int32"),
+            ("tool", "null", None, "string")])
+    assert u is not None and set(u) == set(a) | set(b)
+
+    # a range on a binary logical can't prune (blooms are eq-only,
+    # binary has no typed bounds) -> the whole disjunction no-ops
+    u = prune_rowgroup_ids_any(
+        m, [("turn_idx", "range", (58, 63), "int32"),
+            ("text", "range", (b"a", b"z"), "binary")])
+    assert u is None
+    segs.unpersist()
+
+
+def test_distinct_and_count_distinct(spark, tmp_path, t):
+    """Encoded-domain SELECT DISTINCT / COUNT(DISTINCT): dictionary
+    unions match Spark's own distinct, SQL null semantics throughout
+    (distinct includes the NULL row, count_distinct excludes it)."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+
+    for col in ("role", "tool", "conv_id", "turn_idx", "ts"):
+        got = sorted((r["value"] for r in store.distinct(col).collect()),
+                     key=lambda v: (v is None, v))
+        exp = sorted((r[0] for r in t.select(col).distinct().collect()),
+                     key=lambda v: (v is None, v))
+        assert got == exp, col
+        n = store.count_distinct(col).first()["n_distinct"]
+        assert n == t.agg(F.count_distinct(F.col(col))).first()[0], col
