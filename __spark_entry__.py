@@ -342,12 +342,16 @@ def _q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     its dictionary — dict/constant codecs never expand a run — so the
     distinct shuffle carries per-segment NDV rows, not table rows;
     the nullable tool column exercises the SQL NULL distinct row."""
+    from pyspark.sql import types as T
+
     from columnstore_spark.operators.aggregate import distinct_values
     t = load_transcripts(spark, sf_dir)
     segs = encode(t, rowgroup_expr=_rg_expr())
-    role = distinct_values(segs, "role").select(
+    # value_type passed statically: the schema is the entry's own
+    # contract, so the stage skips its logical_type driver job
+    role = distinct_values(segs, "role", T.StringType()).select(
         F.lit("role").alias("col_name"), "value")
-    tool = distinct_values(segs, "tool").select(
+    tool = distinct_values(segs, "tool", T.StringType()).select(
         F.lit("tool").alias("col_name"), "value")
     return role.unionAll(tool)
 
@@ -359,10 +363,12 @@ def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — covers a high-cardinality key (conv_id), a low-cardinality
     dictionary column (role), and a nullable one (tool; SQL semantics
     exclude the null)."""
+    from pyspark.sql import types as T
+
     from columnstore_spark.operators.aggregate import count_distinct
     t = load_transcripts(spark, sf_dir)
     segs = encode(t, rowgroup_expr=_rg_expr())
-    parts = [count_distinct(segs, c).select(
+    parts = [count_distinct(segs, c, T.StringType()).select(
         F.lit(c).alias("col_name"), "n_distinct")
         for c in ("conv_id", "role", "tool")]
     out = parts[0]

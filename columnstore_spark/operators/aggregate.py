@@ -192,14 +192,13 @@ def distinct_values(segments: DataFrame, column: str,
 def count_distinct(segments: DataFrame, column: str,
                    value_type: T.DataType | None = None) -> DataFrame:
     """Exact COUNT(DISTINCT `column`) -> one (n_distinct: long) row,
-    SQL semantics (nulls excluded). The distinct sets ride the same
-    per-segment dictionary stage, so the aggregation input is NDV rows
-    per segment — Spark's two-phase distinct aggregate then dedups
-    map-side before the single-row final."""
+    SQL semantics (count_distinct itself excludes nulls). The distinct
+    sets ride the same per-segment dictionary stage, so the
+    aggregation input is NDV rows per segment — Spark's two-phase
+    distinct aggregate then dedups map-side before the single-row
+    final."""
     return (_distinct_stage(segments, column, value_type)
-            .where(F.col("value").isNotNull())
-            .agg(F.count_distinct(F.col("value"))
-                 .cast("long").alias("n_distinct")))
+            .agg(F.count_distinct(F.col("value")).alias("n_distinct")))
 
 
 def count_matching(segments: DataFrame, column: str, value) -> DataFrame:

@@ -521,3 +521,27 @@ def prune_rowgroups_any(segments: DataFrame, preds) -> DataFrame:
             .where(cond)
             .select("rowgroup_id").distinct())
     return segments.join(keep, on="rowgroup_id", how="left_semi")
+
+
+def prune_segments_any(manifest: DataFrame, segments: DataFrame,
+                       preds) -> DataFrame:
+    """One-shot disjunctive prune for a caller holding both tables:
+    builds the keep-condition ONCE, tries the id-list plan off the
+    manifest (pushed `rowgroup_id IN (...)` scan filter), and falls
+    back to the semi-join form past `_ISIN_CAP` — without recomputing
+    the condition tree (per-branch bloom hashes included) a second
+    time. No-ops when any branch is unprunable."""
+    cond = _keep_cond_any(preds)
+    if cond is None:
+        return segments
+    rows = (_with_typed_bounds(manifest)
+            .where(cond)
+            .select("rowgroup_id").distinct().limit(_ISIN_CAP + 1)
+            .collect())
+    if len(rows) <= _ISIN_CAP:
+        return segments.where(F.col("rowgroup_id").isin(
+            sorted(r["rowgroup_id"] for r in rows)))
+    keep = (_with_typed_bounds(segments)
+            .where(cond)
+            .select("rowgroup_id").distinct())
+    return segments.join(keep, on="rowgroup_id", how="left_semi")

@@ -47,11 +47,10 @@ from .operators.decode import schema_from_segments
 from .plans.pruning import (
     _with_typed_bounds,
     prune_rowgroup_ids,
-    prune_rowgroup_ids_any,
     prune_rowgroup_ids_in,
     prune_rowgroup_ids_null,
-    prune_rowgroups_any,
     prune_rowgroups_by_null,
+    prune_segments_any,
     prune_rowgroups_by_range,
     prune_rowgroups_by_value,
     prune_rowgroups_by_values,
@@ -148,6 +147,42 @@ def _prefix_upper(prefix: str) -> str | None:
         return None
     b[-1] += 1
     return b.decode("ascii")
+
+
+def _norm_one_pred(col: str, probe, lt: str):
+    """One (column, probe) pair -> (col, kind, payload, lt) in the
+    shared shape both multi-predicate queries consume: `None` IS NULL,
+    2-tuple inclusive range, list/set IN-list (deduped; may come back
+    EMPTY — matches nothing, each caller decides between empty-result
+    and drop-the-branch), anything else equality. Timestamp probes
+    normalize to naive-UTC exactly once, here."""
+    if probe is None:
+        return (col, "null", None, lt)
+    if isinstance(probe, tuple) and len(probe) == 2:
+        return (col, "range",
+                (_naive_utc(probe[0]), _naive_utc(probe[1])), lt)
+    if isinstance(probe, (list, set, frozenset)):
+        return (col, "in", _dedup_probes(probe), lt)
+    return (col, "eq", _naive_utc(probe), lt)
+
+
+def _exact_pred_cond(norm, any_mode: bool):
+    """Fold the normalized predicates into Spark's own filter —
+    conjunction (`query_where`) or disjunction (`query_any`); result
+    semantics are exactly the DataFrame combination's."""
+    cond = F.lit(False) if any_mode else F.lit(True)
+    for col, kind, payload, _lt in norm:
+        c = F.col(col)
+        if kind == "eq":
+            one = c == F.lit(payload)
+        elif kind == "in":
+            one = _exact_in_cond(col, payload)
+        elif kind == "range":
+            one = c.between(F.lit(payload[0]), F.lit(payload[1]))
+        else:
+            one = c.isNull()
+        cond = (cond | one) if any_mode else (cond & one)
+    return cond
 
 
 def _kernel_safe_probe(lt: str, value) -> bool:
@@ -509,10 +544,12 @@ class TranscriptColumnStore:
         never expand a run, other codecs decode this one column — so
         the distinct shuffle carries per-segment NDV rows, not table
         rows (`operators/aggregate.distinct_values`). Includes the SQL
-        NULL row when the column holds nulls."""
+        NULL row when the column holds nulls. The value type resolves
+        off the MANIFEST (metadata), not a segments job."""
         from .operators.aggregate import distinct_values
         return distinct_values(
-            self.warehouse.committed_segments(self.spark), column)
+            self.warehouse.committed_segments(self.spark), column,
+            value_type=self._value_type(column))
 
     def count_distinct(self, column: str) -> DataFrame:
         """Exact COUNT(DISTINCT `column`) -> (n_distinct) with SQL
@@ -522,7 +559,18 @@ class TranscriptColumnStore:
         (`operators/aggregate.count_distinct`)."""
         from .operators.aggregate import count_distinct
         return count_distinct(
-            self.warehouse.committed_segments(self.spark), column)
+            self.warehouse.committed_segments(self.spark), column,
+            value_type=self._value_type(column))
+
+    def _value_type(self, column: str):
+        """Spark type of `column` from the manifest's logical_type —
+        a kilobyte metadata read; raises on an unknown column (a typo
+        must not return an empty distinct set)."""
+        from .operators.decode import _spark_type_of
+        lt = self._logical_type(self._manifest_or_raise(), column)
+        if lt is None:
+            raise ValueError(f"unknown column {column!r}")
+        return _spark_type_of(lt)
 
     def count_null(self, column: str) -> DataFrame:
         """Exact COUNT(*) WHERE `column` IS NULL answered from the
@@ -834,25 +882,15 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
-        norm: list[tuple[str, str, object, str]] = []  # col, kind, payload, lt
-        for col, probe in predicates.items():
-            lt = self._logical_type(m, col) or ""
-            if probe is None:
-                norm.append((col, "null", None, lt))
-            elif isinstance(probe, tuple) and len(probe) == 2:
-                norm.append((col, "range",
-                             (_naive_utc(probe[0]), _naive_utc(probe[1])),
-                             lt))
-            elif isinstance(probe, (list, set, frozenset)):
-                vals = _dedup_probes(probe)
-                if not vals:  # IN () is false for every row
-                    out = decode(segs.where(F.lit(False)), schema=schema,
-                                 columns=_inner_columns(columns))
-                    return (out if columns is None
-                            else out.select(*columns))
-                norm.append((col, "in", vals, lt))
-            else:
-                norm.append((col, "eq", _naive_utc(probe), lt))
+        norm = [_norm_one_pred(col, probe,
+                               self._logical_type(m, col) or "")
+                for col, probe in predicates.items()]
+        if any(kind == "in" and not payload
+               for _c, kind, payload, _lt in norm):
+            # IN () is false for every row -> the conjunction is empty
+            out = decode(segs.where(F.lit(False)), schema=schema,
+                         columns=_inner_columns(columns))
+            return out if columns is None else out.select(*columns)
 
         # intersect manifest keep-sets; columns whose id-list form is
         # unavailable (unprunable, or keep-set beyond the IN-list cap)
@@ -919,18 +957,7 @@ class TranscriptColumnStore:
         else:
             out = decode_matching_null(segs, best[0], columns=inner,
                                        schema=schema)
-        cond = F.lit(True)
-        for col, kind, payload, _lt in norm:
-            c = F.col(col)
-            if kind == "eq":
-                cond = cond & (c == F.lit(payload))
-            elif kind == "in":
-                cond = cond & _exact_in_cond(col, payload)
-            elif kind == "range":
-                cond = cond & c.between(F.lit(payload[0]),
-                                        F.lit(payload[1]))
-            else:
-                cond = cond & c.isNull()
+        cond = _exact_pred_cond(norm, any_mode=False)
         return self._finish_query(out.where(cond), cond, columns,
                                   include_pending)
 
@@ -961,46 +988,21 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
-        norm: list[tuple[str, str, object, str]] = []
-        for col, probe in items:
-            lt = self._logical_type(m, col) or ""
-            if probe is None:
-                norm.append((col, "null", None, lt))
-            elif isinstance(probe, tuple) and len(probe) == 2:
-                norm.append((col, "range",
-                             (_naive_utc(probe[0]), _naive_utc(probe[1])),
-                             lt))
-            elif isinstance(probe, (list, set, frozenset)):
-                vals = _dedup_probes(probe)
-                if vals:  # IN () matches nothing: drop the branch
-                    norm.append((col, "in", vals, lt))
-            else:
-                norm.append((col, "eq", _naive_utc(probe), lt))
+        norm = [p for p in
+                (_norm_one_pred(col, probe,
+                                self._logical_type(m, col) or "")
+                 for col, probe in items)
+                # IN () matches nothing: drop the branch under OR
+                if not (p[1] == "in" and not p[2])]
         inner = _inner_columns(columns, *[p[0] for p in norm])
         if not norm:  # every branch was an empty IN-list
             out = decode(segs.where(F.lit(False)), schema=schema,
                          columns=inner)
             return out if columns is None else out.select(*columns)
 
-        ids = prune_rowgroup_ids_any(m, norm)
-        if ids is not None:
-            segs = segs.where(F.col("rowgroup_id").isin(ids))
-        else:
-            segs = prune_rowgroups_any(segs, norm)
-
-        out = decode(segs, schema=schema, columns=inner)
-        cond = F.lit(False)
-        for col, kind, payload, _lt in norm:
-            c = F.col(col)
-            if kind == "eq":
-                cond = cond | (c == F.lit(payload))
-            elif kind == "in":
-                cond = cond | _exact_in_cond(col, payload)
-            elif kind == "range":
-                cond = cond | c.between(F.lit(payload[0]),
-                                        F.lit(payload[1]))
-            else:
-                cond = cond | c.isNull()
+        pruned = prune_segments_any(m, segs, norm)
+        out = decode(pruned, schema=schema, columns=inner)
+        cond = _exact_pred_cond(norm, any_mode=True)
         return self._finish_query(out.where(cond), cond, columns,
                                   include_pending)
 
