@@ -18,7 +18,9 @@ codecs; ``Compression.None`` forces plain.
 
 from __future__ import annotations
 
-from . import constant, dictrle, forpack, fsst, plain
+import numpy as np
+
+from . import alp, constant, dictrle, forpack, fsst, plain
 from . import values as V
 from .stats import SegmentStats
 
@@ -50,6 +52,15 @@ def choose(st: SegmentStats, logical: str, vals, mode: str = MODE_SIZE) -> int:
         if st.delta_min is not None:
             candidates[forpack.DELTA_CODEC_ID] = forpack.estimate_delta_size(
                 n, st.delta_min, st.delta_max)
+
+    if (logical in alp.FLOAT_LOGICAL and isinstance(vals, np.ndarray)
+            # ALP beats dict only when values are mostly distinct;
+            # low-cardinality floats are dict's job (and dict round-trips
+            # NaN payloads that ALP would patch one by one)
+            and st.n_distinct * 4 > st.n_rows - st.n_nulls):
+        est = alp.estimate_size(vals, logical)
+        if est is not None:
+            candidates[alp.CODEC_ID] = est
 
     if (mode == MODE_SIZE and logical in V.VAR_LOGICAL
             and isinstance(vals, V.VarChunk)

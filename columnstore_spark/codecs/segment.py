@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from . import bitpack, chooser, constant, dictrle, forpack, fsst, plain, sequential
+from . import alp, bitpack, chooser, constant, dictrle, forpack, fsst, plain, sequential
 from . import values as V
 from .stats import SegmentStats, _exact_sum_i64, _exact_sum_u64, collect
 
@@ -42,6 +42,7 @@ CODEC_NAMES = {
     forpack.FOR_CODEC_ID: "for_bitpack",
     forpack.DELTA_CODEC_ID: "delta_bitpack",
     fsst.CODEC_ID: "fsst",
+    alp.CODEC_ID: "alp",
     SPLIT128_CODEC_ID: "decimal_split",
     ARROW_IPC_CODEC_ID: "arrow_ipc",
 }
@@ -228,6 +229,7 @@ _ENCODERS = {
     forpack.FOR_CODEC_ID: forpack.encode_for,
     forpack.DELTA_CODEC_ID: forpack.encode_delta,
     fsst.CODEC_ID: fsst.encode,
+    alp.CODEC_ID: alp.encode,
 }
 _DECODERS = {
     plain.CODEC_ID: plain.decode,
@@ -237,6 +239,7 @@ _DECODERS = {
     forpack.FOR_CODEC_ID: forpack.decode_for,
     forpack.DELTA_CODEC_ID: forpack.decode_delta,
     fsst.CODEC_ID: fsst.decode,
+    alp.CODEC_ID: alp.decode,
 }
 
 
