@@ -251,6 +251,27 @@ def _q_query_by_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(TRANSCRIPT_COLS))
 
 
+def _q_semi_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed semi-join — transcripts of every conversation whose
+    user signed up, with the key side staying a DataFrame end to end
+    (`operators/semijoin.py`): manifest bounds broadcast to the keys
+    for the rowgroup prune (dynamic-partition-pruning shape), the
+    exactness join is a leftsemi hash join on the decoded survivors.
+    No key list ever transits the driver."""
+    from columnstore_spark.operators.semijoin import semi_join_segments
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    m = manifest_of(segs)
+    keys = spark.sql(
+        "SELECT DISTINCT 'c' || lpad(CAST(user_id AS STRING), 12, '0')"
+        " AS k FROM events"
+        " WHERE event_type = 'signup' AND event_id % 97 = 0")
+    pruned = semi_join_segments(segs, m, "conv_id", keys, "string")
+    out = decode(pruned, schema=t.schema)
+    return (out.join(keys, out["conv_id"] == keys["k"], "leftsemi")
+            .select(TRANSCRIPT_COLS))
+
+
 def _q_query_by_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL query — the one predicate that is always FULLY
     prunable: the manifest's exact per-segment n_nulls eliminates
@@ -705,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_range_encoded": _q_query_by_range_encoded,
         "query_by_range_ts": _q_query_by_range_ts,
         "query_by_in": _q_query_by_in,
+        "semi_join_keys": _q_semi_join_keys,
         "query_by_null": _q_query_by_null,
         "query_by_prefix": _q_query_by_prefix,
         "query_by_contains": _q_query_by_contains,
@@ -849,6 +871,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, role, text, tool, ts FROM b "
             f"ORDER BY rg, conv_id, turn_idx "
             f"LIMIT {_GWIN_LEN} OFFSET {_GWIN_START}",
+        "semi_join_keys":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            "WHERE conv_id IN (SELECT DISTINCT "
+            "'c' || lpad(CAST(user_id AS STRING), 12, '0') "
+            "FROM events "
+            "WHERE event_type = 'signup' AND event_id % 97 = 0)",
         "query_where":
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "

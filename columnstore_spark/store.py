@@ -763,6 +763,52 @@ class TranscriptColumnStore:
                                      ).where(cond)
         return self._finish_query(out, cond, columns, include_pending)
 
+    def semi_join(self, keys: DataFrame, on: str,
+                  key_col: str | None = None,
+                  columns: list[str] | None = None,
+                  include_pending: bool = False) -> DataFrame:
+        """Rows whose `on` value appears in the `keys` DataFrame — the
+        distributed complement of `query_by_in` for key sets that must
+        not transit the driver ("all conversations for these
+        customers" where the customer side is itself a big table).
+
+        Plan shape (`operators/semijoin.py`, plan-gated in
+        `tests/test_semijoin.py`): the probe column's manifest bounds
+        BROADCAST to the key side and a non-equi join computes which
+        rowgroups at least one key can inhabit — Spark's dynamic
+        partition pruning re-expressed against our manifest, with the
+        nested loop bounded by metadata size, never data. Surviving
+        segments decode (column-projected) and leftsemi-HASH-join the
+        distinct keys; AQE picks broadcast vs shuffled hash by key-side
+        size. SQL IN semantics: null keys never match. Types the
+        bounds can't speak for (non-ASCII-prunable strings aside,
+        e.g. decimals) skip the prune, never the exactness join."""
+        from .operators.semijoin import semi_join_segments
+        if key_col is None:
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    "key_col required when keys has multiple columns")
+            key_col = keys.columns[0]
+        m = self._manifest_or_raise()
+        kdf = (keys.select(key_col)
+               .where(F.col(key_col).isNotNull()).distinct())
+        lt = self._logical_type(m, on)
+        segs = self.warehouse.committed_segments(self.spark)
+        pruned = semi_join_segments(segs, m, on, kdf, lt)
+        inner = _inner_columns(columns, on)
+        out = decode(pruned, schema=schema_from_segments(m),
+                     columns=inner)
+        out = out.join(kdf, out[on] == kdf[key_col], "leftsemi")
+        if include_pending:
+            pending = self._pending_batches()
+            if pending:
+                delta = self.spark.read.parquet(
+                    *[f"{self._delta_root()}/{b}" for b in pending])
+                out = out.unionByName(
+                    delta.join(kdf, delta[on] == kdf[key_col],
+                               "leftsemi").select(*out.columns))
+        return out if columns is None else out.select(*columns)
+
     def query_by_null(self, column: str,
                       columns: list[str] | None = None,
                       include_pending: bool = False) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Distributed semi-join: correctness vs a plain Spark semi-join on the
+decoded table, rowgroup pruning effectiveness, and plan shape (the only
+nested loop is keys x broadcast manifest bounds; the exactness join is
+a hash join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnstore_spark.operators.semijoin import keep_ids_for_keys
+from columnstore_spark.store import TranscriptColumnStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory, transcripts):
+    root = str(tmp_path_factory.mktemp("semijoin_store"))
+    s = TranscriptColumnStore(spark, root, num_rowgroups=8)
+    s.add_range(transcripts)
+    s.close()
+    return s
+
+
+def _expected(transcripts, keys, on):
+    return (transcripts.join(keys, transcripts[on] == keys[keys.columns[0]],
+                                "leftsemi")
+            .orderBy("conv_id", "turn_idx").collect())
+
+
+def test_semi_join_string_keys(spark, store, transcripts):
+    keys = (transcripts.where(F.col("tool").isNotNull())
+            .select("conv_id").distinct())
+    got = (store.semi_join(keys, on="conv_id")
+           .orderBy("conv_id", "turn_idx").collect())
+    assert got == _expected(transcripts, keys, "conv_id")
+    assert len(got) > 0
+
+
+def test_semi_join_int_keys(spark, store, transcripts):
+    keys = spark.range(0, 5).select(F.col("id").cast("int").alias("k"))
+    got = (store.semi_join(keys, on="turn_idx")
+           .orderBy("conv_id", "turn_idx").collect())
+    assert got == _expected(transcripts, keys, "turn_idx")
+
+
+def test_semi_join_prunes_rowgroups(spark, store, transcripts):
+    # one conversation's keys must not keep every rowgroup
+    one = transcripts.select("conv_id").orderBy("conv_id").limit(1)
+    m = store.warehouse.manifest(spark)
+    total = m.select("rowgroup_id").distinct().count()
+    ids = keep_ids_for_keys(m, "conv_id", one, "string")
+    assert ids is not None
+    kept = ids.count()
+    assert 0 < kept < total
+
+
+def test_semi_join_empty_and_missing_keys(spark, store, transcripts):
+    empty = spark.createDataFrame([], "k string")
+    assert store.semi_join(empty, on="conv_id").count() == 0
+    missing = spark.createDataFrame([("zzz-no-such-conv",)], "k string")
+    assert store.semi_join(missing, on="conv_id").count() == 0
+    # null keys never match (SQL IN semantics)
+    nulls = spark.createDataFrame([(None,)], "k string")
+    assert store.semi_join(nulls, on="conv_id").count() == 0
+
+
+def test_semi_join_projection_and_pending(spark, store, transcripts):
+    keys = transcripts.select("conv_id").distinct().limit(3)
+    out = store.semi_join(keys, on="conv_id", columns=["conv_id", "text"])
+    assert out.columns == ["conv_id", "text"]
+    exp = {(r["conv_id"], r["text"])
+           for r in transcripts.join(keys, "conv_id", "leftsemi")
+           .select("conv_id", "text").collect()}
+    assert {(r[0], r[1]) for r in out.collect()} == exp
+
+
+def test_semi_join_plan_shape(spark, store, transcripts):
+    keys = transcripts.select("conv_id").distinct().limit(10)
+    out = store.semi_join(keys, on="conv_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the exactness join must be a hash semi-join, never nested-loop
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, plan
+    assert all("HashJoin" in ln for ln in semi_lines), plan
+    assert "CartesianProduct" not in plan
