@@ -191,6 +191,27 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_query_by_in"] = _best(q_query_by_in)
 
+        # q_semi_join — distributed key-set pruning: a 64-conversation
+        # key DataFrame (never collected) broadcast-joins the manifest
+        # bounds for the rowgroup keep-set, survivors decode and
+        # leftsemi hash-join the keys (operators/semijoin.py)
+        from columnstore_spark.operators.semijoin import (
+            semi_join_segments,
+        )
+
+        sj_keys = (t.select("conv_id").distinct().limit(64)
+                   .localCheckpoint())
+        sj_manifest = manifest_of(segs_on_disk).localCheckpoint()
+
+        def q_semi_join():
+            pruned = semi_join_segments(segs_on_disk, sj_manifest,
+                                        "conv_id", sj_keys, "string")
+            out = decode(pruned, schema=t.schema)
+            _noop(out.join(sj_keys, out["conv_id"] == sj_keys["conv_id"],
+                           "leftsemi"))
+
+        timings["q_semi_join"] = _best(q_semi_join)
+
         # q_group_agg — filtered GROUP BY answered in the encoded
         # domain: role='tool' probed on the dictionary, group codes
         # off the run stream, NDV+1 partial rows per rowgroup shuffle;
