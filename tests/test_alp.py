@@ -111,6 +111,35 @@ def test_segment_roundtrip_with_nulls():
     assert out.equals(arr)
 
 
+def test_float_profile_goldens():
+    """Table-driven float profiles (the float analogue of
+    test_codecs.py's reference-golden tables; the reference's best for
+    any double column is plain at 8 B/value). Ceilings are our own
+    measured sizes +1% slack — a codec/chooser regression that inflates
+    any profile fails here."""
+    N = 1_000_000
+    rng = np.random.default_rng(42)
+    profiles = {
+        "prices_2dp": (np.round(rng.uniform(0, 10000, N), 2),
+                       2_530_000, "alp"),
+        "scores_4dp": (np.round(rng.uniform(0, 1, N), 4),
+                       1_770_000, "alp"),
+        "trailing_zero_ints": ((rng.integers(1, 1000, N) * 1000)
+                               .astype(np.float64), 1_270_000, "alp"),
+        "random_doubles": (rng.standard_normal(N), 8_000_100, "plain"),
+        "nan_sprinkled": (np.where(rng.uniform(size=N) < 0.01, np.nan,
+                                   np.round(rng.uniform(0, 100, N), 2)),
+                          1_870_000, "alp"),
+    }
+    for name, (vals, ceiling, codec) in profiles.items():
+        seg = segment.encode_segment(pa.array(vals))
+        out = segment.decode_segment(seg.payload, seg.logical)
+        _assert_bits_equal(np.asarray(out, dtype=np.float64), vals)
+        assert segment.CODEC_NAMES[seg.codec_id] == codec, name
+        assert len(seg.payload) <= ceiling, (
+            f"{name}: {len(seg.payload)} > {ceiling}")
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.lists(
     st.one_of(
