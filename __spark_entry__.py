@@ -257,10 +257,12 @@ def _q_semi_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/semijoin.py`): manifest bounds broadcast to the keys
     for the rowgroup prune (dynamic-partition-pruning shape), the
     exactness join is a leftsemi hash join on the decoded survivors.
-    No key list ever transits the driver."""
+    No key list ever transits the driver. Surviving (key, rowgroup)
+    pairs additionally equi-join the per-segment Bloom words (never
+    broadcast) so point-y keys prune rowgroups bounds can't separate."""
     from columnstore_spark.operators.semijoin import semi_join_segments
     t = load_transcripts(spark, sf_dir)
-    segs = encode(t, rowgroup_expr=_rg_expr())
+    segs = encode(t, rowgroup_expr=_rg_expr(), bloom_columns=("conv_id",))
     m = manifest_of(segs)
     keys = spark.sql(
         "SELECT DISTINCT 'c' || lpad(CAST(user_id AS STRING), 12, '0')"

@@ -30,6 +30,7 @@ the data.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +38,49 @@ from ..plans.pruning import _REPR_CAP, _ASCII_RE, _with_typed_bounds
 
 _PLAIN_INTS = {"int8", "int16", "int32", "int64",
                "uint8", "uint16", "uint32", "bool"}
+
+_HASH_SCHEMA = "w1 long, m1 long, w2 long, m2 long"
+
+
+def _bloom_hash_udf(logical: str):
+    """Arrow-batched UDF emitting, per key, the two BLAKE2b probe
+    positions pre-split into what Catalyst needs: word offsets
+    (h >> 6) and signed bit masks (1 << (h & 63)) — the same math
+    `codecs/bloom.bloom_keep_cond` does driver-side for one literal.
+    Nulls (keys with no canonical encoding) mean "cannot test"."""
+    from ..codecs.bloom import _hash2, canon_bytes
+
+    def _mask(h: int) -> int:
+        m = 1 << (h & 63)
+        return m - (1 << 64) if m > (1 << 63) - 1 else m
+
+    @F.pandas_udf(_HASH_SCHEMA)
+    def hash2(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s:
+            b = None if v is None else canon_bytes(v, logical)
+            if b is None:
+                rows.append((None, None, None, None))
+            else:
+                h1, h2 = _hash2(b)
+                rows.append((h1 >> 6, _mask(h1), h2 >> 6, _mask(h2)))
+        return pd.DataFrame(rows, columns=["w1", "m1", "w2", "m2"])
+
+    return hash2
+
+
+def _bloom_pair_cond() -> Column:
+    """Keep condition over (key-hash, bloom) pair rows: no bloom or no
+    hash keeps the pair; a present bloom keeps it only when both probe
+    bits are set (mirrors `bloom_keep_cond` with hash columns instead
+    of literals)."""
+    def test(w: str, m: str) -> Column:
+        word = F.element_at(
+            "bloom",
+            (F.pmod(F.col(w), F.size("bloom")) + F.lit(1)).cast("int"))
+        return word.bitwiseAND(F.col(m)) != 0
+    return (F.col("bloom").isNull() | F.col("w1").isNull()
+            | (test("w1", "m1") & test("w2", "m2")))
 
 
 def _key_stored_expr(logical: str, key: Column) -> Column | None:
@@ -88,34 +132,67 @@ def _keys_bounds_cond(logical: str | None, key: Column) -> Column | None:
 
 
 def keep_ids_for_keys(manifest: DataFrame, column: str, keys: DataFrame,
-                      logical_type: str | None) -> DataFrame | None:
+                      logical_type: str | None,
+                      use_bloom: bool = True) -> DataFrame | None:
     """-> one-column DataFrame of surviving rowgroup_ids, or None when
     the type admits no bounds pruning (caller keeps every rowgroup).
     `keys` must be a single-column DataFrame of distinct probe values.
 
-    The manifest side is broadcast (metadata-sized); the inevitable
-    non-equi join is therefore a broadcast nested loop over BOUNDS
-    ROWS, never over data."""
-    key = keys[keys.columns[0]]
+    Two refinement stages, both distributed:
+
+    1. Bounds: manifest bounds BROADCAST to the keys (metadata-sized);
+       the inevitable non-equi join is a broadcast nested loop over
+       bounds rows, never over data.
+    2. Bloom (`use_bloom`, on by default): surviving (key, rowgroup)
+       pairs equi-HASH-join the column's bloom words on rowgroup_id —
+       the filters themselves are never broadcast, so 10^6 rowgroups x
+       64 KiB of blooms stay distributed — and a pair survives only if
+       both of the key's probe bits are set. For high-cardinality
+       uniform keys (conv_id) bounds keep nearly everything and the
+       bloom does the real pruning, exactly like the literal-probe
+       path in `plans/pruning._bloom_eq_cond`. Key hashes come from
+       one Arrow-batched UDF over the (small) key side — never over
+       table rows."""
+    from ..codecs.bloom import BLOOMABLE
+
+    key_name = keys.columns[0]
+    key = keys[key_name]
     cond = _keys_bounds_cond(logical_type, key)
     if cond is None:
         return None
+    kdf = keys.where(key.isNotNull())
+    bloomable = (use_bloom and logical_type in BLOOMABLE
+                 and "bloom" in manifest.columns)
+    if bloomable:
+        h = _bloom_hash_udf(logical_type)(F.col(key_name))
+        kdf = kdf.select(key_name, h.alias("_h")).select(
+            key_name, "_h.w1", "_h.m1", "_h.w2", "_h.m2")
     bounds = _with_typed_bounds(
         manifest.where(F.col("column") == column)
         .select("rowgroup_id", "n_rows", "n_nulls",
                 "min_repr", "max_repr", "min_num", "max_num",
-                "min_flt", "max_flt"))
-    return (keys.where(key.isNotNull())
-            .join(F.broadcast(bounds), cond)
-            .select("rowgroup_id").distinct())
+                "min_flt", "max_flt")
+    ).drop("bloom", "sum_repr")  # the shim adds them; bloom rides its
+    #                              own equi-join below, never broadcast
+    pairs = kdf.join(F.broadcast(bounds), _keys_bounds_cond(
+        logical_type, kdf[key_name]))
+    if bloomable:
+        blooms = (manifest.where((F.col("column") == column)
+                                 & F.col("bloom").isNotNull())
+                  .select("rowgroup_id", "bloom"))
+        pairs = (pairs.join(blooms, "rowgroup_id", "left")
+                 .where(_bloom_pair_cond()))
+    return pairs.select("rowgroup_id").distinct()
 
 
 def semi_join_segments(segments: DataFrame, manifest: DataFrame,
                        column: str, keys: DataFrame,
-                       logical_type: str | None) -> DataFrame:
+                       logical_type: str | None,
+                       use_bloom: bool = True) -> DataFrame:
     """Segments restricted to rowgroups at least one key can inhabit.
     Falls back to the full segment set when bounds can't speak."""
-    ids = keep_ids_for_keys(manifest, column, keys, logical_type)
+    ids = keep_ids_for_keys(manifest, column, keys, logical_type,
+                            use_bloom=use_bloom)
     if ids is None:
         return segments
     return segments.join(F.broadcast(ids), "rowgroup_id", "leftsemi")

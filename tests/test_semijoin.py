@@ -54,6 +54,24 @@ def test_semi_join_prunes_rowgroups(spark, store, transcripts):
     assert 0 < kept < total
 
 
+def test_semi_join_bloom_refines_bounds(spark, store, transcripts):
+    # hash-bucketed rowgroups make every rowgroup's conv_id bounds span
+    # nearly the whole key space — bounds keep (almost) everything, the
+    # bloom stage does the real pruning (the point-lookup gap blooms
+    # were built for)
+    one = transcripts.select("conv_id").orderBy("conv_id").limit(1)
+    m = store.warehouse.manifest(spark)
+    bounds_only = keep_ids_for_keys(m, "conv_id", one, "string",
+                                    use_bloom=False).count()
+    with_bloom = keep_ids_for_keys(m, "conv_id", one, "string",
+                                   use_bloom=True).count()
+    assert 0 < with_bloom <= bounds_only
+    # the fixture's store blooms conv_id by default; a single key must
+    # not keep more than half the rowgroups (FPR ~5% per segment)
+    total = m.select("rowgroup_id").distinct().count()
+    assert with_bloom <= max(1, total // 2)
+
+
 def test_semi_join_empty_and_missing_keys(spark, store, transcripts):
     empty = spark.createDataFrame([], "k string")
     assert store.semi_join(empty, on="conv_id").count() == 0
