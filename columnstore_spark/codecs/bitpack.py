@@ -144,27 +144,72 @@ def bits_needed(max_value: int) -> int:
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack unsigned ints into `width` bits each, LSB-first bit order."""
+    """Pack unsigned ints into `width` bits each, LSB-first bit order.
+
+    Two kernels behind one wire format: narrow widths (<= 8) expand to
+    a bit matrix and ride ``np.packbits`` (cheap when the matrix is
+    small); wider values write 64-bit lanes directly — each value's
+    `width` bits span at most two words, and a stride of
+    ``128 // width + 1`` makes the per-residue scatters collision-free,
+    so the whole pack is ~15 vectorized OR passes instead of an
+    n x width single-bit matrix."""
     if width == 0 or values.size == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
     v = values.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    n = v.size
+    if width <= 8:
+        shifts = np.arange(width, dtype=np.uint64)
+        bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    w64 = np.uint64(width)
+    p = np.arange(n, dtype=np.uint64) * w64
+    wi = (p >> np.uint64(6)).astype(np.int64)
+    off = p & np.uint64(63)
+    lo = v << off
+    # off == 0 would shift by 64 (undefined); the & 63 makes it a
+    # no-op shift whose result the where() discards
+    hi = np.where(off > np.uint64(0),
+                  v >> ((np.uint64(64) - off) & np.uint64(63)),
+                  np.uint64(0))
+    out = np.zeros(int((n * width + 63) // 64) + 1, dtype=np.uint64)
+    stride = 128 // width + 1
+    for r in range(stride):
+        sl = slice(r, None, stride)
+        idx = wi[sl]
+        out[idx] |= lo[sl]
+        out[idx + 1] |= hi[sl]
+    return out.tobytes()[: (n * width + 7) // 8]
 
 
 def unpack_bits(buf: bytes | memoryview, count: int, width: int) -> np.ndarray:
-    """Inverse of pack_bits; returns uint64 array of length `count`."""
+    """Inverse of pack_bits; returns uint64 array of length `count`.
+
+    Word-gather kernel: each value is (words[w] >> off) | (words[w+1]
+    << (64-off)) masked to `width` bits — three vectorized passes, no
+    n x width bit matrix."""
     if width == 0 or count == 0:
         return np.zeros(count, dtype=np.uint64)
-    total_bits = count * width
-    raw = np.frombuffer(buf, dtype=np.uint8, count=(total_bits + 7) // 8)
-    bits = np.unpackbits(raw, count=total_bits, bitorder="little")
-    bits = bits.reshape(count, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    total_bytes = (count * width + 7) // 8
+    raw = np.frombuffer(buf, dtype=np.uint8, count=total_bytes)
+    full = total_bytes // 8 * 8
+    words = np.zeros(total_bytes // 8 + 2, dtype=np.uint64)
+    words[: total_bytes // 8] = np.frombuffer(raw[:full], dtype=np.uint64)
+    if total_bytes > full:  # partial trailing word
+        t = np.zeros(8, dtype=np.uint8)
+        t[: total_bytes - full] = raw[full:]
+        words[total_bytes // 8] = t.view(np.uint64)[0]
+    p = np.arange(count, dtype=np.uint64) * np.uint64(width)
+    wi = (p >> np.uint64(6)).astype(np.int64)
+    off = p & np.uint64(63)
+    lo = words[wi] >> off
+    hi = np.where(off > np.uint64(0),
+                  words[wi + 1] << ((np.uint64(64) - off) & np.uint64(63)),
+                  np.uint64(0))
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF) if width == 64 else np.uint64(
+        (1 << width) - 1)
+    return (lo | hi) & mask
 
 
 def packed_size(count: int, width: int) -> int:
