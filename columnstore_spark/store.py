@@ -416,6 +416,29 @@ class TranscriptColumnStore:
         self._generation = gen
         self.warehouse = Warehouse(final_root, format=self._format)
 
+    def vacuum(self) -> dict[str, list[str]]:
+        """Reclaim dead bytes: superseded generation directories and
+        the delta batches the CURRENT generation's rebuild folded in
+        (recorded in its `retired_batches.txt`, so retirement derives
+        from the same atomic commit). Never touches the live
+        generation, pending batches, or a `_STAGING` dir of a crashed
+        in-place rebuild (invisible to `_latest_generation`; its retry
+        path reclaims it). Readers holding lazily-evaluated DataFrames
+        over a superseded generation must be drained first — the same
+        contract as any warehouse GC (Iceberg expire_snapshots,
+        Delta VACUUM)."""
+        removed: dict[str, list[str]] = {"generations": [], "batches": []}
+        current = f"gen_{self._generation:04d}"
+        for d in sorted(os.listdir(self.root)):
+            if (d.startswith("gen_") and d < current
+                    and not os.path.exists(f"{self.root}/{d}/_STAGING")):
+                shutil.rmtree(f"{self.root}/{d}")
+                removed["generations"].append(d)
+        for b in sorted(self._retired_batches() & set(self._batches())):
+            shutil.rmtree(f"{self._delta_root()}/{b}")
+            removed["batches"].append(b)
+        return removed
+
     # -- stats (T1-T4) -------------------------------------------------------
 
     def stats(self) -> DataFrame:

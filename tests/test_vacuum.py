@@ -1,0 +1,89 @@
+"""vacuum(): reclaim superseded generations and folded delta batches.
+
+The reference's Rebuild leaves the old row groups to the GC
+(`/root/reference/Outcompute.ColumnStore/ColumnStore.cs`); on a
+filesystem warehouse the superseded generation directories and the
+delta batches a rebuild folded in are dead bytes a 10^12-turn store
+cannot afford to keep. vacuum() deletes exactly those two classes and
+nothing else — never the live generation, never a pending batch,
+never a mid-rebuild staging dir."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from columnstore_spark.store import TranscriptColumnStore
+
+
+def _gens(root):
+    return sorted(d for d in os.listdir(root) if d.startswith("gen_"))
+
+
+def _batches(root):
+    return sorted(d for d in os.listdir(f"{root}/delta")
+                  if d.startswith("batch_"))
+
+
+def test_vacuum_reclaims_superseded(spark, transcripts, tmp_path):
+    root = str(tmp_path / "store")
+    s = TranscriptColumnStore(spark, root, num_rowgroups=4)
+    s.add_range(transcripts.limit(400))
+    s.close()
+    s.add_range(transcripts.limit(600))
+    s.close()
+    expected = s.rows().count()
+    s.rebuild()
+    assert len(_gens(root)) == 2          # gen_0000 + rebuilt gen_0001
+    assert len(_batches(root)) == 2       # folded but still on disk
+
+    removed = s.vacuum()
+    assert sorted(removed["generations"]) == ["gen_0000"]
+    assert len(removed["batches"]) == 2
+    assert _gens(root) == ["gen_0001"]
+    assert _batches(root) == []
+    # the store still answers identically
+    assert s.rows().count() == expected
+    assert s.query_by_value("role", "tool").count() == \
+        transcripts.limit(600).where(F.col("role") == "tool").count() + \
+        transcripts.limit(400).where(F.col("role") == "tool").count()
+
+
+def test_vacuum_keeps_pending_batches(spark, transcripts, tmp_path):
+    root = str(tmp_path / "store2")
+    s = TranscriptColumnStore(spark, root, num_rowgroups=2)
+    s.add_range(transcripts.limit(100))
+    s.close()
+    s.rebuild()
+    s.add_range(transcripts.limit(50))    # pending, NOT folded
+    pending = _batches(root)[-1]
+    removed = s.vacuum()
+    assert pending in _batches(root)      # pending batch survives
+    assert pending not in removed["batches"]
+    s.close()
+    assert s.rows().count() == 150
+
+
+def test_vacuum_noop_without_rebuild(spark, transcripts, tmp_path):
+    root = str(tmp_path / "store3")
+    s = TranscriptColumnStore(spark, root, num_rowgroups=2)
+    s.add_range(transcripts.limit(100))
+    s.close()
+    removed = s.vacuum()
+    assert removed == {"generations": [], "batches": []}
+    assert s.rows().count() == 100
+
+
+def test_vacuum_spares_staging_dirs(spark, transcripts, tmp_path):
+    root = str(tmp_path / "store4")
+    s = TranscriptColumnStore(spark, root, num_rowgroups=2)
+    s.add_range(transcripts.limit(100))
+    s.close()
+    # simulate a crashed in-place rebuild of a FUTURE generation
+    staged = f"{root}/gen_0001"
+    os.makedirs(staged, exist_ok=True)
+    open(f"{staged}/_STAGING", "w").close()
+    removed = s.vacuum()
+    assert removed["generations"] == []
+    assert os.path.exists(f"{staged}/_STAGING")  # retry can reclaim it
