@@ -119,16 +119,58 @@ def _apply_merges(low: bytes, merges: list[tuple[int, int]]) -> bytes:
     return arr.tobytes()
 
 
+def _expand_table(merges: list[tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """Fully-expanded symbol per code: merges compose (a rule's sides
+    may be earlier codes), so expanding the table ONCE turns decode
+    into a table gather instead of one pass per rule.
+
+    -> (lens int64[256], tab uint8[256, L]): literals expand to
+    themselves (len 1), code 0x80+i to its full byte string."""
+    syms: dict[int, bytes] = {}
+    for i, (a, b) in enumerate(merges):
+        ea = syms[a] if a >= 0x80 else bytes([a])
+        eb = syms[b] if b >= 0x80 else bytes([b])
+        syms[0x80 + i] = ea + eb
+    width = max((len(s) for s in syms.values()), default=1)
+    lens = np.ones(256, dtype=np.int64)
+    tab = np.zeros((256, width), dtype=np.uint8)
+    tab[:, 0] = np.arange(256, dtype=np.uint16).astype(np.uint8)
+    for c, s in syms.items():
+        lens[c] = len(s)
+        tab[c, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return lens, tab
+
+
 def _reverse_merges(enc: bytes, merges: list[tuple[int, int]]) -> bytes:
-    """Expand codes back to byte pairs (reverse merge order, C-speed).
+    """Expand codes back to their full symbols in one vectorized
+    gather-scatter: output offsets from a cumsum of per-code expanded
+    lengths, then one scatter pass per symbol-byte position (passes =
+    longest expanded symbol, typically ~8 — not one C pass per rule).
 
     Substitution is context-free, so this decodes any legal code stream
     regardless of how the encoder chose among overlapping matches.
     """
-    for i in range(len(merges) - 1, -1, -1):
-        a, b = merges[i]
-        enc = enc.replace(bytes([0x80 + i]), bytes([a, b]))
-    return enc
+    if not merges or not enc:
+        return enc
+    lens, tab = _expand_table(merges)
+    arr = np.frombuffer(enc, dtype=np.uint8)
+    out_lens = lens[arr]
+    pos = np.empty(arr.size + 1, dtype=np.int64)
+    pos[0] = 0
+    np.cumsum(out_lens, out=pos[1:])
+    out = np.empty(pos[-1], dtype=np.uint8)
+    starts = pos[:-1]
+    out[starts] = tab[arr, 0]  # every code writes byte 0
+    # shrink the survivor set as symbols run out of bytes: total
+    # scatter work is sum(expanded lengths) = output size, not
+    # passes x input size
+    idx = np.flatnonzero(out_lens > 1)
+    j = 1
+    while idx.size:
+        out[starts[idx] + j] = tab[arr[idx], j]
+        j += 1
+        idx = idx[out_lens[idx] > j]
+    return out.tobytes()
 
 
 def _split_high(blob: bytes) -> tuple[bytes, np.ndarray, bytes]:
