@@ -130,8 +130,32 @@ def _analyze(vals: np.ndarray) -> tuple[int, np.ndarray, np.ndarray] | None:
     return k, d, exc
 
 
+# consume-once cache: the chooser always estimate_size()s immediately
+# before encoding the SAME array, so the full-array analysis is reused
+# instead of recomputed (the FSST trial-cache pattern, fsst.py:156).
+# Keyed by (id, size, head bytes) so a recycled id() on different data
+# cannot silently match; a stale miss only costs a recompute.
+_last_analysis: tuple[tuple, tuple] | None = None
+
+
+def _vals_key(vals: np.ndarray) -> tuple:
+    head = vals[:4].tobytes() if vals.size else b""
+    return (id(vals), int(vals.size), head)
+
+
+def clear_cache() -> None:
+    """Drop the trial analysis (chooser calls this on rejection)."""
+    global _last_analysis
+    _last_analysis = None
+
+
 def encode(vals: np.ndarray, logical: str) -> bytes:
-    res = _analyze(vals)
+    global _last_analysis
+    if _last_analysis is not None and _last_analysis[0] == _vals_key(vals):
+        res = _last_analysis[1]
+        _last_analysis = None
+    else:
+        res = _analyze(vals)
     if res is None:
         raise ValueError("ALP not applicable; chooser must not pick it")
     k, d, exc = res
@@ -169,11 +193,15 @@ def decode(body: memoryview, n: int, logical: str) -> np.ndarray:
 
 def estimate_size(vals: np.ndarray, logical: str) -> int | None:
     """Exact encoded size (the chooser's candidate arithmetic), or None
-    when ALP can't beat half-exact on the sample. Cost: the same two
-    vectorized passes encode() would do — cheap enough to run inline."""
+    when ALP can't beat half-exact on the sample. The full-array
+    analysis is cached consume-once for the encode() that follows a
+    winning estimate."""
+    global _last_analysis
     res = _analyze(vals)
     if res is None:
+        _last_analysis = None
         return None
+    _last_analysis = (_vals_key(vals), res)
     k, d, exc = res
     n_exc = int(exc.sum())
     itemsize = np.dtype(V.FIXED_LOGICAL[logical]).itemsize

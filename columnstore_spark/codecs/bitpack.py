@@ -180,7 +180,10 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         idx = wi[sl]
         out[idx] |= lo[sl]
         out[idx + 1] |= hi[sl]
-    return out.tobytes()[: (n * width + 7) // 8]
+    # explicit little-endian words: the wire format must match the
+    # np.packbits(bitorder="little") stream the <=8-width path (and all
+    # pre-rewrite data) produces, independent of host byte order
+    return out.astype("<u8", copy=False).tobytes()[: (n * width + 7) // 8]
 
 
 def unpack_bits(buf: bytes | memoryview, count: int, width: int) -> np.ndarray:
@@ -195,11 +198,12 @@ def unpack_bits(buf: bytes | memoryview, count: int, width: int) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8, count=total_bytes)
     full = total_bytes // 8 * 8
     words = np.zeros(total_bytes // 8 + 2, dtype=np.uint64)
-    words[: total_bytes // 8] = np.frombuffer(raw[:full], dtype=np.uint64)
+    # wire words are little-endian (see pack_bits); free on LE hosts
+    words[: total_bytes // 8] = np.frombuffer(raw[:full], dtype="<u8")
     if total_bytes > full:  # partial trailing word
         t = np.zeros(8, dtype=np.uint8)
         t[: total_bytes - full] = raw[full:]
-        words[total_bytes // 8] = t.view(np.uint64)[0]
+        words[total_bytes // 8] = t.view("<u8")[0]
     p = np.arange(count, dtype=np.uint64) * np.uint64(width)
     wi = (p >> np.uint64(6)).astype(np.int64)
     off = p & np.uint64(63)

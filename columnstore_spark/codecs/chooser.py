@@ -53,10 +53,13 @@ def choose(st: SegmentStats, logical: str, vals, mode: str = MODE_SIZE) -> int:
             candidates[forpack.DELTA_CODEC_ID] = forpack.estimate_delta_size(
                 n, st.delta_min, st.delta_max)
 
-    if logical in alp.FLOAT_LOGICAL and isinstance(vals, np.ndarray):
-        # no cardinality gate: the exact size arithmetic arbitrates
-        # ALP vs dict (a 10k-distinct 4-decimal column packs to ~14
-        # bits/value under ALP, beating the dictionary)
+    if (mode == MODE_SIZE and logical in alp.FLOAT_LOGICAL
+            and isinstance(vals, np.ndarray)):
+        # MODE_SIZE only: the trial is O(n) like FSST's ("Speed
+        # restricts to cheap codecs"). No cardinality gate: the exact
+        # size arithmetic arbitrates ALP vs dict (a 10k-distinct
+        # 4-decimal column packs to ~14 bits/value under ALP, beating
+        # the dictionary)
         est = alp.estimate_size(vals, logical)
         if est is not None:
             candidates[alp.CODEC_ID] = est
@@ -72,4 +75,6 @@ def choose(st: SegmentStats, logical: str, vals, mode: str = MODE_SIZE) -> int:
     winner = min(candidates.items(), key=lambda kv: (kv[1], kv[0]))[0]
     if fsst.CODEC_ID in candidates and winner != fsst.CODEC_ID:
         fsst.clear_cache()  # never let a recycled id() reuse this table
+    if alp.CODEC_ID in candidates and winner != alp.CODEC_ID:
+        alp.clear_cache()
     return winner

@@ -156,26 +156,27 @@ def keep_ids_for_keys(manifest: DataFrame, column: str, keys: DataFrame,
     from ..codecs.bloom import BLOOMABLE
 
     key_name = keys.columns[0]
-    key = keys[key_name]
-    cond = _keys_bounds_cond(logical_type, key)
+    kdf = keys.where(keys[key_name].isNotNull())
+    cond = _keys_bounds_cond(logical_type, kdf[key_name])
     if cond is None:
         return None
-    kdf = keys.where(key.isNotNull())
     bloomable = (use_bloom and logical_type in BLOOMABLE
                  and "bloom" in manifest.columns)
     if bloomable:
         h = _bloom_hash_udf(logical_type)(F.col(key_name))
         kdf = kdf.select(key_name, h.alias("_h")).select(
             key_name, "_h.w1", "_h.m1", "_h.w2", "_h.m2")
-    bounds = _with_typed_bounds(
-        manifest.where(F.col("column") == column)
-        .select("rowgroup_id", "n_rows", "n_nulls",
-                "min_repr", "max_repr", "min_num", "max_num",
-                "min_flt", "max_flt")
-    ).drop("bloom", "sum_repr")  # the shim adds them; bloom rides its
-    #                              own equi-join below, never broadcast
-    pairs = kdf.join(F.broadcast(bounds), _keys_bounds_cond(
-        logical_type, kdf[key_name]))
+        # rebuild against the projected frame so the join resolves
+        cond = _keys_bounds_cond(logical_type, kdf[key_name])
+    # shim BEFORE projecting: a legacy manifest (persisted before the
+    # typed-bounds columns existed) gets them as NULLs — pruning
+    # degrades to bounds-less keeps instead of an unresolved-column
+    # error. bloom rides its own equi-join below, never broadcast.
+    bounds = (_with_typed_bounds(manifest.where(F.col("column") == column))
+              .select("rowgroup_id", "n_rows", "n_nulls",
+                      "min_repr", "max_repr", "min_num", "max_num",
+                      "min_flt", "max_flt"))
+    pairs = kdf.join(F.broadcast(bounds), cond)
     if bloomable:
         blooms = (manifest.where((F.col("column") == column)
                                  & F.col("bloom").isNotNull())

@@ -311,8 +311,16 @@ class TranscriptColumnStore:
 
     def add_range(self, df: DataFrame) -> int:
         """Append a batch of rows to the delta store (reference
-        `AddRange`: one version bump per batch)."""
-        idx = len(self._batches())
+        `AddRange`: one version bump per batch).
+
+        The next index counts RETIRED names too, not just directories
+        on disk: after vacuum() deletes a folded batch dir, reusing its
+        name would make the new rows look already-folded to
+        `_pending_batches` — appended data silently never compacted."""
+        taken = {int(b.split("_")[1])
+                 for b in set(self._batches()) | self._retired_batches()
+                 if b.startswith("batch_")}
+        idx = max(taken) + 1 if taken else 0
         df.write.mode("errorifexists").parquet(
             f"{self._delta_root()}/batch_{idx:06d}")
         return idx
@@ -428,9 +436,10 @@ class TranscriptColumnStore:
         contract as any warehouse GC (Iceberg expire_snapshots,
         Delta VACUUM)."""
         removed: dict[str, list[str]] = {"generations": [], "batches": []}
-        current = f"gen_{self._generation:04d}"
         for d in sorted(os.listdir(self.root)):
-            if (d.startswith("gen_") and d < current
+            # numeric compare: gen_9999 < gen_10000 lexicographically fails
+            if (d.startswith("gen_")
+                    and int(d.split("_")[1]) < self._generation
                     and not os.path.exists(f"{self.root}/{d}/_STAGING")):
                 shutil.rmtree(f"{self.root}/{d}")
                 removed["generations"].append(d)

@@ -75,6 +75,26 @@ def test_vacuum_noop_without_rebuild(spark, transcripts, tmp_path):
     assert s.rows().count() == 100
 
 
+def test_add_after_vacuum_never_reuses_retired_names(spark, transcripts,
+                                                     tmp_path):
+    """Regression (round-3 review): vacuum() deletes folded batch dirs
+    but their names stay in retired_batches.txt; a fresh add_range that
+    counted directories would reuse a retired name, and
+    _pending_batches would treat the NEW rows as already folded —
+    silent permanent data loss on the next close()."""
+    root = str(tmp_path / "store5")
+    s = TranscriptColumnStore(spark, root, num_rowgroups=2)
+    s.add_range(transcripts.limit(100))
+    s.close()
+    s.rebuild()
+    s.vacuum()
+    assert _batches(root) == []          # retired dir reclaimed
+    s.add_range(transcripts.limit(40))   # must NOT be batch_000000
+    assert _batches(root) == ["batch_000001"]
+    s.close()
+    assert s.rows().count() == 140       # the 40 rows survived
+
+
 def test_vacuum_spares_staging_dirs(spark, transcripts, tmp_path):
     root = str(tmp_path / "store4")
     s = TranscriptColumnStore(spark, root, num_rowgroups=2)
