@@ -20,6 +20,7 @@ Decode verifies the codec id like the reference's
 from __future__ import annotations
 
 import hashlib
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -376,9 +377,11 @@ def _encode_nested(arr: pa.Array, logical: str) -> EncodedSegment:
                       raw_bytes=int(arr.nbytes))
     payload = (bitpack.write_varint(ARROW_IPC_CODEC_ID)
                + bitpack.write_varint(n) + bytes([0]) + body)
+    h = _Crc32()
+    h.update(body)
     return EncodedSegment(payload=payload, codec_id=ARROW_IPC_CODEC_ID,
                           logical=logical, stats=st,
-                          checksum=hashlib.sha256(body).hexdigest())
+                          checksum=h.hexdigest())
 
 
 @dataclass
@@ -387,11 +390,41 @@ class EncodedSegment:
     codec_id: int
     logical: str
     stats: SegmentStats
-    checksum: str  # sha256 over the canonical raw representation
+    checksum: str  # "crc32:XXXXXXXX" over the canonical raw repr
+    #               (legacy manifests carry bare-hex sha256; verify
+    #                dispatches on the prefix)
 
 
-def _raw_checksum(vals, validity: np.ndarray | None, logical: str) -> str:
-    h = hashlib.sha256()
+class _Crc32:
+    """hashlib-shaped CRC32 accumulator. CRC32 is the corruption-
+    detection choice parquet itself makes for page checksums; it
+    streams ~2x faster than this box's SHA-NI sha256 and the checksum
+    was 25% of single-core encode time. The manifest value is
+    prefix-tagged so old sha256 manifests keep verifying."""
+
+    __slots__ = ("v",)
+
+    def __init__(self) -> None:
+        self.v = 0
+
+    def update(self, b) -> None:
+        self.v = zlib.crc32(b, self.v)
+
+    def hexdigest(self) -> str:
+        return f"crc32:{self.v:08x}"
+
+
+def _hasher(algo: str):
+    return _Crc32() if algo == "crc32" else hashlib.sha256()
+
+
+def _algo_of(expected: str) -> str:
+    return "crc32" if expected.startswith("crc32:") else "sha256"
+
+
+def _raw_checksum(vals, validity: np.ndarray | None, logical: str,
+                  algo: str = "crc32") -> str:
+    h = _hasher(algo)
     if validity is not None:
         h.update(np.packbits(validity, bitorder="little").tobytes())
     if logical in V.VAR_LOGICAL:
@@ -469,10 +502,13 @@ def decode_segment(payload: bytes | memoryview, logical: str) -> pa.Array:
 
 
 def verify_checksum(payload: bytes, logical: str, expected: str) -> bool:
+    algo = _algo_of(expected)
     arr = decode_segment(payload, logical)
     if _is_nested(arr.type):
         # nested checksums hash the canonical IPC body; re-serializing
         # the decoded (already-canonical) array reproduces it exactly
-        return hashlib.sha256(_ipc_bytes(arr)).hexdigest() == expected
+        h = _hasher(algo)
+        h.update(_ipc_bytes(arr))
+        return h.hexdigest() == expected
     logical2, vals, validity = from_arrow(arr)
-    return _raw_checksum(vals, validity, logical2) == expected
+    return _raw_checksum(vals, validity, logical2, algo=algo) == expected
