@@ -133,14 +133,13 @@ def _analyze(vals: np.ndarray) -> tuple[int, np.ndarray, np.ndarray] | None:
 # consume-once cache: the chooser always estimate_size()s immediately
 # before encoding the SAME array, so the full-array analysis is reused
 # instead of recomputed (the FSST trial-cache pattern, fsst.py:156).
-# Keyed by (id, size, head bytes) so a recycled id() on different data
-# cannot silently match; a stale miss only costs a recompute.
-_last_analysis: tuple[tuple, tuple] | None = None
-
-
-def _vals_key(vals: np.ndarray) -> tuple:
-    head = vals[:4].tobytes() if vals.size else b""
-    return (id(vals), int(vals.size), head)
+# Unlike FSST — where any merge table is VALID for any input and a
+# stale hit only costs ratio — ALP's analysis (d, exceptions) is
+# input-specific, so a stale hit would corrupt data. The cache
+# therefore holds a strong reference to the analyzed array itself and
+# matches on object IDENTITY: id() can't be recycled while we hold
+# the reference, so a hit is provably the same array.
+_last_analysis: tuple[np.ndarray, tuple] | None = None
 
 
 def clear_cache() -> None:
@@ -151,7 +150,7 @@ def clear_cache() -> None:
 
 def encode(vals: np.ndarray, logical: str) -> bytes:
     global _last_analysis
-    if _last_analysis is not None and _last_analysis[0] == _vals_key(vals):
+    if _last_analysis is not None and _last_analysis[0] is vals:
         res = _last_analysis[1]
         _last_analysis = None
     else:
@@ -201,7 +200,7 @@ def estimate_size(vals: np.ndarray, logical: str) -> int | None:
     if res is None:
         _last_analysis = None
         return None
-    _last_analysis = (_vals_key(vals), res)
+    _last_analysis = (vals, res)
     k, d, exc = res
     n_exc = int(exc.sum())
     itemsize = np.dtype(V.FIXED_LOGICAL[logical]).itemsize

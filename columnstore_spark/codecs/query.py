@@ -374,6 +374,14 @@ def _widened_bounds(dtype_kind: str, lo, hi, logical: str):
                 # value (python ints are unbounded; the int-dtype clamp
                 # below narrows it to the dtype's range)
                 return (1 << 127) if v > 0 else -(1 << 127)
+            if abs(v) >= 2.0 ** 53:
+                # Spark evaluates the predicate in the DOUBLE domain,
+                # where int64s this large collapse onto shared doubles
+                # (2^54-1 rounds UP to 2^54): widen past the adjacent
+                # double so every int that ROUNDS onto the bound stays
+                # inside the superset the exact re-filter narrows
+                v = math.nextafter(float(v),
+                                   math.inf if up else -math.inf)
             return math.ceil(v) if up else math.floor(v)
         return None
 

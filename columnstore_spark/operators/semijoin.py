@@ -93,6 +93,13 @@ def _key_stored_expr(logical: str, key: Column) -> Column | None:
         return F.unix_micros(key)
     if logical == "timestamp_ns":
         return F.unix_micros(key) * F.lit(1000)
+    if logical == "timestamp_ms":
+        return F.unix_millis(key)
+    if logical == "timestamp_s":
+        # truncation is sound: a key with sub-second precision can
+        # never equal a seconds-resolution stored value, so its bounds
+        # test may answer anything; representable keys convert exactly
+        return F.unix_seconds(key)
     if logical == "date32":
         return F.datediff(key, F.to_date(F.lit("1970-01-01")))
     return None
@@ -156,6 +163,15 @@ def keep_ids_for_keys(manifest: DataFrame, column: str, keys: DataFrame,
     from ..codecs.bloom import BLOOMABLE
 
     key_name = keys.columns[0]
+    if logical_type in _PLAIN_INTS:
+        # int-domain bounds are sound only for INTEGRAL key columns:
+        # the final semi-join compares a float/double/decimal key side
+        # in Spark's coerced double domain, where int64s above 2^53
+        # collapse — a cast("long") bounds test would drop matching
+        # rowgroups (same bijection bound as plans/pruning, bloom)
+        kind = keys.schema[key_name].dataType.typeName()
+        if kind not in ("byte", "short", "integer", "long", "boolean"):
+            return None
     kdf = keys.where(keys[key_name].isNotNull())
     cond = _keys_bounds_cond(logical_type, kdf[key_name])
     if cond is None:

@@ -109,6 +109,13 @@ def _to_stored_num(logical: str, value, side: str):
             if value != value or value in (float("inf"), float("-inf")):
                 return (CANNOT_MATCH if side == "eq"
                         else _clamp(_INT64_MAX if value > 0 else _INT64_MIN))
+            if abs(value) >= 2.0 ** 53:
+                # Spark compares the COLUMN cast to double: above 2^53
+                # many int64s collapse onto each double (2^53+1 equals
+                # probe 2^53+0.0; 2^54-1 rounds UP to a range bound of
+                # 2^54), so no single stored int bounds the matches —
+                # pruning degrades to keep-all, exactness untouched
+                return None
             iv = int(value)
             if iv == value:
                 return _clamp(iv)

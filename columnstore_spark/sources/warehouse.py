@@ -78,8 +78,15 @@ class Warehouse:
             keys.append("attempt_id")
         commits = (m.where(F.col("status") == "done")
                     .select(*keys, "committed_at"))
-        w = Window.partitionBy("rowgroup_id", "column").orderBy(
-            F.desc("committed_at"), F.desc("run_id"))
+        # attempt_id joins the tie-break when present: committed_at has
+        # 1-second resolution, so two replays of the same run_id can
+        # tie on (committed_at, run_id) — the pick must be
+        # deterministic AND attempt-consistent across columns, or a
+        # rowgroup could assemble from segments of different attempts
+        order_cols = [F.desc("committed_at"), F.desc("run_id")]
+        if "attempt_id" in keys:
+            order_cols.append(F.desc("attempt_id"))
+        w = Window.partitionBy("rowgroup_id", "column").orderBy(*order_cols)
         latest = (commits.withColumn("__rn", F.row_number().over(w))
                   .where(F.col("__rn") == 1).drop("__rn", "committed_at"))
         return segs.join(latest, on=keys, how="inner")
@@ -190,16 +197,25 @@ class Warehouse:
                     .withColumn("attempt_id", F.lit(attempt)))
         backend.append_segments(segs)
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        manifest = (backend.read_segments(spark)
-                    .where((F.col("run_id") == run_id)
-                           & (F.col("attempt_id") == attempt))
+
+        # a legacy table (created before attempt_id existed) may have
+        # dropped the column on append (Iceberg DSv2 schema fit); the
+        # read-back then filters on run_id alone — the pre-attempt_id
+        # behavior that store's data was written under
+        def _attempt_cond(df: DataFrame):
+            cond = F.col("run_id") == run_id
+            if "attempt_id" in df.columns:
+                cond = cond & (F.col("attempt_id") == attempt)
+            return cond
+
+        segs_back = backend.read_segments(spark)
+        manifest = (segs_back.where(_attempt_cond(segs_back))
                     .drop("payload")
                     .withColumn("status", F.lit("done"))
                     .withColumn("committed_at", F.lit(committed_at)))
         backend.append_manifest(manifest)
-        pending = (backend.read_manifest(spark)
-                   .where((F.col("run_id") == run_id)
-                          & (F.col("attempt_id") == attempt))
+        m_back = backend.read_manifest(spark)
+        pending = (m_back.where(_attempt_cond(m_back))
                    .select("rowgroup_id").distinct().count())
         return {"run_id": run_id, "rowgroups_encoded": pending,
                 "storage": backend.name}
@@ -210,7 +226,8 @@ class Warehouse:
                                                          "turn_idx"),
                                mode: str = chooser.MODE_SIZE,
                                run_id: str | None = None,
-                               presorted: bool = False) -> dict:
+                               presorted: bool = False,
+                               bloom_columns: tuple[str, ...] = ()) -> dict:
         """Direct-scan resumable encode over a bucketed parquet layout
         (`encode_files`): the done-rowgroup queue is broadcast to the
         scan tasks, so a file whose rowgroups are all committed is
@@ -225,7 +242,8 @@ class Warehouse:
         attempt = uuid.uuid4().hex[:12]
         segs = encode_files(spark, paths, rowgroup_col=rowgroup_col,
                             order=order, mode=mode, skip_rowgroups=skip,
-                            presorted=presorted)
+                            presorted=presorted,
+                            bloom_columns=bloom_columns)
         # no driver-side emptiness probe: it would encode a whole file
         # just to peek; an all-done run commits zero segment rows and
         # zero manifest rows, which reads back as rowgroups_encoded=0

@@ -202,7 +202,19 @@ def _kernel_safe_probe(lt: str, value) -> bool:
     if lt == "string":
         return isinstance(value, str)
     if lt in _INT_LOGICALS:
-        return isinstance(value, (int, float)) and value == value
+        if isinstance(value, int):
+            return True
+        if isinstance(value, float):
+            # Spark compares the INT COLUMN CAST TO DOUBLE against a
+            # float probe; above 2^53 distinct int64s collapse onto
+            # one double, so the kernel's exact int equality would
+            # under-match (e.g. stored 2^53+1 matches probe 2^53+0.0
+            # in Spark but not in the int domain). Same bijection
+            # bound as codecs/bloom.py. Non-integral and NaN probes
+            # route to the decode fallback.
+            return (value == value and abs(value) < 2.0 ** 53
+                    and value.is_integer())
+        return False
     if lt in ("float32", "float64"):
         if isinstance(value, int):
             # Spark casts the literal to double; an int the double
@@ -465,19 +477,38 @@ class TranscriptColumnStore:
         # pre-typed-bounds manifests roll up NULL min/max, not an error
         m = _with_typed_bounds(m)
         is_str = F.col("logical_type") == "string"
-        return (m.groupBy("column")
-                .agg(F.sum("n_rows").alias("n_rows"),
-                     F.sum("n_nulls").alias("n_nulls"),
-                     F.sum("n_distinct").alias("distinct_upper_bound"),
-                     F.sum("n_runs").alias("n_runs"),
-                     F.min("min_num").alias("min_num"),
-                     F.max("max_num").alias("max_num"),
-                     F.min("min_flt").alias("min_flt"),
-                     F.max("max_flt").alias("max_flt"),
-                     F.min(F.when(is_str, F.col("min_repr"))).alias("min_str"),
-                     F.max(F.when(is_str, F.col("max_repr"))).alias("max_str"),
-                     F.sum("raw_bytes").alias("raw_bytes"),
-                     F.sum("enc_bytes").alias("enc_bytes")))
+        # unknown beats wrong (operators/aggregate.py `_missing`): one
+        # non-empty segment without a typed bound (uint64 above int64,
+        # NaN-bearing float) nulls the rollup — F.min alone would skip
+        # it and report a bound that EXCLUDES that segment's values
+        nonempty = F.col("n_rows") > F.col("n_nulls")
+        miss = lambda c: F.max(  # noqa: E731
+            F.when(nonempty & F.col(c).isNull(), F.lit(1))
+            .otherwise(F.lit(0)))
+        agg = (m.groupBy("column")
+               .agg(F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_nulls").alias("n_nulls"),
+                    F.sum("n_distinct").alias("distinct_upper_bound"),
+                    F.sum("n_runs").alias("n_runs"),
+                    F.min("min_num").alias("_min_num"),
+                    F.max("max_num").alias("_max_num"),
+                    F.min("min_flt").alias("_min_flt"),
+                    F.max("max_flt").alias("_max_flt"),
+                    miss("min_num").alias("_miss_num"),
+                    miss("min_flt").alias("_miss_flt"),
+                    F.min(F.when(is_str, F.col("min_repr"))).alias("min_str"),
+                    F.max(F.when(is_str, F.col("max_repr"))).alias("max_str"),
+                    F.sum("raw_bytes").alias("raw_bytes"),
+                    F.sum("enc_bytes").alias("enc_bytes")))
+        known = lambda miss_c, c: F.when(F.col(miss_c) == 0, c)  # noqa: E731
+        return agg.select(
+            "column", "n_rows", "n_nulls", "distinct_upper_bound",
+            "n_runs",
+            known("_miss_num", F.col("_min_num")).alias("min_num"),
+            known("_miss_num", F.col("_max_num")).alias("max_num"),
+            known("_miss_flt", F.col("_min_flt")).alias("min_flt"),
+            known("_miss_flt", F.col("_max_flt")).alias("max_flt"),
+            "min_str", "max_str", "raw_bytes", "enc_bytes")
 
     def aggregate(self, columns: list[str] | None = None) -> DataFrame:
         """COUNT/MIN/MAX/SUM per column answered from the manifest
@@ -536,17 +567,38 @@ class TranscriptColumnStore:
         pruned, lt = self._pruned_segments(m, wcol, wval, wval, eq=True)
         if not _kernel_safe_probe(lt or "", wval):
             agg_t = F.col(agg_col)
-            sum_t = ("double" if (self._logical_type(m, agg_col) or "")
-                     .startswith("float") else "long")
+            alt = self._logical_type(m, agg_col) or ""
+            # sum in the SAME stored domain the operator path reports
+            # (epoch units for temporals — facade ingest is Spark-side,
+            # so timestamps are always micros; 0/1 for bool); types the
+            # operator rejects are rejected here too, never summed
+            # differently on one path than the other
+            if alt.startswith("float"):
+                sum_expr = F.sum(agg_t).cast("double")
+            elif alt.startswith("timestamp"):
+                sum_expr = F.sum(F.unix_micros(agg_t))
+            elif alt == "date32":
+                sum_expr = F.sum(F.datediff(
+                    agg_t, F.to_date(F.lit("1970-01-01"))))
+            elif alt in ("int8", "int16", "int32", "int64", "uint8",
+                         "uint16", "uint32", "uint64", "bool"):
+                sum_expr = F.sum(agg_t.cast("long"))
+            else:
+                raise ValueError(
+                    f"group_agg: unsupported agg column type {alt!r} "
+                    "(int family, temporals, bool, and floats only)")
             keys = ([F.col(group_col).alias("value")]
                     if isinstance(group_col, str)
                     else [F.col(c) for c in group_col])
-            return (decode(pruned, schema=schema_from_segments(m))
+            inner = sorted({*([group_col] if isinstance(group_col, str)
+                              else group_col), agg_col, wcol})
+            return (decode(pruned, schema=schema_from_segments(m),
+                           columns=inner)
                     .where(F.col(wcol) == F.lit(wval))
                     .groupBy(*keys)
                     .agg(F.count(F.lit(1)).alias("cnt"),
                          F.count(agg_t).alias("n_agg"),
-                         F.sum(agg_t).cast(sum_t).alias("sum_agg"),
+                         sum_expr.alias("sum_agg"),
                          F.min(agg_t).alias("min_agg"),
                          F.max(agg_t).alias("max_agg")))
         return group_agg(pruned, group_col, agg_col, where=(wcol, wval),
@@ -565,7 +617,8 @@ class TranscriptColumnStore:
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
         if not _kernel_safe_probe(lt or "", value):
-            return (decode(pruned, schema=schema_from_segments(m))
+            return (decode(pruned, schema=schema_from_segments(m),
+                           columns=[column])
                     .where(F.col(column) == F.lit(value))
                     .agg(F.count(F.lit(1)).alias("cnt")))
         return count_matching(pruned, column, value)
