@@ -102,6 +102,32 @@ def _q_encode_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode(segs).select(TRANSCRIPT_COLS)
 
 
+def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rowgroup compaction (`Warehouse.compact`): a store closed into
+    many under-capacity rowgroups is compacted — small groups decoded,
+    merged into capacity-sized groups, superseded ids tombstoned in
+    the same manifest commit — and must still enumerate every row
+    exactly once. Oracle = the same SELECT * as encode_roundtrip:
+    compaction must be invisible in the result."""
+    import shutil
+    import tempfile
+
+    from columnstore_spark.store import TranscriptColumnStore
+
+    t = load_transcripts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cs_compact_")
+    try:
+        store = TranscriptColumnStore(spark, root, num_rowgroups=16,
+                                      rows_per_segment=1_000_000)
+        store.add_range(t)
+        store.close()
+        out = store.compact()
+        assert out["rowgroups_retired"] >= 2, out
+        return store.rows().select(TRANSCRIPT_COLS).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     segs = encode(events, order=("event_id",),
@@ -718,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_build": _q_transcripts,
         "encode_roundtrip": _q_encode_roundtrip,
         "encode_files_roundtrip": _q_encode_files_roundtrip,
+        "compact_roundtrip": _q_compact_roundtrip,
         "events_roundtrip": _q_events_roundtrip,
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
@@ -840,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_build": f"{t} SELECT * FROM t",
         "encode_roundtrip": f"{t} SELECT * FROM t",
         "encode_files_roundtrip": f"{t} SELECT * FROM t",
+        "compact_roundtrip": f"{t} SELECT * FROM t",
         "events_roundtrip": "SELECT * FROM events",
         "manifest_stats": _manifest_stats_oracle(),
         "query_by_value":

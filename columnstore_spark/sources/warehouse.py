@@ -58,38 +58,62 @@ class Warehouse:
     # -- read ---------------------------------------------------------------
 
     def manifest(self, spark: SparkSession) -> DataFrame | None:
+        """The RAW append-only manifest history. Most readers want
+        `live_manifest` (latest run per rowgroup/column, compaction
+        tombstones applied); the raw view is for lineage — e.g. "which
+        run_ids ever committed" (the facade's pending-batch queue)."""
         return self.backend(spark).read_manifest(spark)
+
+    def live_manifest(self, spark: SparkSession) -> DataFrame | None:
+        """The latest committed manifest row per (rowgroup_id, column),
+        with compaction tombstones applied — the metadata view of
+        exactly the segments `committed_segments` serves. Stats,
+        aggregate pushdown, and pruning must read THIS view: after a
+        `compact()` the raw history still holds the superseded
+        rowgroups' rows, and rolling those up would double-count.
+
+        Tie-breaks: committed_at has 1-second resolution, so two
+        replays of the same run_id can tie — the pick must be
+        deterministic AND attempt-consistent across columns, or a
+        rowgroup could assemble from segments of different attempts.
+        'retired' (a compaction tombstone) outranks 'done' at equal
+        committed_at: a compact() in the same second as the ingest it
+        supersedes must still win, and the reverse order can't occur
+        (resume treats retired rowgroups as complete, so no later
+        'done' is ever written for a retired id — see compact())."""
+        m = self.manifest(spark)
+        if m is None:
+            return None
+        if "attempt_id" in m.columns:
+            # pre-attempt_id rows (older stores) carry null: coalesce
+            # to '' so they keep matching their segment rows
+            m = m.withColumn(
+                "attempt_id", F.coalesce("attempt_id", F.lit("")))
+        order_cols = [F.desc("committed_at"),
+                      F.desc((F.col("status") == "retired").cast("int")),
+                      F.desc("run_id")]
+        if "attempt_id" in m.columns:
+            order_cols.append(F.desc("attempt_id"))
+        w = Window.partitionBy("rowgroup_id", "column").orderBy(*order_cols)
+        return (m.where(F.col("status").isin("done", "retired"))
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .where(F.col("status") == "done")
+                .drop("__rn"))
 
     def committed_segments(self, spark: SparkSession) -> DataFrame:
         """Segments visible under the commit protocol, deduped to the
         latest committed run per (rowgroup_id, column)."""
         segs = self.backend(spark).read_segments(spark)
-        m = self.manifest(spark)
-        if m is None:
+        live = self.live_manifest(spark)
+        if live is None:
             raise FileNotFoundError(f"no manifest at {self.manifest_path}")
         keys = ["rowgroup_id", "column", "run_id"]
-        if "attempt_id" in segs.columns and "attempt_id" in m.columns:
-            # pre-attempt_id rows (older stores) carry null: coalesce
-            # to '' on both sides so they keep matching each other
+        if "attempt_id" in segs.columns and "attempt_id" in live.columns:
             segs = segs.withColumn(
                 "attempt_id", F.coalesce("attempt_id", F.lit("")))
-            m = m.withColumn(
-                "attempt_id", F.coalesce("attempt_id", F.lit("")))
             keys.append("attempt_id")
-        commits = (m.where(F.col("status") == "done")
-                    .select(*keys, "committed_at"))
-        # attempt_id joins the tie-break when present: committed_at has
-        # 1-second resolution, so two replays of the same run_id can
-        # tie on (committed_at, run_id) — the pick must be
-        # deterministic AND attempt-consistent across columns, or a
-        # rowgroup could assemble from segments of different attempts
-        order_cols = [F.desc("committed_at"), F.desc("run_id")]
-        if "attempt_id" in keys:
-            order_cols.append(F.desc("attempt_id"))
-        w = Window.partitionBy("rowgroup_id", "column").orderBy(*order_cols)
-        latest = (commits.withColumn("__rn", F.row_number().over(w))
-                  .where(F.col("__rn") == 1).drop("__rn", "committed_at"))
-        return segs.join(latest, on=keys, how="inner")
+        return segs.join(live.select(*keys), on=keys, how="inner")
 
     def done_rowgroups(self, spark: SparkSession) -> DataFrame | None:
         m = self.manifest(spark)
@@ -187,12 +211,98 @@ class Warehouse:
                       bloom_columns=bloom_columns)
         return self._commit(spark, backend, segs, run_id, attempt)
 
+    def compact(self, spark: SparkSession, min_fill: float = 0.5,
+                rows_per_segment: int = 1_000_000,
+                mode: str = chooser.MODE_SIZE,
+                run_id: str | None = None,
+                bloom_columns: tuple[str, ...] = ()) -> dict:
+        """Merge under-capacity rowgroups into capacity-sized ones —
+        the warehouse analogue of Iceberg's rewrite_data_files (and
+        the missing half of the reference's `TryCompact`: delta→solid
+        compaction exists as the encode stage; THIS folds accumulated
+        small solids). Compression ratio is a strong function of
+        segment size (BENCH.md §2a: 4.7x at 6k rows vs 14.4x at 100k
+        on transcripts — small segments each pay their own
+        dictionary), and streaming ingest at small micro-batches
+        accretes exactly such under-filled rowgroups.
+
+        Rowgroups with fewer than `min_fill * rows_per_segment` rows
+        are decoded, re-encoded into new capacity-sized rowgroups
+        (ids above every existing id), and committed in ONE manifest
+        append that also carries a 'retired' tombstone per superseded
+        (rowgroup_id, column) — `_commit(retire=...)`. Atomic by the
+        same standard as ingest: a crash before the append leaves the
+        old rowgroups live and the new segments invisible. Readers
+        apply tombstones via `live_manifest`; resume keeps treating
+        retired ids as complete (their historical 'done' rows remain),
+        so a replayed ingest never re-encodes them. Retired payload
+        rows stay in the segments table until `rebuild()` rewrites
+        the generation — same reclamation contract as vacuum().
+
+        Driver-side state: one 3-scalar aggregate row (small count /
+        row sum / max id); the small-id set itself stays distributed.
+        """
+        from ..operators.decode import decode
+
+        backend = self.backend(spark)
+        run_id = run_id or f"compact-{uuid.uuid4().hex[:8]}"
+        empty = {"run_id": run_id, "rowgroups_encoded": 0,
+                 "rowgroups_retired": 0, "storage": backend.name}
+        live = self.live_manifest(spark)
+        if live is None:
+            return empty
+        sizes = (live.groupBy("rowgroup_id")
+                 .agg(F.max("n_rows").alias("n_rows")))
+        thresh = int(min_fill * rows_per_segment)
+        small_cond = F.col("n_rows") < thresh
+        agg = sizes.agg(
+            F.sum(F.when(small_cond, F.col("n_rows"))).alias("small_rows"),
+            F.count(F.when(small_cond, True)).alias("n_small"),
+            F.max("rowgroup_id").alias("max_id")).collect()[0]
+        n_small = int(agg["n_small"] or 0)
+        if n_small < 2:
+            return empty
+        small = sizes.where(small_cond).select("rowgroup_id")
+        n_new = max(1, -(-int(agg["small_rows"]) // rows_per_segment))
+        rows = decode(self.committed_segments(spark)
+                      .join(small, on="rowgroup_id", how="leftsemi"))
+        # compacted ids live in their own namespace at 2^62+: ingest
+        # ids are `batch_idx << 40 + bucket expr`, so they stay below
+        # 2^62 until batch 2^22 — a fresh ingest batch can never
+        # collide with (and thus be resume-skipped by) a compacted id.
+        # Repeated compactions keep growing from the global max.
+        offset = max(1 << 62, int(agg["max_id"]) + 1)
+        rg_expr = (default_rowgroup_expr(n_new, rows_per_segment)
+                   + F.lit(offset))
+        segs = encode(rows, rowgroup_expr=rg_expr,
+                      rows_per_segment=rows_per_segment, mode=mode,
+                      bloom_columns=bloom_columns)
+        # tombstones: the live manifest rows being superseded, eagerly
+        # materialized so the manifest append below never reads the
+        # manifest files it is appending to
+        retire = (live.join(small, on="rowgroup_id", how="leftsemi")
+                  .localCheckpoint())
+        attempt = uuid.uuid4().hex[:12]
+        out = self._commit(spark, backend, segs, run_id, attempt,
+                           retire=retire)
+        out["rowgroups_retired"] = n_small
+        return out
+
     def _commit(self, spark: SparkSession, backend, segs: DataFrame,
-                run_id: str, attempt: str) -> dict:
+                run_id: str, attempt: str,
+                retire: DataFrame | None = None) -> dict:
         """Write segments, then the manifest — the manifest append IS
         the commit point (on Iceberg, additionally an atomic snapshot
         commit); the manifest rows are a metadata-only read-back of
-        what THIS attempt wrote."""
+        what THIS attempt wrote.
+
+        `retire` (compaction): manifest-shaped rows whose
+        (rowgroup_id, column)s this run supersedes. They are unioned
+        into the SAME manifest append as the 'done' rows, so
+        retirement commits atomically with the replacement segments —
+        a crash before the append leaves the old rowgroups live and
+        the new segments invisible (torn), never a state where rows
+        are double-counted or missing."""
         segs = (segs.withColumn("run_id", F.lit(run_id))
                     .withColumn("attempt_id", F.lit(attempt)))
         backend.append_segments(segs)
@@ -213,6 +323,14 @@ class Warehouse:
                     .drop("payload")
                     .withColumn("status", F.lit("done"))
                     .withColumn("committed_at", F.lit(committed_at)))
+        if retire is not None:
+            tomb = (retire.withColumn("status", F.lit("retired"))
+                    .withColumn("committed_at", F.lit(committed_at))
+                    .withColumn("run_id", F.lit(run_id)))
+            if "attempt_id" in manifest.columns:
+                tomb = tomb.withColumn("attempt_id", F.lit(attempt))
+            manifest = manifest.unionByName(
+                tomb.select(*manifest.columns))
         backend.append_manifest(manifest)
         m_back = backend.read_manifest(spark)
         pending = (m_back.where(_attempt_cond(m_back))

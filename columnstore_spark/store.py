@@ -354,6 +354,21 @@ class TranscriptColumnStore:
             compacted += 1
         return compacted
 
+    def compact(self, min_fill: float = 0.5) -> dict:
+        """Merge under-capacity solid rowgroups into capacity-sized
+        ones (`Warehouse.compact` — the Iceberg rewrite_data_files
+        analogue). Streaming ingest and small `close()` batches
+        accrete under-filled rowgroups whose per-segment dictionaries
+        cost real compression (BENCH.md §2a); compaction reclaims that
+        ratio without a full `rebuild()`. Atomic: replacement segments
+        and per-rowgroup 'retired' tombstones land in one manifest
+        commit. Returns {rowgroups_retired, rowgroups_encoded, ...};
+        a no-op (fewer than 2 under-filled rowgroups) returns zeros."""
+        return self.warehouse.compact(
+            self.spark, min_fill=min_fill,
+            rows_per_segment=self.rows_per_segment, mode=self.mode,
+            bloom_columns=self.bloom_columns)
+
     # -- read (GetEnumerator) ------------------------------------------------
 
     def solid_rows(self, columns: list[str] | None = None) -> DataFrame:
@@ -471,7 +486,7 @@ class TranscriptColumnStore:
         `min_str`/`max_str` only for string columns (where the
         lexicographic rollup is meaningful); other logicals report
         nulls rather than a lexicographically-wrong answer."""
-        m = self.warehouse.manifest(self.spark)
+        m = self.warehouse.live_manifest(self.spark)
         if m is None:
             raise ValueError("empty store (no committed segments)")
         # pre-typed-bounds manifests roll up NULL min/max, not an error
@@ -690,7 +705,11 @@ class TranscriptColumnStore:
     # -- queries (S3/S4) -----------------------------------------------------
 
     def _manifest_or_raise(self) -> DataFrame:
-        m = self.warehouse.manifest(self.spark)
+        # the LIVE view (latest run per rowgroup/column, compaction
+        # tombstones applied): pruning keep-sets and manifest-only
+        # aggregates over the raw history would double-count rowgroups
+        # superseded by compact()
+        m = self.warehouse.live_manifest(self.spark)
         if m is None:
             raise ValueError("empty store (no committed segments)")
         return m

@@ -29,9 +29,14 @@ def _batches(root):
 def test_vacuum_reclaims_superseded(spark, transcripts, tmp_path):
     root = str(tmp_path / "store")
     s = TranscriptColumnStore(spark, root, num_rowgroups=4)
-    s.add_range(transcripts.limit(400))
+    # deterministic overlapping batches — limit() without an order is
+    # free to pick different rows on each evaluation, and the final
+    # assertion re-evaluates the batch predicates against the source
+    b1 = transcripts.where(F.col("turn_idx") % 3 == 0)
+    b2 = transcripts.where(F.col("turn_idx") % 2 == 0)
+    s.add_range(b1)
     s.close()
-    s.add_range(transcripts.limit(600))
+    s.add_range(b2)
     s.close()
     expected = s.rows().count()
     s.rebuild()
@@ -46,8 +51,8 @@ def test_vacuum_reclaims_superseded(spark, transcripts, tmp_path):
     # the store still answers identically
     assert s.rows().count() == expected
     assert s.query_by_value("role", "tool").count() == \
-        transcripts.limit(600).where(F.col("role") == "tool").count() + \
-        transcripts.limit(400).where(F.col("role") == "tool").count()
+        b1.where(F.col("role") == "tool").count() + \
+        b2.where(F.col("role") == "tool").count()
 
 
 def test_vacuum_keeps_pending_batches(spark, transcripts, tmp_path):
