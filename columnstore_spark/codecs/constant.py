@@ -28,7 +28,7 @@ def decode(body: memoryview, n: int, logical: str):
         L = int(one.lengths[0])
         return V.VarChunk(
             lengths=np.full(n, L, dtype=np.int64),
-            blob=one.blob * n,
+            blob=bytes(one.blob) * n,  # blob may be a memoryview
         )
     v = V.read_fixed(body, 1, logical)
     return np.full(n, v[0], dtype=v.dtype)

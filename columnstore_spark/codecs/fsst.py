@@ -53,7 +53,7 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
     the reference's Size/Speed tradeoff, `Encoding.cs:70-75`).
     """
     merges: list[tuple[int, int]] = []
-    blob = sample
+    blob = bytes(sample)  # sample may be a zero-copy memoryview slice
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 9)
     for _ in range(max_merges):
         if len(blob) < 2:

@@ -262,7 +262,8 @@ class TranscriptColumnStore:
                  rows_per_segment: int = 1_000_000,
                  mode: str = chooser.MODE_SIZE,
                  format: str = "auto",
-                 bloom_columns: tuple[str, ...] = ("conv_id",)):
+                 bloom_columns: tuple[str, ...] = ("conv_id",),
+                 generation: int | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self.num_rowgroups = num_rowgroups
@@ -275,7 +276,24 @@ class TranscriptColumnStore:
         # Names absent from an ingested frame are simply never built.
         self.bloom_columns = tuple(bloom_columns)
         self._format = format
-        self._generation = self._latest_generation()
+        # `generation` pins a historical generation (time travel — the
+        # Iceberg snapshot-read analogue over our generation dirs),
+        # read-only. A generation is immutable once SUPERSEDED (the
+        # live store only ever writes into its latest generation), so
+        # a pinned superseded generation is a stable snapshot; pinning
+        # the latest one is just the live solid view. Only generations
+        # vacuum() hasn't reclaimed are addressable.
+        self._pinned = generation is not None
+        if self._pinned:
+            if not os.path.isdir(f"{self.root}/gen_{generation:04d}") \
+                    or os.path.exists(
+                        f"{self.root}/gen_{generation:04d}/_STAGING"):
+                raise ValueError(
+                    f"generation {generation} not present at {self.root} "
+                    "(never created, vacuumed away, or mid-rebuild)")
+            self._generation = int(generation)
+        else:
+            self._generation = self._latest_generation()
         self.warehouse = Warehouse(self._gen_root(), format=format)
         os.makedirs(self._delta_root(), exist_ok=True)
 
@@ -321,6 +339,13 @@ class TranscriptColumnStore:
 
     # -- ingest (I1/I2/I3/I5) ------------------------------------------------
 
+    def _writable(self) -> None:
+        if self._pinned:
+            raise ValueError(
+                "store is pinned to a historical generation "
+                f"(gen_{self._generation:04d}) — time-travel reads are "
+                "read-only; open the store without `generation` to write")
+
     def add_range(self, df: DataFrame) -> int:
         """Append a batch of rows to the delta store (reference
         `AddRange`: one version bump per batch).
@@ -329,6 +354,7 @@ class TranscriptColumnStore:
         on disk: after vacuum() deletes a folded batch dir, reusing its
         name would make the new rows look already-folded to
         `_pending_batches` — appended data silently never compacted."""
+        self._writable()
         taken = {int(b.split("_")[1])
                  for b in set(self._batches()) | self._retired_batches()
                  if b.startswith("batch_")}
@@ -341,6 +367,7 @@ class TranscriptColumnStore:
         """Compact every pending delta batch to solid segments
         (`Close` + the intended `TryCompact`); returns the number of
         batches compacted. Idempotent and crash-resumable (manifest)."""
+        self._writable()
         compacted = 0
         for name in self._pending_batches():
             batch_idx = int(name.split("_")[1])
@@ -364,6 +391,7 @@ class TranscriptColumnStore:
         and per-rowgroup 'retired' tombstones land in one manifest
         commit. Returns {rowgroups_retired, rowgroups_encoded, ...};
         a no-op (fewer than 2 under-filled rowgroups) returns zeros."""
+        self._writable()
         return self.warehouse.compact(
             self.spark, min_fill=min_fill,
             rows_per_segment=self.rows_per_segment, mode=self.mode,
@@ -382,7 +410,9 @@ class TranscriptColumnStore:
         `columns` projects the solid side at the ENCODED level (only
         the named columns' segments are read) and the delta side at
         the parquet scan."""
-        pending = self._pending_batches()
+        # a pinned (time-travel) store reads ONLY its generation's
+        # solid contents: delta batches on disk postdate the snapshot
+        pending = [] if self._pinned else self._pending_batches()
         delta = None
         if pending:
             delta = self.spark.read.parquet(
@@ -422,6 +452,7 @@ class TranscriptColumnStore:
           the single-file `os.unlink` of the marker is the commit. A
           crash at any point leaves the old state live; the stale
           staged dir is reclaimed on retry."""
+        self._writable()
         all_rows = self.rows()
         folded = self._batches()
         gen = self._generation + 1
@@ -462,6 +493,7 @@ class TranscriptColumnStore:
         over a superseded generation must be drained first — the same
         contract as any warehouse GC (Iceberg expire_snapshots,
         Delta VACUUM)."""
+        self._writable()
         removed: dict[str, list[str]] = {"generations": [], "batches": []}
         for d in sorted(os.listdir(self.root)):
             # numeric compare: gen_9999 < gen_10000 lexicographically fails

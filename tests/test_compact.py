@@ -140,6 +140,39 @@ def test_compact_crash_before_commit_changes_nothing(spark, tmp_path, t):
     assert _sorted(store.rows(), cols) == before_rows
 
 
+def test_compact_after_streaming_ingest(spark, tmp_path, t):
+    """The motivating case: streaming micro-batches each commit their
+    own small rowgroups (per-batch id namespaces); compacting the
+    stream-built warehouse merges them and the store still enumerates
+    every row exactly once, bit-identical."""
+    import os
+
+    from columnstore_spark.operators import decode
+    from columnstore_spark.sources.warehouse import Warehouse
+    from columnstore_spark.streaming.ingest import encode_stream
+
+    cols = t.columns
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    for k in range(3):  # three micro-batches -> 3 namespaces x 4 groups
+        (t.where(F.col("turn_idx") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(inp))
+        q = encode_stream(spark, inp, str(tmp_path / "wh"),
+                          str(tmp_path / "ckpt"), num_rowgroups=4)
+        q.awaitTermination(120)
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    expected = _sorted(t, cols)
+    assert _sorted(decode(wh.committed_segments(spark)), cols) == expected
+
+    before = wh.live_manifest(spark).select("rowgroup_id").distinct().count()
+    out = wh.compact(spark, rows_per_segment=1_000_000)
+    assert out["rowgroups_retired"] == before
+    after = wh.live_manifest(spark).select("rowgroup_id").distinct().count()
+    assert after < before
+    assert _sorted(decode(wh.committed_segments(spark)), cols) == expected
+
+
 def test_compact_then_ingest_namespaces_disjoint(spark, tmp_path, t):
     """A delta batch closed AFTER compaction must get fresh rowgroup
     ids (never resume-skipped against compacted ids) and the store
