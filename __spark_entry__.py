@@ -128,6 +128,31 @@ def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete (`delete_where`): affected rowgroups found by
+    manifest pruning are rewritten without the matching rows and
+    committed atomically with 'retired' tombstones (the same protocol
+    as compaction). Oracle = SELECT * minus the deleted predicate —
+    every surviving row must be bit-identical."""
+    import shutil
+    import tempfile
+
+    from columnstore_spark.store import TranscriptColumnStore
+
+    t = load_transcripts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cs_delete_")
+    try:
+        store = TranscriptColumnStore(spark, root, num_rowgroups=8,
+                                      rows_per_segment=1_000_000)
+        store.add_range(t)
+        store.close()
+        out = store.delete_where("role", "tool")
+        assert out["rows_deleted"] > 0, out
+        return store.rows().select(TRANSCRIPT_COLS).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     segs = encode(events, order=("event_id",),
@@ -745,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip": _q_encode_roundtrip,
         "encode_files_roundtrip": _q_encode_files_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
+        "delete_roundtrip": _q_delete_roundtrip,
         "events_roundtrip": _q_events_roundtrip,
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
@@ -868,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "encode_roundtrip": f"{t} SELECT * FROM t",
         "encode_files_roundtrip": f"{t} SELECT * FROM t",
         "compact_roundtrip": f"{t} SELECT * FROM t",
+        "delete_roundtrip":
+            f"{t} SELECT * FROM t WHERE role IS DISTINCT FROM 'tool'",
         "events_roundtrip": "SELECT * FROM events",
         "manifest_stats": _manifest_stats_oracle(),
         "query_by_value":

@@ -263,15 +263,54 @@ class Warehouse:
         if n_small < 2:
             return empty
         small = sizes.where(small_cond).select("rowgroup_id")
-        n_new = max(1, -(-int(agg["small_rows"]) // rows_per_segment))
         rows = decode(self.committed_segments(spark)
                       .join(small, on="rowgroup_id", how="leftsemi"))
-        # compacted ids live in their own namespace at 2^62+: ingest
+        out = self.replace_rowgroups(
+            spark, small, rows, victim_rows=int(agg["small_rows"]),
+            rows_per_segment=rows_per_segment, mode=mode,
+            run_id=run_id, bloom_columns=bloom_columns)
+        assert out["rowgroups_retired"] == n_small
+        return out
+
+    def replace_rowgroups(self, spark: SparkSession, victims: DataFrame,
+                          rows: DataFrame, victim_rows: int | None = None,
+                          rows_per_segment: int = 1_000_000,
+                          mode: str = chooser.MODE_SIZE,
+                          run_id: str | None = None,
+                          bloom_columns: tuple[str, ...] = ()) -> dict:
+        """Atomically replace the rowgroups named by `victims` (a
+        one-column `rowgroup_id` frame) with `rows` re-encoded into
+        capacity-sized groups — the shared tombstone+replace commit
+        under compact() and the facade's delete_where(). One manifest
+        append carries both the new 'done' rows and a 'retired'
+        tombstone per superseded (rowgroup_id, column); a crash before
+        it leaves the old rowgroups live and the new segments
+        invisible.
+
+        `victim_rows` sizes the new groups without counting `rows`
+        (an upper bound is fine — deletes only shrink); when omitted
+        it is summed off the live manifest."""
+        backend = self.backend(spark)
+        run_id = run_id or f"rewrite-{uuid.uuid4().hex[:8]}"
+        live = self.live_manifest(spark)
+        if live is None:
+            return {"run_id": run_id, "rowgroups_encoded": 0,
+                    "rowgroups_retired": 0, "storage": backend.name}
+        stats = (live.join(victims, on="rowgroup_id", how="leftsemi")
+                 .groupBy("rowgroup_id").agg(F.max("n_rows").alias("n"))
+                 .agg(F.sum("n").alias("rows"),
+                      F.count("*").alias("n_victims")).collect()[0])
+        n_victims = int(stats["n_victims"] or 0)
+        if victim_rows is None:
+            victim_rows = int(stats["rows"] or 0)
+        max_id = int(live.agg(F.max("rowgroup_id")).collect()[0][0])
+        n_new = max(1, -(-victim_rows // rows_per_segment))
+        # rewritten ids live in their own namespace at 2^62+: ingest
         # ids are `batch_idx << 40 + bucket expr`, so they stay below
         # 2^62 until batch 2^22 — a fresh ingest batch can never
-        # collide with (and thus be resume-skipped by) a compacted id.
-        # Repeated compactions keep growing from the global max.
-        offset = max(1 << 62, int(agg["max_id"]) + 1)
+        # collide with (and thus be resume-skipped by) a rewritten id.
+        # Repeated rewrites keep growing from the global max.
+        offset = max(1 << 62, max_id + 1)
         rg_expr = (default_rowgroup_expr(n_new, rows_per_segment)
                    + F.lit(offset))
         segs = encode(rows, rowgroup_expr=rg_expr,
@@ -280,12 +319,12 @@ class Warehouse:
         # tombstones: the live manifest rows being superseded, eagerly
         # materialized so the manifest append below never reads the
         # manifest files it is appending to
-        retire = (live.join(small, on="rowgroup_id", how="leftsemi")
+        retire = (live.join(victims, on="rowgroup_id", how="leftsemi")
                   .localCheckpoint())
         attempt = uuid.uuid4().hex[:12]
         out = self._commit(spark, backend, segs, run_id, attempt,
                            retire=retire)
-        out["rowgroups_retired"] = n_small
+        out["rowgroups_retired"] = n_victims
         return out
 
     def _commit(self, spark: SparkSession, backend, segs: DataFrame,

@@ -397,6 +397,76 @@ class TranscriptColumnStore:
             rows_per_segment=self.rows_per_segment, mode=self.mode,
             bloom_columns=self.bloom_columns)
 
+    def delete_where(self, column: str, probe) -> dict:
+        """Row-level delete — the "remove this conversation" op a
+        transcript warehouse needs (GDPR-class erasure). Probe shapes
+        match `query_by_value`/`query_where`: scalar equality,
+        ``(lo, hi)`` inclusive range, list/set IN, ``None`` IS NULL.
+
+        Affected rowgroups come from MANIFEST pruning (typed bounds +
+        Bloom — a conv_id point delete rewrites only the rowgroups
+        that can actually hold the key); they are decoded, matching
+        rows dropped (NULLs in the probe column never match an
+        equality/range/IN probe — SQL semantics), and the survivors
+        re-encoded through `Warehouse.replace_rowgroups`: one manifest
+        append commits the replacements and the per-rowgroup 'retired'
+        tombstones atomically. Requires a fully closed store (pending
+        delta batches hold raw rows the rewrite would not see)."""
+        import uuid as _uuid
+
+        self._writable()
+        if self._pending_batches():
+            raise ValueError(
+                "delete_where requires a fully closed store — call "
+                "close() first (pending delta batches would not see "
+                "the delete)")
+        noop = {"rows_deleted": 0, "rowgroups_rewritten": 0}
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, column)
+        if lt is None:
+            raise ValueError(f"unknown column {column!r}")
+        col, kind, payload, _ = _norm_one_pred(column, probe, lt)
+        segs = self.warehouse.committed_segments(self.spark)
+        if kind == "eq":
+            cand = prune_rowgroups_by_value(segs, column, payload,
+                                            logical_type=lt)
+        elif kind == "range":
+            cand = prune_rowgroups_by_range(segs, column, payload[0],
+                                            payload[1], logical_type=lt)
+        elif kind == "in":
+            if not payload:
+                return noop
+            cand = prune_rowgroups_by_values(segs, column, payload,
+                                             logical_type=lt)
+        else:
+            cand = prune_rowgroups_by_null(segs, column)
+        cond = _exact_pred_cond([(col, kind, payload, lt)],
+                                any_mode=False)
+        # schema from the UNpruned segments: a fully-pruned candidate
+        # set would otherwise infer an empty schema and the predicate
+        # column wouldn't resolve
+        decoded = decode(cand, schema=schema_from_segments(segs)).persist()
+        try:
+            n_del = decoded.where(cond).count()
+            if n_del == 0:
+                return noop
+            # coalesce(cond, False): an eq/range/IN probe is NULL on a
+            # NULL column value — those rows SURVIVE, `~cond` alone
+            # would silently delete them
+            survivors = decoded.where(
+                F.coalesce(cond, F.lit(False)) == F.lit(False))
+            victims = cand.select("rowgroup_id").distinct()
+            out = self.warehouse.replace_rowgroups(
+                self.spark, victims, survivors,
+                rows_per_segment=self.rows_per_segment, mode=self.mode,
+                run_id=f"delete-{_uuid.uuid4().hex[:8]}",
+                bloom_columns=self.bloom_columns)
+        finally:
+            decoded.unpersist()
+        return {"rows_deleted": n_del,
+                "rowgroups_rewritten": out["rowgroups_encoded"],
+                "rowgroups_retired": out["rowgroups_retired"]}
+
     # -- read (GetEnumerator) ------------------------------------------------
 
     def solid_rows(self, columns: list[str] | None = None) -> DataFrame:
