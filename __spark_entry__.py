@@ -153,6 +153,33 @@ def _q_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MERGE (`upsert`): the minimum conv_id's rows are replaced
+    by edited copies (text + '_v2') in ONE tombstone+replace manifest
+    commit — no delete-then-append window. Oracle = the same merge
+    expressed in SQL over the source table."""
+    import shutil
+    import tempfile
+
+    from columnstore_spark.store import TranscriptColumnStore
+
+    t = load_transcripts(spark, sf_dir)
+    vmin = t.agg(F.min("conv_id")).collect()[0][0]
+    repl = (t.where(F.col("conv_id") == vmin)
+            .withColumn("text", F.concat(F.col("text"), F.lit("_v2"))))
+    root = tempfile.mkdtemp(prefix="cs_upsert_")
+    try:
+        store = TranscriptColumnStore(spark, root, num_rowgroups=8,
+                                      rows_per_segment=1_000_000)
+        store.add_range(t)
+        store.close()
+        out = store.upsert(repl, key="conv_id")
+        assert out["rows_replaced"] > 0, out
+        return store.rows().select(TRANSCRIPT_COLS).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     segs = encode(events, order=("event_id",),
@@ -771,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_files_roundtrip": _q_encode_files_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
         "delete_roundtrip": _q_delete_roundtrip,
+        "upsert_roundtrip": _q_upsert_roundtrip,
         "events_roundtrip": _q_events_roundtrip,
         "manifest_stats": _q_manifest_stats,
         "query_by_value": _q_query_by_value,
@@ -896,6 +924,12 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip": f"{t} SELECT * FROM t",
         "delete_roundtrip":
             f"{t} SELECT * FROM t WHERE role IS DISTINCT FROM 'tool'",
+        "upsert_roundtrip":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            "WHERE conv_id <> (SELECT min(conv_id) FROM t) "
+            "UNION ALL "
+            "SELECT conv_id, turn_idx, role, text || '_v2' AS text, "
+            "tool, ts FROM t WHERE conv_id = (SELECT min(conv_id) FROM t)",
         "events_roundtrip": "SELECT * FROM events",
         "manifest_stats": _manifest_stats_oracle(),
         "query_by_value":

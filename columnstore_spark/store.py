@@ -415,11 +415,7 @@ class TranscriptColumnStore:
         import uuid as _uuid
 
         self._writable()
-        if self._pending_batches():
-            raise ValueError(
-                "delete_where requires a fully closed store — call "
-                "close() first (pending delta batches would not see "
-                "the delete)")
+        self._require_closed("delete_where")
         noop = {"rows_deleted": 0, "rowgroups_rewritten": 0}
         m = self._manifest_or_raise()
         lt = self._logical_type(m, column)
@@ -466,6 +462,101 @@ class TranscriptColumnStore:
         return {"rows_deleted": n_del,
                 "rowgroups_rewritten": out["rowgroups_encoded"],
                 "rowgroups_retired": out["rowgroups_retired"]}
+
+    def delete_keys(self, keys: DataFrame, on: str = "conv_id",
+                    key_col: str | None = None) -> dict:
+        """Distributed row-level delete by key set — the erasure
+        complement of `semi_join`: `keys` is a DataFrame that never
+        transits the driver ("erase every conversation of these
+        customers" where the customer side is itself a big table).
+        Victim rowgroups come from the same manifest-bounds-broadcast
+        + Bloom prune as `semi_join`; they decode and the survivors
+        (left_anti vs the distinct keys — SQL IN semantics, null keys
+        never match so null rows survive) rewrite through ONE
+        tombstone+replace manifest commit."""
+        self._writable()
+        self._require_closed("delete_keys")
+        noop = {"rows_deleted": 0, "rowgroups_rewritten": 0}
+        kc = key_col or on
+        keys = (keys.select(F.col(kc).alias(on))
+                .where(F.col(on).isNotNull()).distinct().persist())
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, on)
+        if lt is None:
+            raise ValueError(f"unknown column {on!r}")
+        from .operators.semijoin import semi_join_segments
+        segs = self.warehouse.committed_segments(self.spark)
+        cand = semi_join_segments(segs, m, on, keys, lt)
+        decoded = decode(cand, schema=schema_from_segments(segs)).persist()
+        try:
+            n_del = decoded.join(keys, on=on, how="leftsemi").count()
+            if n_del == 0:
+                return noop
+            survivors = decoded.join(keys, on=on, how="left_anti")
+            out = self.warehouse.replace_rowgroups(
+                self.spark, cand.select("rowgroup_id").distinct(),
+                survivors, rows_per_segment=self.rows_per_segment,
+                mode=self.mode, bloom_columns=self.bloom_columns)
+        finally:
+            decoded.unpersist()
+            keys.unpersist()
+        return {"rows_deleted": n_del,
+                "rowgroups_rewritten": out["rowgroups_encoded"],
+                "rowgroups_retired": out["rowgroups_retired"]}
+
+    def upsert(self, df: DataFrame, key: str = "conv_id") -> dict:
+        """MERGE at key granularity, ATOMIC in one manifest commit:
+        every row whose `key` appears in `df` is replaced by `df`'s
+        rows for that key; keys absent from the store are inserted.
+        Unlike delete-then-append, there is no window where the old
+        rows are gone and the new ones not yet visible — the victim
+        rowgroups' survivors UNION the incoming rows re-encode through
+        the same single tombstone+replace commit (`replace_rowgroups`),
+        so a crash at any point leaves either the old state or the
+        fully merged one. Requires a fully closed store."""
+        self._writable()
+        self._require_closed("upsert")
+        keys = (df.select(F.col(key).alias(key))
+                .where(F.col(key).isNotNull()).distinct().persist())
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, key)
+        if lt is None:
+            raise ValueError(f"unknown column {key!r}")
+        from .operators.semijoin import semi_join_segments
+        segs = self.warehouse.committed_segments(self.spark)
+        cand = semi_join_segments(segs, m, key, keys, lt)
+        schema = schema_from_segments(segs)
+        decoded = decode(cand, schema=schema).persist()
+        try:
+            n_replaced = decoded.join(keys, on=key, how="leftsemi").count()
+            survivors = decoded.join(keys, on=key, how="left_anti")
+            incoming = df.select([f.name for f in schema.fields])
+            n_ins = incoming.count()
+            if n_ins == 0 and n_replaced == 0:
+                return {"rows_replaced": 0, "rows_written": 0,
+                        "rowgroups_rewritten": 0, "rowgroups_retired": 0}
+            victim_rows = (cand.groupBy("rowgroup_id")
+                           .agg(F.max("n_rows").alias("n"))
+                           .agg(F.sum("n")).collect()[0][0] or 0)
+            out = self.warehouse.replace_rowgroups(
+                self.spark, cand.select("rowgroup_id").distinct(),
+                survivors.unionByName(incoming),
+                victim_rows=int(victim_rows) + n_ins,
+                rows_per_segment=self.rows_per_segment,
+                mode=self.mode, bloom_columns=self.bloom_columns)
+        finally:
+            decoded.unpersist()
+            keys.unpersist()
+        return {"rows_replaced": n_replaced, "rows_written": n_ins,
+                "rowgroups_rewritten": out["rowgroups_encoded"],
+                "rowgroups_retired": out["rowgroups_retired"]}
+
+    def _require_closed(self, op: str) -> None:
+        if self._pending_batches():
+            raise ValueError(
+                f"{op} requires a fully closed store — call close() "
+                "first (pending delta batches hold raw rows this "
+                "rewrite would not see)")
 
     # -- read (GetEnumerator) ------------------------------------------------
 

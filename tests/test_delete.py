@@ -128,3 +128,63 @@ def test_delete_crash_before_commit_changes_nothing(spark, tmp_path, t):
     assert out["rows_deleted"] == t.where(F.col("role") == "tool").count()
     assert _sorted(s.rows(), cols) == \
         _sorted(t.where(F.col("role") != "tool"), cols)
+
+
+def test_delete_keys_distributed(spark, tmp_path, t):
+    """Key set as a DataFrame — never collected to the driver."""
+    cols = t.columns
+    s = _store(spark, tmp_path, t)
+    keys = t.select("conv_id").distinct().limit(3).persist()
+    picked = [r["conv_id"] for r in keys.collect()]  # test-side only
+    out = s.delete_keys(keys, on="conv_id")
+    assert out["rows_deleted"] == \
+        t.where(F.col("conv_id").isin(picked)).count()
+    keep = t.where(~F.col("conv_id").isin(picked))
+    assert _sorted(s.rows(), cols) == _sorted(keep, cols)
+    # empty key set / no overlap -> no-op
+    none = t.sparkSession.createDataFrame([("zzz",)], "conv_id string")
+    assert s.delete_keys(none)["rows_deleted"] == 0
+
+
+def test_upsert_replaces_and_inserts_atomically(spark, tmp_path, t):
+    cols = t.columns
+    s = _store(spark, tmp_path, t)
+    victim = t.select("conv_id").first()["conv_id"]
+    # replacement rows for one existing conversation (shorter + edited)
+    repl = (t.where((F.col("conv_id") == victim) & (F.col("turn_idx") < 5))
+            .withColumn("text", F.concat(F.col("text"), F.lit("_v2"))))
+    # plus a brand-new conversation
+    new = (t.where(F.col("conv_id") == victim)
+           .withColumn("conv_id", F.lit("c_upsert_new")))
+    out = s.upsert(repl.unionByName(new), key="conv_id")
+    assert out["rows_replaced"] == t.where(F.col("conv_id") == victim).count()
+    assert out["rows_written"] == repl.count() + new.count()
+
+    expect = (t.where(F.col("conv_id") != victim)
+              .unionByName(repl).unionByName(new))
+    assert _sorted(s.rows(), cols) == _sorted(expect, cols)
+    # the new conversation is queryable through the encoded path
+    assert (s.query_by_value("conv_id", "c_upsert_new").count()
+            == new.count())
+
+
+def test_upsert_crash_atomic(spark, tmp_path, t):
+    """Unlike delete-then-append, a crash mid-upsert must leave the
+    OLD rows fully intact — no window where they are gone."""
+    cols = t.columns
+    s = _store(spark, tmp_path, t)
+    before = _sorted(s.rows(), cols)
+    victim = t.select("conv_id").first()["conv_id"]
+    repl = (t.where(F.col("conv_id") == victim)
+            .withColumn("text", F.lit("replaced")))
+    backend = s.warehouse.backend(spark)
+    orig = backend.append_manifest
+    backend.append_manifest = lambda df: (_ for _ in ()).throw(
+        RuntimeError("injected crash"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        s.upsert(repl, key="conv_id")
+    backend.append_manifest = orig
+    assert _sorted(s.rows(), cols) == before
+    s.upsert(repl, key="conv_id")
+    expect = t.where(F.col("conv_id") != victim).unionByName(repl)
+    assert _sorted(s.rows(), cols) == _sorted(expect, cols)
