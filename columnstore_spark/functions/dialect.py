@@ -45,6 +45,9 @@ class Dialect:
     def re_replace_all(self, x: str, pat: str) -> str:
         """Remove every match of `pat` from string expression `x`."""
         raise NotImplementedError
+    def re_replace(self, x: str, pat: str, repl: str) -> str:
+        """Replace every match of `pat` in `x` with literal `repl`."""
+        raise NotImplementedError
     def contains(self, arr: str, x: str) -> str: raise NotImplementedError
     def str_lit_array(self, vals: list[str]) -> str:
         raise NotImplementedError
@@ -115,6 +118,8 @@ class SparkDialect(Dialect):
         return f"aggregate({x}, 0D, (acc, v) -> acc + v)"
     def element(self, x, i): return f"element_at({x}, {i})"
     def re_replace_all(self, x, pat): return f"regexp_replace({x}, '{pat}', '')"
+    def re_replace(self, x, pat, repl):
+        return f"regexp_replace({x}, {self.rlit(pat)}, '{repl}')"
     def contains(self, arr, x): return f"array_contains({arr}, {x})"
     def str_lit_array(self, vals):
         return "array(" + ", ".join(f"'{v}'" for v in vals) + ")"
@@ -163,6 +168,8 @@ class DuckDialect(Dialect):
     def element(self, x, i): return f"list_extract({x}, {i})"
     def re_replace_all(self, x, pat):
         return f"regexp_replace({x}, '{pat}', '', 'g')"
+    def re_replace(self, x, pat, repl):
+        return f"regexp_replace({x}, {self.rlit(pat)}, '{repl}', 'g')"
     def contains(self, arr, x): return f"list_contains({arr}, {x})"
     def str_lit_array(self, vals):
         return "[" + ", ".join(f"'{v}'" for v in vals) + "]"

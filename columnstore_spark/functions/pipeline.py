@@ -146,6 +146,38 @@ FROM {table}
 """
 
 
+# PII-shaped redaction patterns, spelled engine-identically: no \\d,
+# \\w, \\b, or \\s (all differ between Java regex and DuckDB's RE2 in
+# edge classes); explicit ASCII classes + bounded quantifiers only.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PII_IP = ("[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\."
+           "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?")
+_PII_LONGNUM = "[0-9]{9,}"
+
+
+def text_redact_sql(d: Dialect, table: str = "documents") -> str:
+    """PII scrub — the redaction pass a training-data pipeline runs
+    before anything else sees the text: emails -> <EMAIL>, IPv4-ish
+    dotted quads -> <IP>, 9+-digit runs (phone/SSN/account-shaped) ->
+    <NUM>. Counts are taken BEFORE replacement (per-category regex
+    counts), the redacted text is fingerprinted rather than returned
+    (hash-stable across engines, no megabytes in the result). Order
+    matters: emails first (their digits must not half-match as
+    numbers), dotted quads before bare digit runs."""
+    step1 = d.re_replace("text", _PII_EMAIL, "<EMAIL>")
+    step2 = d.re_replace(step1, _PII_IP, "<IP>")
+    step3 = d.re_replace(step2, _PII_LONGNUM, "<NUM>")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({d.regexp_count('text', _PII_EMAIL)} AS BIGINT) AS n_emails,
+       CAST({d.regexp_count('text', _PII_IP)} AS BIGINT) AS n_ips,
+       CAST({d.regexp_count('text', _PII_LONGNUM)} AS BIGINT) AS n_longnums,
+       CAST({d.byte_length(step3)} AS BIGINT) AS redacted_bytes,
+       md5({step3}) AS redacted_fp
+FROM {table}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -959,6 +991,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
     builders = {
         "text_metrics": text_metrics_sql,
         "token_stats": token_stats_sql,
+        "text_redact": text_redact_sql,
         "dedup_exact": exact_dedup_sql,
         "dedup_minhash_lsh": minhash_pairs_sql,
         "dedup_ngram_jaccard": ngram_jaccard_sql,
