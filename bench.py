@@ -135,17 +135,25 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         # granularity and encode-task parallelism at sf0.1 prices —
         # ~6k-row segments, each paying its own dictionary — but at
         # 10^12 turns every rowgroup sits at capacity, so the ratio the
-        # engine delivers at scale is the capacity-parity one (at sf0.1
-        # the 1M-row default folds the input into capacity-sized
-        # rowgroups exactly as the reference's delta store would).
-        # One untimed pass; throughput stays defined by the timed
-        # encodes above. Both ratios are reported.
+        # engine delivers at scale is the capacity-parity one.
+        # Measured on a SINGLE copy of the corpus: the bench's
+        # `replicate` volume knob duplicates the text verbatim, and a
+        # capacity-sized dictionary would dedup those copies — an
+        # artifact of the harness, not engine signal. One untimed
+        # pass; throughput stays defined by the timed encodes above.
+        # Both ratios are reported.
+        t1 = (t if replicate <= 1 else
+              synthetic_transcripts(spark, sf_dir, replicate=1).persist())
         t0 = time.perf_counter()
-        cap_row = (manifest_of(encode(t, bloom_columns=("conv_id",),
+        cap_row = (manifest_of(encode(t1, bloom_columns=("conv_id",),
                                       num_partitions=enc_parts))
-                   .agg(F.sum("enc_bytes").alias("enc")).collect()[0])
+                   .agg(F.sum("raw_bytes").alias("raw"),
+                        F.sum("enc_bytes").alias("enc")).collect()[0])
         cap_sec = time.perf_counter() - t0
+        cap_raw_bytes = int(cap_row["raw"])
         cap_enc_bytes = int(cap_row["enc"])
+        if t1 is not t:
+            t1.unpersist()
 
         # q_decode — bit-identical inverse over the persisted segments
         timings["q_decode"] = _best(lambda: _noop(decode(segs_on_disk)))
@@ -338,12 +346,14 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         "throughput_gbps": round(raw_bytes / 1e9 / enc_sec, 4),
         "rows_per_sec": round(rows / enc_sec),
         # headline ratio = reference-capacity rowgroups (1M rows,
-        # ColumnStoreOptions.cs:12) — the at-scale number; the
-        # parallel-store ratio (2*cpus rowgroups, what the timed
-        # queries ran against) stays visible alongside it
-        "compression_ratio": round(raw_bytes / max(cap_enc_bytes, 1), 3),
+        # ColumnStoreOptions.cs:12) on a SINGLE corpus copy; the
+        # parallel-store ratio (2*cpus rowgroups over the replicated
+        # input, what the timed queries ran against) stays alongside
+        "compression_ratio":
+            round(cap_raw_bytes / max(cap_enc_bytes, 1), 3),
         "compression_ratio_parallel_store":
             round(raw_bytes / max(enc_bytes, 1), 3),
+        "capacity_raw_gb": round(cap_raw_bytes / 1e9, 4),
         "enc_gb_parallel_store": round(enc_bytes / 1e9, 4),
         "capacity_encode_sec": round(cap_sec, 3),
     }

@@ -112,6 +112,31 @@ def _decode_stage(segments: DataFrame, schema: T.StructType | None,
     return _rowgroup_stage(segments, schema, num_partitions, decode_group)
 
 
+def decode_with_rowgroup(segments: DataFrame,
+                         schema: T.StructType | None = None,
+                         num_partitions: int | None = None,
+                         rg_col: str = "__rg") -> DataFrame:
+    """`decode()` plus the source rowgroup id as an extra long column.
+    The mutation paths (delete/upsert) use it to tighten their victim
+    set to rowgroups that ACTUALLY contain matching rows — a
+    bounds/bloom false-positive candidate decodes but is never
+    rewritten or tombstoned."""
+    if schema is None:
+        schema = schema_from_segments(segments)
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField(rg_col, T.LongType(), False)])
+
+    def decode_group(rg, payloads, logicals, colnames):
+        cols = {name: decode_segment(payloads[i].as_py(), logicals[i])
+                for i, name in enumerate(colnames)}
+        n = len(next(iter(cols.values()))) if cols else 0
+        cols[rg_col] = pa.array([rg] * n, type=pa.int64())
+        return cols
+
+    return _rowgroup_stage(segments, out_schema, num_partitions,
+                           decode_group, pass_rowgroup=True)
+
+
 def decode(segments: DataFrame, schema: T.StructType | None = None,
            num_partitions: int | None = None,
            columns: list[str] | None = None) -> DataFrame:

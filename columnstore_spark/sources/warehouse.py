@@ -296,14 +296,23 @@ class Warehouse:
         if live is None:
             return {"run_id": run_id, "rowgroups_encoded": 0,
                     "rowgroups_retired": 0, "storage": backend.name}
-        stats = (live.join(victims, on="rowgroup_id", how="leftsemi")
-                 .groupBy("rowgroup_id").agg(F.max("n_rows").alias("n"))
-                 .agg(F.sum("n").alias("rows"),
-                      F.count("*").alias("n_victims")).collect()[0])
-        n_victims = int(stats["n_victims"] or 0)
+        # one manifest scan collects victim rows/count AND the global
+        # max id (the live_manifest window replays per scan — don't
+        # pay it three times per mutation)
+        marked = (live.join(victims.select("rowgroup_id")
+                            .withColumn("__v", F.lit(1)),
+                            on="rowgroup_id", how="left")
+                  .groupBy("rowgroup_id")
+                  .agg(F.max("n_rows").alias("n"),
+                       F.max("__v").alias("v")))
+        agg = marked.agg(
+            F.sum(F.when(F.col("v") == 1, F.col("n"))).alias("rows"),
+            F.count(F.when(F.col("v") == 1, True)).alias("n_victims"),
+            F.max("rowgroup_id").alias("max_id")).collect()[0]
+        n_victims = int(agg["n_victims"] or 0)
         if victim_rows is None:
-            victim_rows = int(stats["rows"] or 0)
-        max_id = int(live.agg(F.max("rowgroup_id")).collect()[0][0])
+            victim_rows = int(agg["rows"] or 0)
+        max_id = int(agg["max_id"])
         n_new = max(1, -(-victim_rows // rows_per_segment))
         # rewritten ids live in their own namespace at 2^62+: ingest
         # ids are `batch_idx << 40 + bucket expr`, so they stay below
@@ -372,7 +381,11 @@ class Warehouse:
                 tomb.select(*manifest.columns))
         backend.append_manifest(manifest)
         m_back = backend.read_manifest(spark)
+        # count only 'done' rows: a compaction/delete commit's retire
+        # tombstones share this run/attempt and must not inflate the
+        # reported encoded-rowgroup count
         pending = (m_back.where(_attempt_cond(m_back))
+                   .where(F.col("status") == "done")
                    .select("rowgroup_id").distinct().count())
         return {"run_id": run_id, "rowgroups_encoded": pending,
                 "storage": backend.name}

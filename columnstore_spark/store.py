@@ -43,7 +43,7 @@ from .operators import (
     decode_matching_range,
     decode_window,
 )
-from .operators.decode import schema_from_segments
+from .operators.decode import decode_with_rowgroup, schema_from_segments
 from .plans.pruning import (
     _with_typed_bounds,
     prune_rowgroup_ids,
@@ -331,6 +331,12 @@ class TranscriptColumnStore:
             return set()
 
     def _pending_batches(self) -> list[str]:
+        # a pinned (time-travel) store never sees pending deltas: they
+        # postdate its snapshot. Guarded HERE so every consumer —
+        # rows(), include_pending queries, semi_join's pending union —
+        # inherits the isolation, not just rows()
+        if self._pinned:
+            return []
         m = self.warehouse.manifest(self.spark)
         done = (set() if m is None else
                 {r["run_id"] for r in m.select("run_id").distinct().collect()})
@@ -416,7 +422,8 @@ class TranscriptColumnStore:
 
         self._writable()
         self._require_closed("delete_where")
-        noop = {"rows_deleted": 0, "rowgroups_rewritten": 0}
+        noop = {"rows_deleted": 0, "rowgroups_rewritten": 0,
+                "rowgroups_retired": 0}
         m = self._manifest_or_raise()
         lt = self._logical_type(m, column)
         if lt is None:
@@ -440,18 +447,31 @@ class TranscriptColumnStore:
                                 any_mode=False)
         # schema from the UNpruned segments: a fully-pruned candidate
         # set would otherwise infer an empty schema and the predicate
-        # column wouldn't resolve
-        decoded = decode(cand, schema=schema_from_segments(segs)).persist()
+        # column wouldn't resolve. The decode keeps each row's source
+        # rowgroup id so the victim set tightens to rowgroups that
+        # ACTUALLY hold matches — a bounds/bloom false-positive
+        # candidate decodes but is never rewritten or tombstoned
+        # (needless rewrites double a rowgroup's stored bytes until
+        # rebuild()).
+        decoded = decode_with_rowgroup(
+            cand, schema=schema_from_segments(segs)).persist()
+        victims = None
         try:
+            victims = (decoded.where(cond).select(
+                F.col("__rg").alias("rowgroup_id")).distinct().persist())
             n_del = decoded.where(cond).count()
             if n_del == 0:
                 return noop
             # coalesce(cond, False): an eq/range/IN probe is NULL on a
             # NULL column value — those rows SURVIVE, `~cond` alone
             # would silently delete them
-            survivors = decoded.where(
-                F.coalesce(cond, F.lit(False)) == F.lit(False))
-            victims = cand.select("rowgroup_id").distinct()
+            survivors = (decoded
+                         .join(victims.withColumnRenamed(
+                             "rowgroup_id", "__rg"), on="__rg",
+                             how="leftsemi")
+                         .where(F.coalesce(cond, F.lit(False))
+                                == F.lit(False))
+                         .drop("__rg"))
             out = self.warehouse.replace_rowgroups(
                 self.spark, victims, survivors,
                 rows_per_segment=self.rows_per_segment, mode=self.mode,
@@ -459,6 +479,8 @@ class TranscriptColumnStore:
                 bloom_columns=self.bloom_columns)
         finally:
             decoded.unpersist()
+            if victims is not None:
+                victims.unpersist()
         return {"rows_deleted": n_del,
                 "rowgroups_rewritten": out["rowgroups_encoded"],
                 "rowgroups_retired": out["rowgroups_retired"]}
@@ -476,7 +498,8 @@ class TranscriptColumnStore:
         tombstone+replace manifest commit."""
         self._writable()
         self._require_closed("delete_keys")
-        noop = {"rows_deleted": 0, "rowgroups_rewritten": 0}
+        noop = {"rows_deleted": 0, "rowgroups_rewritten": 0,
+                "rowgroups_retired": 0}
         kc = key_col or on
         keys = (keys.select(F.col(kc).alias(on))
                 .where(F.col(on).isNotNull()).distinct().persist())
@@ -487,19 +510,31 @@ class TranscriptColumnStore:
         from .operators.semijoin import semi_join_segments
         segs = self.warehouse.committed_segments(self.spark)
         cand = semi_join_segments(segs, m, on, keys, lt)
-        decoded = decode(cand, schema=schema_from_segments(segs)).persist()
+        decoded = decode_with_rowgroup(
+            cand, schema=schema_from_segments(segs)).persist()
+        victims = None
         try:
-            n_del = decoded.join(keys, on=on, how="leftsemi").count()
+            matches = decoded.join(keys, on=on, how="leftsemi")
+            victims = (matches.select(F.col("__rg").alias("rowgroup_id"))
+                       .distinct().persist())
+            n_del = matches.count()
             if n_del == 0:
                 return noop
-            survivors = decoded.join(keys, on=on, how="left_anti")
+            survivors = (decoded
+                         .join(victims.withColumnRenamed(
+                             "rowgroup_id", "__rg"), on="__rg",
+                             how="leftsemi")
+                         .join(keys, on=on, how="left_anti")
+                         .drop("__rg"))
             out = self.warehouse.replace_rowgroups(
-                self.spark, cand.select("rowgroup_id").distinct(),
-                survivors, rows_per_segment=self.rows_per_segment,
+                self.spark, victims, survivors,
+                rows_per_segment=self.rows_per_segment,
                 mode=self.mode, bloom_columns=self.bloom_columns)
         finally:
             decoded.unpersist()
             keys.unpersist()
+            if victims is not None:
+                victims.unpersist()
         return {"rows_deleted": n_del,
                 "rowgroups_rewritten": out["rowgroups_encoded"],
                 "rowgroups_retired": out["rowgroups_retired"]}
@@ -526,27 +561,44 @@ class TranscriptColumnStore:
         segs = self.warehouse.committed_segments(self.spark)
         cand = semi_join_segments(segs, m, key, keys, lt)
         schema = schema_from_segments(segs)
-        decoded = decode(cand, schema=schema).persist()
+        decoded = decode_with_rowgroup(cand, schema=schema).persist()
+        # persisted: counted once here and consumed again by the
+        # replace encode — an unpersisted nondeterministic source
+        # (df.limit, sampling) could otherwise write different rows
+        # than it counted
+        incoming = df.select([f.name for f in schema.fields]).persist()
+        victims = None
         try:
-            n_replaced = decoded.join(keys, on=key, how="leftsemi").count()
-            survivors = decoded.join(keys, on=key, how="left_anti")
-            incoming = df.select([f.name for f in schema.fields])
+            matches = decoded.join(keys, on=key, how="leftsemi")
+            victims = (matches.select(F.col("__rg").alias("rowgroup_id"))
+                       .distinct().persist())
+            n_replaced = matches.count()
             n_ins = incoming.count()
             if n_ins == 0 and n_replaced == 0:
                 return {"rows_replaced": 0, "rows_written": 0,
                         "rowgroups_rewritten": 0, "rowgroups_retired": 0}
-            victim_rows = (cand.groupBy("rowgroup_id")
+            survivors = (decoded
+                         .join(victims.withColumnRenamed(
+                             "rowgroup_id", "__rg"), on="__rg",
+                             how="leftsemi")
+                         .join(keys, on=key, how="left_anti")
+                         .drop("__rg"))
+            victim_rows = (self.warehouse.live_manifest(self.spark)
+                           .join(victims, on="rowgroup_id", how="leftsemi")
+                           .groupBy("rowgroup_id")
                            .agg(F.max("n_rows").alias("n"))
                            .agg(F.sum("n")).collect()[0][0] or 0)
             out = self.warehouse.replace_rowgroups(
-                self.spark, cand.select("rowgroup_id").distinct(),
-                survivors.unionByName(incoming),
+                self.spark, victims, survivors.unionByName(incoming),
                 victim_rows=int(victim_rows) + n_ins,
                 rows_per_segment=self.rows_per_segment,
                 mode=self.mode, bloom_columns=self.bloom_columns)
         finally:
             decoded.unpersist()
             keys.unpersist()
+            incoming.unpersist()
+            if victims is not None:
+                victims.unpersist()
         return {"rows_replaced": n_replaced, "rows_written": n_ins,
                 "rowgroups_rewritten": out["rowgroups_encoded"],
                 "rowgroups_retired": out["rowgroups_retired"]}
@@ -571,9 +623,9 @@ class TranscriptColumnStore:
         `columns` projects the solid side at the ENCODED level (only
         the named columns' segments are read) and the delta side at
         the parquet scan."""
-        # a pinned (time-travel) store reads ONLY its generation's
-        # solid contents: delta batches on disk postdate the snapshot
-        pending = [] if self._pinned else self._pending_batches()
+        # _pending_batches is empty on a pinned (time-travel) store:
+        # delta batches on disk postdate the snapshot
+        pending = self._pending_batches()
         delta = None
         if pending:
             delta = self.spark.read.parquet(

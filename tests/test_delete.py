@@ -46,6 +46,10 @@ def test_delete_point_conversation(spark, tmp_path, t):
     out = s.delete_where("conv_id", victim)
     assert out["rows_deleted"] == expect_gone
     assert out["rowgroups_rewritten"] >= 1
+    # victim set is TIGHT: one conversation lives in one hash bucket,
+    # so exactly one rowgroup is tombstoned — bounds/bloom candidate
+    # false-positives decode but are never rewritten
+    assert out["rowgroups_retired"] == 1
 
     keep = t.where(F.col("conv_id") != victim)
     assert _sorted(s.rows(), cols) == _sorted(keep, cols)
@@ -64,7 +68,8 @@ def test_delete_no_match_is_noop(spark, tmp_path, t):
     s = _store(spark, tmp_path, t)
     m_before = s.warehouse.manifest(spark).count()
     out = s.delete_where("conv_id", "no_such_conversation")
-    assert out == {"rows_deleted": 0, "rowgroups_rewritten": 0}
+    assert out == {"rows_deleted": 0, "rowgroups_rewritten": 0,
+                   "rowgroups_retired": 0}
     assert s.warehouse.manifest(spark).count() == m_before
 
 

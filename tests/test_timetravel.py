@@ -54,6 +54,12 @@ def test_time_travel_reads_and_write_guard(spark, tmp_path):
     # a pending delta on the live store never leaks into the snapshot
     live.add_range(b2)
     assert _sorted(old.rows(), cols) == _sorted(b1, cols)
+    # ...including through include_pending queries (the pending union
+    # is guarded in _pending_batches itself, so every consumer —
+    # rows(), probe queries, semi_join — inherits the isolation)
+    assert (old.query_by_value("role", "tool",
+                               include_pending=True).count()
+            == b1.where(F.col("role") == "tool").count())
 
     # unknown / vacuumed generations are an explicit error
     with pytest.raises(ValueError, match="not present"):
