@@ -48,9 +48,25 @@ def _noop(df):
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+# Wall-clock budget for the WHOLE bench process (seconds). The full
+# 21-query best-of-3 run takes ~3.5 min on an idle box, but this host
+# shows 2-4x co-tenant jitter (preamble) and the driver runs bench
+# under a hard timeout — a killed bench records nothing, which is
+# strictly worse than best-of-1 timings. _best sheds repeats as the
+# budget drains; the JSON stays complete either way.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+_t_start = time.monotonic()
+
 
 def _best(fn, repeats: int = REPEATS) -> float:
-    """Best-of-k wall time of fn() (k=1 honors a single-run request)."""
+    """Best-of-k wall time of fn() (k=1 honors a single-run request).
+    k degrades as the process nears its wall budget: 3 -> 2 in the
+    last 40% of the budget, -> 1 in the last 20%."""
+    spent = time.monotonic() - _t_start
+    if spent > BUDGET_S * 0.8:
+        repeats = 1
+    elif spent > BUDGET_S * 0.6:
+        repeats = min(repeats, 2)
     best = float("inf")
     for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
