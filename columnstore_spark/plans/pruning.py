@@ -552,3 +552,44 @@ def prune_segments_any(manifest: DataFrame, segments: DataFrame,
             .where(cond)
             .select("rowgroup_id").distinct())
     return segments.join(keep, on="rowgroup_id", how="left_semi")
+
+
+def explain_prune(manifest: DataFrame, column: str, lo, hi, eq: bool,
+                  logical_type: str | None = None) -> DataFrame:
+    """EXPLAIN for the manifest pruner: one row per rowgroup with the
+    decision the pruners would take for this probe and WHY.
+
+    Columns: ``rowgroup_id``, ``n_rows``, ``kept`` (would the rowgroup
+    survive), ``bounds_keep`` / ``bloom_keep`` (the two sub-tests;
+    NULL when that test does not apply to this probe/column), and
+    ``reason`` ('kept', 'bounds', 'bloom', or 'unprunable' when no
+    test can speak and everything is conservatively kept).
+
+    The decision columns are built from EXACTLY the keep-conditions
+    the pruners push (`_keep_cond` and its parts) — this is the
+    pruner's truth table, not a reimplementation, so what it shows is
+    what `query_by_value`/`query_by_range` will do. Metadata-only:
+    nothing here reads a payload byte, at any store size."""
+    sub = _with_typed_bounds(manifest).where(F.col("column") == column)
+    bounds = (_typed_cond(logical_type, lo, hi, eq)
+              if logical_type is not None
+              else _generic_cond(lo, hi, eq))
+    bloomc = _bloom_eq_cond(lo, logical_type) if eq else None
+    keep = _keep_cond(lo, hi, eq, logical_type)
+
+    def opt(c):
+        return F.lit(None).cast("boolean") if c is None else c
+
+    kept = F.lit(True) if keep is None else keep
+    reason = (F.when(kept, F.lit("kept"))
+              .when(~opt(bounds), F.lit("bounds"))
+              .when(~opt(bloomc), F.lit("bloom"))
+              .otherwise(F.lit("unprunable")))
+    if keep is None:
+        reason = F.lit("unprunable")
+    return (sub.select("rowgroup_id", "n_rows",
+                       kept.alias("kept"),
+                       opt(bounds).alias("bounds_keep"),
+                       opt(bloomc).alias("bloom_keep"),
+                       reason.alias("reason"))
+            .orderBy("rowgroup_id"))

@@ -485,6 +485,25 @@ class TranscriptColumnStore:
                 "rowgroups_rewritten": out["rowgroups_encoded"],
                 "rowgroups_retired": out["rowgroups_retired"]}
 
+    def explain_prune(self, column: str, probe) -> DataFrame:
+        """EXPLAIN for the manifest pruner: one metadata row per
+        rowgroup showing whether a `query_by_value` (scalar probe) or
+        `query_by_range` ((lo, hi) tuple) would decode it, with the
+        sub-test verdicts (bounds / Bloom) and a reason. Reads only
+        the manifest — usable at any store size to answer "why is this
+        query touching N rowgroups?"."""
+        from .plans.pruning import explain_prune as _explain
+        m = self._manifest_or_raise()
+        lt = self._logical_type(m, column)
+        if lt is None:
+            raise ValueError(f"unknown column {column!r}")
+        if isinstance(probe, tuple) and len(probe) == 2:
+            lo, hi, eq = _naive_utc(probe[0]), _naive_utc(probe[1]), False
+        else:
+            lo = hi = _naive_utc(probe)
+            eq = True
+        return _explain(m, column, lo, hi, eq, logical_type=lt)
+
     def delete_keys(self, keys: DataFrame, on: str = "conv_id",
                     key_col: str | None = None) -> dict:
         """Distributed row-level delete by key set — the erasure

@@ -226,3 +226,43 @@ def test_float_and_mismatched_probes_never_prune(spark, store):
     assert prune_rowgroups_by_value(
         segs, "turn_idx", 7.0, logical_type="int32"
     ).select("rowgroup_id").distinct().count() == 1
+
+
+def test_explain_prune_matches_pruner(spark, tmp_path):
+    """explain_prune is the pruner's truth table: the kept set equals
+    what query pruning actually keeps, and the reasons decompose."""
+    from columnstore_spark.sources.transcripts import load_transcripts
+    from columnstore_spark.store import TranscriptColumnStore
+
+    import os
+    t = load_transcripts(
+        spark, os.environ.get("SPARK_GRAFT_TEST_SF",
+                              "/root/testdata/sf0.001"))
+    s = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                              num_rowgroups=8)
+    s.add_range(t)
+    s.close()
+    key = t.select("conv_id").first()["conv_id"]
+
+    ex = s.explain_prune("conv_id", key).collect()
+    kept = {r["rowgroup_id"] for r in ex if r["kept"]}
+    # ground truth: the rowgroups that actually hold the key
+    from pyspark.sql import functions as F
+    got = s.query_by_value("conv_id", key)
+    assert got.count() == t.where(F.col("conv_id") == key).count()
+    # the explain's kept set is a superset of the true holder and a
+    # strict subset of all rowgroups (bloom prunes on this column)
+    all_ids = {r["rowgroup_id"] for r in ex}
+    assert kept and kept < all_ids
+    # every eliminated rowgroup names which test killed it
+    for r in ex:
+        if not r["kept"]:
+            assert r["reason"] in ("bounds", "bloom")
+            assert (r["bounds_keep"] is False) or (r["bloom_keep"] is False)
+        else:
+            assert r["reason"] == "kept"
+
+    # range probe: kept == bounds test, no bloom column
+    ex2 = s.explain_prune("turn_idx", (10, 19)).collect()
+    assert all(r["bloom_keep"] is None for r in ex2)
+    assert all(r["kept"] == r["bounds_keep"] for r in ex2)
