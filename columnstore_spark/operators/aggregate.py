@@ -133,6 +133,13 @@ def _distinct_stage(segments: DataFrame, column: str,
         row = sub.select("logical_type").first()
         if row is None:
             raise ValueError(f"no segments for column {column!r}")
+        if row["logical_type"].startswith("nested:"):
+            # fail on the driver: Arrow has no dictionary_encode /
+            # value_counts kernels for nested types — an executor-side
+            # ArrowNotImplementedError would be opaque
+            raise ValueError(
+                f"nested column {column!r} unsupported for "
+                "distinct/group aggregates")
         value_type = _spark_type_of(row["logical_type"])
     out_schema = T.StructType([
         T.StructField("value", value_type, True),
@@ -222,11 +229,10 @@ def count_matching(segments: DataFrame, column: str, value) -> DataFrame:
     if value is None:
         raise ValueError("probe value must be non-null (nulls never "
                          "match an equality probe)")
-    from collections.abc import Iterator as _It
 
     from ..codecs.query import query_value
 
-    def run(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             payloads = batch.column(
                 batch.schema.get_field_index("payload"))
@@ -246,7 +252,10 @@ def count_matching(segments: DataFrame, column: str, value) -> DataFrame:
             .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt")))
 
 
-_AGG_SUM_LONG = set(_INT_FAMILY)
+# uint64 excluded: its values exceed the exact-int64 arithmetic
+# domain (and its Spark surface is decimal(20,0)) — group_agg raises
+# cleanly instead of overflowing
+_AGG_SUM_LONG = set(_INT_FAMILY) - {"uint64"}
 _AGG_SUM_DBL = ("float32", "float64")
 
 
@@ -267,12 +276,21 @@ def _to_arith(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return conv.fill_null(0).to_numpy(zero_copy_only=False), mask
 
 
-def _from_arith(vals: np.ndarray, valid: np.ndarray, t: pa.DataType):
+def _from_arith(vals: np.ndarray, valid: np.ndarray, t: pa.DataType,
+                stored: pa.DataType | None = None):
     """Arithmetic-domain results back to the agg column's type (the
-    inverse of `_to_arith`'s cast chain)."""
+    inverse of `_to_arith`'s cast chain). `stored` is the DECODED
+    array's type: timestamp epochs are in the stored unit, and an
+    int64 -> timestamp(us) cast REINTERPRETS (treats the int as
+    target-unit epoch) rather than converts — a timestamp_s column
+    would come back ~10^6x too early. Routing through the stored-unit
+    timestamp first makes the second cast a true unit conversion."""
     a = pa.array(vals, mask=~valid)
     if pa.types.is_date32(t):
         return a.cast(pa.int32()).cast(t)
+    if (pa.types.is_timestamp(t) and stored is not None
+            and pa.types.is_timestamp(stored)):
+        return a.cast(stored).cast(t)
     return a.cast(t)
 
 
@@ -358,6 +376,14 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
     missing = sorted(need - set(lt))
     if missing:
         raise ValueError(f"no segments for column(s) {missing}")
+    nested = sorted(c for c in group_cols
+                    if lt[c].startswith("nested:"))
+    if nested:
+        # fail on the driver: Arrow has no dictionary_encode kernel
+        # for nested types, which would otherwise surface as an opaque
+        # executor-side ArrowNotImplementedError
+        raise ValueError(
+            f"group_agg: nested group column(s) {nested} unsupported")
     agg_logical = lt[agg_col]
     if agg_logical in _AGG_SUM_DBL:
         sum_type: T.DataType = T.DoubleType()
@@ -385,8 +411,8 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
         ai = colnames.index(agg_col)
         per = [_gc(payloads[colnames.index(c)].as_py(),
                    logicals[colnames.index(c)]) for c in group_cols]
-        vals, mask = _to_arith(decode_segment(payloads[ai].as_py(),
-                                              logicals[ai]))
+        dec = decode_segment(payloads[ai].as_py(), logicals[ai])
+        vals, mask = _to_arith(dec)
         code_cols = [codes + 1 for _, codes in per]  # 0 = SQL NULL
         if where is not None:
             wi = colnames.index(where_col)
@@ -447,9 +473,18 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
                 out[name] = gvals.cast(pa_t).take(take_idx)
         out["cnt"] = pa.array(cnt, type=pa.int64())
         out["n_agg"] = pa.array(n_agg, type=pa.int64())
-        out["sum_agg"] = pa.array(sums, mask=~has_agg)
-        out["min_agg"] = _from_arith(mins, has_agg, pa_agg_t)
-        out["max_agg"] = _from_arith(maxs, has_agg, pa_agg_t)
+        if agg_logical.startswith("timestamp"):
+            # SQL defines no SUM over timestamps, and epoch-us sums
+            # overflow int64 at ~5k rows per group — unknown beats
+            # wrong (min/max/cnt are the meaningful temporal aggs)
+            out["sum_agg"] = pa.nulls(ng, type=pa_schema.field(
+                "sum_agg").type)
+        else:
+            out["sum_agg"] = pa.array(sums, mask=~has_agg)
+        out["min_agg"] = _from_arith(mins, has_agg, pa_agg_t,
+                                     stored=dec.type)
+        out["max_agg"] = _from_arith(maxs, has_agg, pa_agg_t,
+                                     stored=dec.type)
         return out
 
     sub = segments.where(F.col("column").isin(sorted(need)))

@@ -28,6 +28,12 @@ _LOGICAL_TO_SPARK = {
     "timestamp_s": T.TimestampType(), "timestamp_ms": T.TimestampType(),
     "timestamp_us": T.TimestampType(), "timestamp_ns": T.TimestampType(),
     "date32": T.DateType(),
+    # Spark has no unsigned types: widen losslessly (uint64 needs
+    # decimal(20,0) — a LongType would corrupt values above 2^63).
+    # Arrow-ingested stores (encode_files) are the only source of
+    # uints; Spark-ingested data can never carry them.
+    "uint8": T.ShortType(), "uint16": T.IntegerType(),
+    "uint32": T.LongType(), "uint64": T.DecimalType(20, 0),
 }
 
 

@@ -105,6 +105,9 @@ def _key_stored_expr(logical: str, key: Column) -> Column | None:
     return None
 
 
+_SJ_KEY = "__sj_key"  # reserved internal key-column alias
+
+
 def _keys_bounds_cond(logical: str | None, key: Column) -> Column | None:
     """Join condition: may `key` live inside this manifest row's
     bounds? Mirrors plans/pruning._typed_cond with the probe as a
@@ -121,9 +124,12 @@ def _keys_bounds_cond(logical: str | None, key: Column) -> Column | None:
                 .otherwise(in_bounds))
     if logical in ("float32", "float64"):
         k = key.cast("double")
-        # NaN keys: Spark orders NaN above +inf, so min_flt <= NaN is
-        # true -> NaN keys conservatively keep every segment; segments
-        # holding NaN have NULL bounds and are kept by the fallthrough.
+        # NaN keys: Spark orders NaN ABOVE +inf, so `max_flt >= NaN`
+        # is false and a NaN key fails every BOUNDED segment's test —
+        # soundness rests on stats.py's invariant that a NaN-bearing
+        # segment always carries NULL float bounds and therefore
+        # survives via the otherwise() branch. Do not weaken that
+        # invariant without revisiting this condition.
         return (F.when(F.col("min_flt").isNotNull(),
                        (F.col("min_flt") <= k) & (F.col("max_flt") >= k))
                 .otherwise(F.col("n_nulls") < F.col("n_rows")))
@@ -163,27 +169,38 @@ def keep_ids_for_keys(manifest: DataFrame, column: str, keys: DataFrame,
     from ..codecs.bloom import BLOOMABLE
 
     key_name = keys.columns[0]
+    kind = keys.schema[key_name].dataType.typeName()
     if logical_type in _PLAIN_INTS:
         # int-domain bounds are sound only for INTEGRAL key columns:
         # the final semi-join compares a float/double/decimal key side
         # in Spark's coerced double domain, where int64s above 2^53
         # collapse — a cast("long") bounds test would drop matching
         # rowgroups (same bijection bound as plans/pruning, bloom)
-        kind = keys.schema[key_name].dataType.typeName()
         if kind not in ("byte", "short", "integer", "long", "boolean"):
             return None
-    kdf = keys.where(keys[key_name].isNotNull())
-    cond = _keys_bounds_cond(logical_type, kdf[key_name])
+    if logical_type == "string" and kind != "string":
+        # byte-order repr bounds are sound only for a STRING key side:
+        # the exact semi-join coerces a numeric key against the string
+        # column NUMERICALLY ('0042' == 42 matches), a domain where
+        # byte-order min/max bound nothing — pruning on them would
+        # silently drop matching rowgroups
+        return None
+    # internal alias: a key column legitimately named like a manifest
+    # stat column (n_rows, min_repr, ...) would otherwise be ambiguous
+    # after the bounds join
+    kdf = (keys.where(keys[key_name].isNotNull())
+           .select(keys[key_name].alias(_SJ_KEY)))
+    cond = _keys_bounds_cond(logical_type, kdf[_SJ_KEY])
     if cond is None:
         return None
     bloomable = (use_bloom and logical_type in BLOOMABLE
                  and "bloom" in manifest.columns)
     if bloomable:
-        h = _bloom_hash_udf(logical_type)(F.col(key_name))
-        kdf = kdf.select(key_name, h.alias("_h")).select(
-            key_name, "_h.w1", "_h.m1", "_h.w2", "_h.m2")
+        h = _bloom_hash_udf(logical_type)(F.col(_SJ_KEY))
+        kdf = kdf.select(_SJ_KEY, h.alias("_h")).select(
+            _SJ_KEY, "_h.w1", "_h.m1", "_h.w2", "_h.m2")
         # rebuild against the projected frame so the join resolves
-        cond = _keys_bounds_cond(logical_type, kdf[key_name])
+        cond = _keys_bounds_cond(logical_type, kdf[_SJ_KEY])
     # shim BEFORE projecting: a legacy manifest (persisted before the
     # typed-bounds columns existed) gets them as NULLs — pruning
     # degrades to bounds-less keeps instead of an unresolved-column

@@ -173,10 +173,9 @@ def topk(segments: DataFrame, column: str, k: int,
     keep_cond = (F.col("bound").isNull()
                  | (F.col("bound") >= F.lit(tau_stored) if descending
                     else F.col("bound") <= F.lit(tau_stored)))
-    all_bounds = (_with_typed_bounds(segments)
-                  .where(F.col("column") == column)
-                  .select("rowgroup_id", bound.alias("bound")))
-    kept = (all_bounds.where(keep_cond)
+    # m IS the bounds frame phase 1 built — reuse it rather than
+    # rebuilding the typed-bounds projection a second time
+    kept = (m.where(keep_cond)
             .select("rowgroup_id").distinct())
     ids = [r["rowgroup_id"] for r in kept.limit(_ISIN_CAP + 1).collect()]
     if len(ids) <= _ISIN_CAP:

@@ -434,3 +434,82 @@ def test_group_by_float_key_normalizes_like_spark(spark):
                  F.count(F.lit(1)).alias("c"),
                  F.sum("v").alias("s")).collect()}
     assert got_a == exp_a
+
+
+def test_group_agg_stored_unit_timestamps(spark, tmp_path):
+    """A timestamp_s column (Arrow-ingested; Spark can't create one)
+    must come back as real instants: epoch ints in the STORED unit
+    cast to timestamp(us) would reinterpret and land in 1970. Temporal
+    sum_agg is NULL by contract (SQL defines no timestamp SUM and
+    epoch sums overflow int64)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnstore_spark.operators import encode_files
+    from columnstore_spark.operators.aggregate import group_agg
+
+    base = 1_577_836_800  # 2020-01-01T00:00:00Z, seconds
+    tbl = pa.table({
+        "__rg": pa.array([0, 0, 0, 1, 1, 1], type=pa.int64()),
+        "g": pa.array([0, 1, 0, 1, 0, 1], type=pa.int32()),
+        "ts": pa.array([base + i * 60 for i in range(6)],
+                       type=pa.timestamp("s")),
+    })
+    path = str(tmp_path / "ts_s.parquet")
+    pq.write_table(tbl, path)
+    segs = encode_files(spark, [path], presorted=True)
+
+    out = {r["value"]: r for r in group_agg(segs, "g", "ts").collect()}
+    exp_min = {0: base, 1: base + 60}
+    exp_max = {0: base + 240, 1: base + 300}
+    for g in (0, 1):
+        got_min = int(out[g]["min_agg"]
+                      .replace(tzinfo=dt.timezone.utc).timestamp())
+        got_max = int(out[g]["max_agg"]
+                      .replace(tzinfo=dt.timezone.utc).timestamp())
+        assert got_min == exp_min[g], (g, out[g]["min_agg"])
+        assert got_max == exp_max[g]
+        assert out[g]["sum_agg"] is None
+        assert out[g]["cnt"] == 3
+
+
+def test_uint_columns_decode_and_aggregate(spark, tmp_path):
+    """Arrow-ingested unsigned ints: decode widens losslessly (uint64
+    above 2^63 -> decimal(20,0)); group/distinct aggregates work on
+    the sub-64-bit uints and uint64 agg raises cleanly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from columnstore_spark.operators import decode, encode_files
+    from columnstore_spark.operators.aggregate import (
+        group_agg,
+        group_count,
+    )
+
+    big = (1 << 63) + 5
+    tbl = pa.table({
+        "__rg": pa.array([0, 0, 1, 1], type=pa.int64()),
+        "u32": pa.array([1, 2, 1, 4_000_000_000], type=pa.uint32()),
+        "u64": pa.array([1, big, 2, 3], type=pa.uint64()),
+    })
+    path = str(tmp_path / "uints.parquet")
+    pq.write_table(tbl, path)
+    segs = encode_files(spark, [path], presorted=True)
+
+    rows = decode(segs).orderBy("u64").collect()
+    assert [int(r["u64"]) for r in rows] == [1, 2, 3, big]
+    assert sorted(int(r["u32"]) for r in rows) == [1, 1, 2, 4_000_000_000]
+
+    got = {int(r["value"]): r["cnt"]
+           for r in group_count(segs, "u32").collect()}
+    assert got == {1: 2, 2: 1, 4_000_000_000: 1}
+
+    ga = {int(r["value"]): int(r["sum_agg"])
+          for r in group_agg(segs, "u64", "u32").collect()
+          if r["value"] is not None and int(r["value"]) < (1 << 62)}
+    # rows pair (u32, u64) as (1,1), (2,big), (1,2), (4e9,3)
+    assert ga == {1: 1, 2: 1, 3: 4_000_000_000}
+
+    with _pytest.raises(Exception, match="unsupported agg column"):
+        group_agg(segs, "u32", "u64").collect()

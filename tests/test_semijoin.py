@@ -101,3 +101,28 @@ def test_semi_join_plan_shape(spark, store, transcripts):
     assert semi_lines, plan
     assert all("HashJoin" in ln for ln in semi_lines), plan
     assert "CartesianProduct" not in plan
+
+
+def test_numeric_keys_on_string_column_never_prune(spark, store):
+    """Byte-order string bounds are unsound for a numeric key side
+    (Spark's exact join coerces '0042' == 42 numerically): the bounds
+    stage must refuse to prune, not silently drop matching rowgroups."""
+    m = store.warehouse.live_manifest(spark)
+    int_keys = spark.createDataFrame([(42,)], "k int")
+    assert keep_ids_for_keys(m, "conv_id", int_keys, "string") is None
+    # a string key side still prunes
+    str_keys = spark.createDataFrame([("c000000000001",)], "k string")
+    kept = keep_ids_for_keys(m, "conv_id", str_keys, "string")
+    assert kept is not None and kept.count() >= 1
+
+
+def test_stat_named_key_column(spark, store, transcripts):
+    """A key column named like a manifest stat column must not blow up
+    in an ambiguous-reference error (internal alias)."""
+    keys = (transcripts.select(F.col("conv_id").alias("n_rows"))
+            .distinct().limit(4))
+    got = (store.semi_join(keys, on="conv_id", key_col="n_rows")
+           .orderBy("conv_id", "turn_idx").collect())
+    assert got == _expected(transcripts,
+                            keys.withColumnRenamed("n_rows", "k"),
+                            "conv_id")
