@@ -855,7 +855,10 @@ class TranscriptColumnStore:
             if alt.startswith("float"):
                 sum_expr = F.sum(agg_t).cast("double")
             elif alt.startswith("timestamp"):
-                sum_expr = F.sum(F.unix_micros(agg_t))
+                # NULL by contract, matching the operator path: SQL
+                # defines no SUM over timestamps and epoch-us sums
+                # overflow int64 at ~5k rows per group
+                sum_expr = F.lit(None).cast("long")
             elif alt == "date32":
                 sum_expr = F.sum(F.datediff(
                     agg_t, F.to_date(F.lit("1970-01-01"))))

@@ -116,8 +116,10 @@ def test_group_agg_fallback_timestamp_agg(spark, tmp_path):
     kernel = {tuple(r) for r in
               s.group_agg("conv_id", "ts", where=("turn_idx", 7))
               .select("value", "cnt", "n_agg", "sum_agg").collect()}
-    e7 = int((t0 + dt.timedelta(seconds=7)).timestamp()) * 1_000_000
-    assert fallback == kernel == {("c1", 1, 1, e7)}
+    # temporal sum_agg is NULL by contract on BOTH paths (SQL has no
+    # timestamp SUM; epoch sums overflow int64) — min/max carry the
+    # temporal answer
+    assert fallback == kernel == {("c1", 1, 1, None)}
 
 
 def test_stats_poisons_mixed_float_bounds(spark, tmp_path):
