@@ -837,6 +837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name in _PIPELINE_SQL:
         q[name] = _pipeline_query(name)
+    # iterative DataFrame op (alternating-star connected components) —
+    # not a single SQL spine, so registered outside _PIPELINE_SQL; its
+    # oracle is the recursive-closure SQL in oracle_sql()
+    q["dedup_clusters"] = _pipeline_query("dedup_clusters")
     return q
 
 
@@ -906,6 +910,7 @@ def _agg_pushdown_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from columnstore_spark.functions.pipeline import (
+        dedup_clusters_oracle_sql,
         media_decode_oracle_sql,
         media_frame_sample_oracle_sql,
         media_resize_oracle_sql,
@@ -915,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
     pipeline = {name: sqls["duck"] for name, sqls in _PIPELINE_SQL.items()}
     # media_entropy: rows-only (no oracle entry) — derived float stats
     return pipeline | {
+        "dedup_clusters": dedup_clusters_oracle_sql(),
         "media_decode": media_decode_oracle_sql(),
         "media_frame_sample": media_frame_sample_oracle_sql(),
         "media_resize": media_resize_oracle_sql(),

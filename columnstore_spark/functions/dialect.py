@@ -95,6 +95,10 @@ class Dialect:
         """Number of non-overlapping matches of `pattern` in `s`."""
         raise NotImplementedError
 
+    def idiv(self, a: str, b: str) -> str:
+        """Integer (floor-toward-zero) division of non-negative ints."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     spark = True
@@ -140,6 +144,7 @@ class SparkDialect(Dialect):
         return f"size(regexp_extract_all({s}, {self.rlit(pattern)}, 0))"
     def to_utf8(self, s): return f"encode({s}, 'utf-8')"
     def byte_length(self, s): return f"length(encode({s}, 'utf-8'))"
+    def idiv(self, a, b): return f"(({a}) DIV ({b}))"
     def first_utf8_byte(self, s):
         return (f"CAST(CASE WHEN length({s}) > 0 THEN "
                 f"conv(substr(hex(encode({s}, 'utf-8')), 1, 2), 16, 10) "
@@ -191,6 +196,7 @@ class DuckDialect(Dialect):
         return f"len(regexp_extract_all({s}, {self.rlit(pattern)}))"
     def to_utf8(self, s): return f"encode({s})"
     def byte_length(self, s): return f"octet_length(encode({s}))"
+    def idiv(self, a, b): return f"(({a}) // ({b}))"
     def first_utf8_byte(self, s):
         return (f"CAST(CASE WHEN octet_length(encode({s})) > 0 THEN "
                 f"CAST(concat('0x', substr(hex(encode({s})), 1, 2)) AS INT) "

@@ -179,6 +179,110 @@ FROM {table}
 
 
 # ---------------------------------------------------------------------------
+# Sampling & sequence packing
+# ---------------------------------------------------------------------------
+
+# permille kept by the plain hash sample / per-language stratified rates
+_SAMPLE_PERMILLE = 125
+_STRAT_RATES = {"en": 100, "es": 400, "de": 400, "fr": 400}
+_STRAT_DEFAULT = 1000  # unknown languages kept whole (rare -> keep all)
+
+
+def _salted(d: Dialect, salt: str, *cols: str) -> str:
+    """Salted concat of key columns for the hash-sample decision
+    variable. Every operand is coalesced: Spark's concat is NULL if
+    ANY argument is NULL while DuckDB's skips NULLs — coalescing each
+    side keeps the hashes bit-identical on nullable keys. The salt
+    decorrelates the sample from every other hash use of the key."""
+    st = "STRING" if d.spark else "VARCHAR"
+    parts = ", '|', ".join(f"COALESCE(CAST({c} AS {st}), '')"
+                           for c in cols)
+    return f"concat('{salt}|', {parts})"
+
+
+def sample_hash_sql(d: Dialect, table: str = "documents",
+                    permille: int = _SAMPLE_PERMILLE) -> str:
+    """Deterministic uniform sample: keep a row iff
+    hash(salt|doc_id) mod 1000 < permille. Map-only — no shuffle, no
+    driver state, trivially parallel at any scale; the decision is a
+    pure function of the key, so the same corpus always yields the
+    same sample (reproducible training mixes, resumable pipelines)."""
+    u = f"{d.ph(_salted(d, 'u1', 'doc_id'))} % 1000"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST({u} AS BIGINT) AS sample_u
+FROM {table}
+WHERE {u} < {permille}
+"""
+
+
+def sample_stratified_sql(d: Dialect, table: str = "documents") -> str:
+    """Deterministic stratified sample with per-language rates — the
+    data-mixing primitive (downsample over-represented languages,
+    keep the tail whole). Same hash-decision shape as sample_hash so
+    it stays map-only; the stratum rate is a CASE over the stratum
+    key, evaluated per row with no shuffle."""
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRAT_RATES.items())
+    rate = f"CASE lang {whens} ELSE {_STRAT_DEFAULT} END"
+    u = f"{d.ph(_salted(d, 'u2', 'doc_id', 'lang'))} % 1000"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST({rate} AS BIGINT) AS rate_permille,
+       CAST({u} AS BIGINT) AS sample_u
+FROM {table}
+WHERE {u} < {rate}
+"""
+
+
+_PACK_BUDGET = 512   # tokens per packed sequence
+_PACK_BUCKETS = 8    # independent packing lanes (scale = O(cluster))
+
+
+def pack_sequences_sql(d: Dialect, table: str = "documents",
+                       budget: int = _PACK_BUDGET,
+                       buckets: int = _PACK_BUCKETS) -> str:
+    """Token-budget sequence packing (concat-then-split): documents are
+    laid end-to-end in stable doc_id order and cut every `budget`
+    tokens; each doc reports the pack it starts in and its offset
+    there. This is the training-batch construction step — packs have
+    zero padding waste by construction.
+
+    Scale shape: a single global ORDER BY would serialize on one task,
+    so packing runs in `buckets` independent lanes (doc_id mod
+    buckets), each lane a window PARTITION — at 100 TB, buckets =
+    O(cluster parallelism) and every lane is one partial sort of
+    corpus/buckets rows; pack ids are globally unique via
+    lane * 10^6 + lane-local index. Token counts are the whitespace
+    tokenizer (token_stats), computed map-side before the one window
+    shuffle on the lane key."""
+    ws = (f"split(trim(text), ' +')" if d.spark
+          else "regexp_split_to_array(trim(text), ' +')")
+    n_tok = d.size(d.filter(ws, "x -> x != ''"))
+    start = "(cum - n_tok)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {n_tok} AS n_tok, doc_id % {buckets} AS lane
+  FROM {table}
+),
+run AS (
+  SELECT doc_id, lane, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lane ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lane AS BIGINT) AS lane,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(lane * 1000000 + {d.idiv(start, str(budget))} AS BIGINT)
+         AS pack_id,
+       CAST({start} % {budget} AS BIGINT) AS pack_offset
+FROM run
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 
@@ -295,18 +399,19 @@ def minhash_banded_sql(d: Dialect, table: str = "documents") -> str:
     return f"WITH {_minhash_cte(d, table)} SELECT * FROM banded"
 
 
-def minhash_pairs_over(d: Dialect, banded: str = "banded",
-                       threshold: float = 0.5) -> str:
-    """Band-bucket self-joins + exact-jaccard verify over a
-    materialized `banded` table (minhash_banded_sql)."""
+def minhash_pairs_cte(d: Dialect, banded: str = "banded",
+                      threshold: float = 0.5) -> str:
+    """cand/verified/pairs CTE chain (no leading WITH) over a
+    materialized `banded` table — `pairs` is the verified
+    (doc_a, doc_b, jaccard) set. Shared by minhash_pairs_over and the
+    dedup_clusters oracle, which extends the chain."""
     band_joins = "\nUNION ALL\n".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         f"FROM {banded} a JOIN {banded} b ON a.band_{b} = b.band_{b} "
         f"AND a.doc_id < b.doc_id"
         for b in range(_BANDS))
     inter = d.size(d.intersect("a.shingles", "b.shingles"))
-    return f"""
-WITH cand AS (
+    return f"""cand AS (
   SELECT DISTINCT doc_a, doc_b FROM (
 {band_joins}
   ) u
@@ -318,13 +423,22 @@ verified AS (
   FROM cand c
   JOIN {banded} a ON a.doc_id = c.doc_a
   JOIN {banded} b ON b.doc_id = c.doc_b
-)
-SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-       CAST(round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4)
-            AS DOUBLE) AS jaccard
-FROM verified
-WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
-"""
+),
+pairs AS (
+  SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         CAST(round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4)
+              AS DOUBLE) AS jaccard
+  FROM verified
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
+)"""
+
+
+def minhash_pairs_over(d: Dialect, banded: str = "banded",
+                       threshold: float = 0.5) -> str:
+    """Band-bucket self-joins + exact-jaccard verify over a
+    materialized `banded` table (minhash_banded_sql)."""
+    return (f"\nWITH {minhash_pairs_cte(d, banded, threshold)}\n"
+            f"SELECT * FROM pairs\n")
 
 
 def minhash_pairs_sql(d: Dialect, table: str = "documents",
@@ -342,6 +456,136 @@ def minhash_pairs_sql(d: Dialect, table: str = "documents",
     assert over.startswith("\nWITH ")
     rest = over[len("\nWITH "):]
     return f"\nWITH {_minhash_cte(d, table)},\n{rest}"
+
+
+# connected-components round guard: alternating star converges in
+# O(log^2 n) rounds (see dedup_clusters_df); 64 is far past any real n
+_CC_MAX_ROUNDS = 64
+
+
+def dedup_clusters_df(spark, dim: int):
+    """Duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH near-dup pair graph, labeling every clustered doc with
+    its component representative (the min doc_id) and the cluster
+    size — the keep-one-per-cluster step a dedup pipeline actually
+    executes (pairs alone over-delete: A~B, B~C must retire B and C,
+    not three docs).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public).
+    Each round is two groupBy-min + join passes over the edge set —
+    no driver-side graph state, edge partitions never leave the
+    executors — and the edge set provably converges to per-component
+    stars in O(log^2 n) rounds (2 rounds on typical near-clique dup
+    clusters). Convergence is an exact set-equality check
+    (exceptAll both ways on the checkpointed edge frames); each
+    round's result is localCheckpoint'ed so lineage stays O(1).
+
+    The DuckDB oracle (dedup_clusters_oracle_sql) computes the same
+    components via a recursive transitive-closure CTE — correct and
+    simple at oracle scale, quadratic blowup at cluster scale, which
+    is exactly why the Spark side runs alternating star instead.
+    """
+    pairs = spark_pipeline_df(spark, "dedup_minhash_lsh", dim)
+    return connected_components(
+        pairs.selectExpr("doc_a AS u", "doc_b AS v"))
+
+
+def connected_components(edge_df):
+    """Connected components of an undirected (u, v) BIGINT edge
+    DataFrame via alternating star (see dedup_clusters_df): returns
+    (doc_id, cluster_rep, cluster_size) for every node incident to an
+    edge, cluster_rep = min node id of the component."""
+    from pyspark.sql import functions as F
+
+    edges = (edge_df
+             .select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def large_star(e):
+        # connect every strictly-larger neighbor of u to
+        # min(N(u) + {u}); keeps the min reachable while halving
+        # long-path depth
+        s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (s.groupBy("u").agg(F.min("v").alias("mn"))
+              .select("u", F.least("u", "mn").alias("m")))
+        return (s.join(m, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+
+    def small_star(e):
+        # orient edges toward the larger endpoint, then connect every
+        # smaller neighbor (and u itself) to the neighborhood min
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (o.join(m, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(m.select(F.col("u"), F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+
+    for _ in range(_CC_MAX_ROUNDS):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        converged = (nxt.exceptAll(edges).isEmpty()
+                     and edges.exceptAll(nxt).isEmpty())
+        edges = nxt
+        if converged:
+            break
+    else:  # pragma: no cover - 64 rounds covers n up to ~2^(sqrt(64))
+        raise RuntimeError("alternating-star did not converge")
+
+    # fixed point = per-component stars: every edge is (member, root)
+    labels = edges.select(F.col("u").alias("doc_id"),
+                          F.col("v").alias("cluster_rep"))
+    roots = (labels.select(F.col("cluster_rep").alias("doc_id"),
+                           "cluster_rep")
+             .distinct())
+    lab = labels.union(roots)
+    sizes = (lab.groupBy("cluster_rep")
+             .agg(F.count("*").cast("long").alias("cluster_size")))
+    return (lab.join(sizes, "cluster_rep")
+            .select("doc_id", "cluster_rep", "cluster_size"))
+
+
+def dedup_clusters_oracle_sql(d: Dialect = None, table: str = "documents",
+                              threshold: float = 0.5) -> str:
+    """DuckDB oracle for dedup_clusters: the same minhash pair spine,
+    components via recursive transitive closure (rep = min reachable
+    node), sizes via a self-aggregate. Oracle-scale only — the
+    closure is O(n * component_size); the Spark side's alternating
+    star is the scale path."""
+    if d is None:
+        d = DUCK
+    return f"""
+WITH RECURSIVE {_minhash_cte(d, table)},
+{minhash_pairs_cte(d, 'banded', threshold)},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep
+  FROM reach GROUP BY u
+)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(l.cluster_rep AS BIGINT) AS cluster_rep,
+       CAST(c.n AS BIGINT) AS cluster_size
+FROM lab l
+JOIN (SELECT cluster_rep, COUNT(*) AS n FROM lab GROUP BY cluster_rep) c
+  USING (cluster_rep)
+"""
 
 
 def ngram_shingles_sql(d: Dialect, table: str = "documents") -> str:
@@ -973,6 +1217,8 @@ def spark_pipeline_df(spark, name: str, dim: int):
         v = _materialize(spark, name, embedding_bucketed_sql(SPARK, dim),
                          "__cs_emb_bucketed")
         return spark.sql(embedding_lsh_pairs_over(SPARK, v))
+    if name == "dedup_clusters":
+        return dedup_clusters_df(spark, dim)
     if name == "dedup_ngram_jaccard":
         v = _materialize(spark, name, ngram_shingles_sql(SPARK),
                          "__cs_ngram_shingles")
@@ -992,6 +1238,9 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "text_metrics": text_metrics_sql,
         "token_stats": token_stats_sql,
         "text_redact": text_redact_sql,
+        "sample_hash": sample_hash_sql,
+        "sample_stratified": sample_stratified_sql,
+        "pack_sequences": pack_sequences_sql,
         "dedup_exact": exact_dedup_sql,
         "dedup_minhash_lsh": minhash_pairs_sql,
         "dedup_ngram_jaccard": ngram_jaccard_sql,

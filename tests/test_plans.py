@@ -203,3 +203,30 @@ def test_in_list_keepset_reaches_parquet_scan(spark, warehouse):
          .where(F.col("conv_id").isin(keys)).count())
     b = decode(segs).where(F.col("conv_id").isin(keys)).count()
     assert a == b > 0
+
+
+def test_sample_ops_are_map_only(spark):
+    """Deterministic hash sampling is a pure per-row decision: the
+    executed plan must be scan -> filter/project with NO Exchange —
+    at 100 TB a sample that shuffles first moves the corpus to drop
+    7/8 of it."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    for name in ("sample_hash", "sample_stratified"):
+        plan = _executed_plan(spark_pipeline_df(spark, name, 64))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_pack_sequences_single_lane_exchange(spark):
+    """Sequence packing shuffles exactly once — the hash exchange on
+    the lane key feeding the per-lane running-sum window. Token
+    counting stays map-side before it; no global sort appears."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    plan = _executed_plan(spark_pipeline_df(spark, "pack_sequences", 64))
+    # AQE prints Final + Initial sections; judge the final plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
