@@ -50,10 +50,19 @@ _OUT_BATCH_ROWS = 1 << 16
 
 
 def schema_from_segments(segments: DataFrame) -> T.StructType:
-    """Reconstruct the original Spark schema from segment metadata."""
+    """Reconstruct the original Spark schema from segment metadata.
+
+    Deduplicated BY NAME (first col_idx wins): under schema evolution
+    heterogeneous batches may assign a column different positions, and
+    a duplicated field would make the decode zip ambiguous."""
     cols = (segments.select("column", "col_idx", "logical_type")
             .distinct().collect())
-    fields = sorted(cols, key=lambda r: r["col_idx"])
+    fields, seen = [], set()
+    for r in sorted(cols, key=lambda r: r["col_idx"]):
+        if r["column"] in seen:
+            continue
+        seen.add(r["column"])
+        fields.append(r)
     # every field is declared nullable: the decode output is compared
     # against external (oracle/parquet) results whose fields are
     # nullable, and Arrow batches with zero nulls satisfy it trivially
@@ -88,9 +97,14 @@ def _rowgroup_stage(segments: DataFrame, schema: T.StructType,
                     tbl.column("column").to_pylist())
             by_name = (group_fn(_rg, *args) if pass_rowgroup
                        else group_fn(*args))
-            if by_name is None:
+            if by_name is None or not by_name:
                 continue
-            cols = [by_name[n].cast(f.type)
+            # schema evolution: a rowgroup encoded before add_column()
+            # has no segment for the late column — it reads as NULL
+            # (same contract as Iceberg metadata-only schema adds)
+            n_out = len(next(iter(by_name.values())))
+            cols = [(by_name[n] if n in by_name
+                     else pa.nulls(n_out, type=f.type)).cast(f.type)
                     for n, f in zip(names, out_pa_schema)]
             out = pa.Table.from_arrays(cols, schema=out_pa_schema)
             yield from out.to_batches(max_chunksize=_OUT_BATCH_ROWS)
@@ -310,6 +324,12 @@ def _matching_stage(segments: DataFrame, column: str, probe_fn,
     names = set(f.name for f in schema.fields)
 
     def match_group(payloads, logicals, colnames):
+        if column not in colnames:
+            # rowgroup predates add_column(): the probe column is NULL
+            # for every row there, and NULL never matches the
+            # value/range/in/contains probes this stage serves (the
+            # facade routes IS NULL's all-match case separately)
+            return None
         probe_i = colnames.index(column)
         ranges = probe_fn(payloads[probe_i].as_py(), logicals[probe_i])
         if not ranges:

@@ -27,11 +27,13 @@ same root see the same store.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .codecs import chooser
 from .operators import (
@@ -425,6 +427,11 @@ class TranscriptColumnStore:
         noop = {"rows_deleted": 0, "rowgroups_rewritten": 0,
                 "rowgroups_retired": 0}
         m = self._manifest_or_raise()
+        if self._schema_log():
+            # under evolution an IS NULL delete would miss the
+            # rowgroups that predate the add (all-null there), and an
+            # unphysical column has nothing to rewrite; rebuild first
+            self._guard_materialized(m, [column], "delete_where")
         lt = self._logical_type(m, column)
         if lt is None:
             raise ValueError(f"unknown column {column!r}")
@@ -523,6 +530,8 @@ class TranscriptColumnStore:
         keys = (keys.select(F.col(kc).alias(on))
                 .where(F.col(on).isNotNull()).distinct().persist())
         m = self._manifest_or_raise()
+        if self._schema_log():
+            self._guard_materialized(m, [on], "delete_keys")
         lt = self._logical_type(m, on)
         if lt is None:
             raise ValueError(f"unknown column {on!r}")
@@ -573,6 +582,11 @@ class TranscriptColumnStore:
         keys = (df.select(F.col(key).alias(key))
                 .where(F.col(key).isNotNull()).distinct().persist())
         m = self._manifest_or_raise()
+        if self._schema_log():
+            # the incoming frame must carry every physical column of
+            # the store (select below) and victim rewrite must not
+            # lose evolved columns; materialize the schema first
+            self._guard_materialized(m, [key], "upsert")
         lt = self._logical_type(m, key)
         if lt is None:
             raise ValueError(f"unknown column {key!r}")
@@ -580,6 +594,14 @@ class TranscriptColumnStore:
         segs = self.warehouse.committed_segments(self.spark)
         cand = semi_join_segments(segs, m, key, keys, lt)
         schema = schema_from_segments(segs)
+        if self._schema_log():
+            # a dropped-but-still-physical column stays in the rewrite
+            # schema until rebuild(); incoming frames naturally omit
+            # it — null-fill so the merge union lines up
+            eff_names = {f.name for f in self.schema().fields}
+            for f in schema.fields:
+                if f.name not in eff_names and f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         decoded = decode_with_rowgroup(cand, schema=schema).persist()
         # persisted: counted once here and consumed again by the
         # replace encode — an unpersisted nondeterministic source
@@ -632,8 +654,37 @@ class TranscriptColumnStore:
     # -- read (GetEnumerator) ------------------------------------------------
 
     def solid_rows(self, columns: list[str] | None = None) -> DataFrame:
-        return decode(self.warehouse.committed_segments(self.spark),
-                      columns=columns)
+        segs = self.warehouse.committed_segments(self.spark)
+        if not self._schema_log():
+            return decode(segs, columns=columns)
+        # schema evolution active: decode under the EFFECTIVE schema —
+        # adds null-fill, drops project away. The physical decode set
+        # must keep one FULLY-covered anchor column so rowgroups that
+        # predate every requested add still contribute their (all-null)
+        # rows with the right multiplicity.
+        eff = self.schema()
+        eff_names = [f.name for f in eff.fields]
+        want = list(columns) if columns is not None else eff_names
+        unknown = sorted(set(want) - set(eff_names))
+        if unknown:
+            raise ValueError(f"unknown column(s) {unknown}; "
+                             f"store schema: {sorted(eff_names)}")
+        m = self._manifest_or_raise()
+        cov, total = self._column_coverage(m)
+        phys_want = [c for c in want if c in cov]
+        dec_cols = list(phys_want)
+        if not phys_want or any(cov[c] < total for c in phys_want):
+            anchor = next((c for c in cov if cov[c] == total), None)
+            if anchor is None:  # no column spans every rowgroup
+                dec_cols = sorted(cov)
+            elif anchor not in dec_cols:
+                dec_cols.append(anchor)
+        out = decode(segs, columns=dec_cols)
+        eff_types = {f.name: f.dataType for f in eff.fields}
+        for c in want:
+            if c not in cov:
+                out = out.withColumn(c, F.lit(None).cast(eff_types[c]))
+        return out.select(*want)
 
     def rows(self, columns: list[str] | None = None) -> DataFrame:
         """Every row exactly once: solid row groups decoded from the
@@ -645,11 +696,15 @@ class TranscriptColumnStore:
         # _pending_batches is empty on a pinned (time-travel) store:
         # delta batches on disk postdate the snapshot
         pending = self._pending_batches()
+        evolved = bool(self._schema_log())
         delta = None
         if pending:
-            delta = self.spark.read.parquet(
-                *[f"{self._delta_root()}/{b}" for b in pending])
-            if columns is not None:
+            delta = self._read_pending(pending)
+            if evolved:
+                want = (list(columns) if columns is not None
+                        else [f.name for f in self.schema().fields])
+                delta = self._align_delta(delta, want)
+            elif columns is not None:
                 delta = delta.select(*columns)
         m = self.warehouse.manifest(self.spark)
         if m is None:
@@ -658,6 +713,31 @@ class TranscriptColumnStore:
             return delta
         solid = self.solid_rows(columns)
         return solid if delta is None else solid.unionByName(delta)
+
+    def _read_pending(self, pending: list[str]) -> DataFrame:
+        """Pending delta batches as one frame. Under schema evolution
+        batches may carry different columns (added after earlier
+        appends) — mergeSchema unions them; without evolution the
+        plain single-schema read stays the fast path."""
+        paths = [f"{self._delta_root()}/{b}" for b in pending]
+        if self._schema_log():
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*paths))
+        return self.spark.read.parquet(*paths)
+
+    def _align_delta(self, delta: DataFrame, want: list[str]) -> DataFrame:
+        """Project raw delta rows to the effective schema: late-added
+        columns a batch predates read as typed NULLs, dropped columns
+        are projected away."""
+        eff_types = {f.name: f.dataType for f in self.schema().fields}
+        unknown = sorted(set(want) - set(eff_types))
+        if unknown:
+            raise ValueError(f"unknown column(s) {unknown}; "
+                             f"store schema: {sorted(eff_types)}")
+        for c in want:
+            if c not in delta.columns:
+                delta = delta.withColumn(c, F.lit(None).cast(eff_types[c]))
+        return delta.select(*want)
 
     # -- rebuild (I6) --------------------------------------------------------
 
@@ -739,6 +819,144 @@ class TranscriptColumnStore:
             removed["batches"].append(b)
         return removed
 
+    # -- schema evolution (metadata-only, the Iceberg analogue) ---------------
+
+    def _schema_log_path(self) -> str:
+        return f"{self.root}/schema_log.jsonl"
+
+    def _schema_log(self) -> list[dict]:
+        """Ordered add/drop entries. A pinned (time-travel) store
+        replays only entries recorded while its generation or an
+        earlier one was live — the schema as of the snapshot."""
+        try:
+            with open(self._schema_log_path()) as f:
+                entries = [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+        if self._pinned:
+            entries = [e for e in entries
+                       if e.get("gen", 0) <= self._generation]
+        return entries
+
+    def _append_schema_log(self, entry: dict) -> None:
+        with open(self._schema_log_path(), "a") as f:
+            f.write(json.dumps(dict(entry, gen=self._generation)) + "\n")
+
+    def _physical_fields(self) -> list[T.StructField]:
+        m = self.warehouse.live_manifest(self.spark)
+        if m is not None:
+            return list(schema_from_segments(m).fields)
+        pending = self._pending_batches()
+        if pending:
+            return list(self.spark.read.parquet(
+                f"{self._delta_root()}/{pending[0]}").schema.fields)
+        return []
+
+    def schema(self) -> T.StructType:
+        """Effective store schema: the physical columns (committed
+        manifest, else the first pending batch) with the schema log
+        replayed in order — adds append a nullable field, drops remove
+        one. Empty for an empty store."""
+        fields = {f.name: f for f in self._physical_fields()}
+        order = list(fields)
+        for e in self._schema_log():
+            if e["op"] == "add":
+                f = T.StructType.fromDDL(f"`{e['name']}` {e['type']}")[0]
+                if e["name"] not in fields:
+                    order.append(e["name"])
+                fields[e["name"]] = T.StructField(f.name, f.dataType, True)
+            else:
+                fields.pop(e["name"], None)
+                if e["name"] in order:
+                    order.remove(e["name"])
+        return T.StructType([fields[n] for n in order])
+
+    def add_column(self, name: str, dtype_ddl: str) -> None:
+        """METADATA-ONLY column add (Iceberg-style schema evolution):
+        no rowgroup is rewritten — rowgroups encoded before the add
+        read the column as NULL (`operators/decode` null-fills), new
+        batches carry real values, and `rebuild()` materializes the
+        column physically everywhere. The log is one appended line;
+        the operation is O(1) at any store size."""
+        self._writable()
+        parsed = T.StructType.fromDDL(f"`{name}` {dtype_ddl}")  # validate
+        if len(parsed.fields) != 1:
+            raise ValueError(f"expected one field, got {dtype_ddl!r}")
+        if name in {f.name for f in self.schema().fields}:
+            raise ValueError(f"column {name!r} already in the store schema")
+        if name in {f.name for f in self._physical_fields()}:
+            # dropped but not yet rebuilt: its old segments still exist
+            # and would resurface as the "new" column's values
+            raise ValueError(
+                f"column {name!r} is dropped but still physically "
+                "present — rebuild() before re-adding the name")
+        self._append_schema_log({"op": "add", "name": name,
+                                 "type": dtype_ddl})
+
+    def drop_column(self, name: str) -> None:
+        """METADATA-ONLY column drop: reads project the column away
+        immediately; its physical segments stay until `rebuild()`
+        re-encodes without them (then `vacuum()` reclaims the old
+        generation). Dropping and later re-adding a name is allowed —
+        the log replays in order, so the re-added column starts NULL
+        everywhere (the old values stay invisible, as in Iceberg)."""
+        self._writable()
+        cur = [f.name for f in self.schema().fields]
+        if name not in cur:
+            raise ValueError(f"column {name!r} not in the store schema")
+        if len(cur) == 1:
+            raise ValueError("cannot drop the store's last column")
+        self._append_schema_log({"op": "drop", "name": name})
+
+    def _column_coverage(self, m: DataFrame) -> tuple[dict, int]:
+        """({column: rowgroups holding it}, total rowgroups) — one
+        metadata aggregation on the live manifest."""
+        rows = (m.groupBy("column")
+                .agg(F.countDistinct("rowgroup_id").alias("n")).collect())
+        total_row = m.select(
+            F.countDistinct("rowgroup_id").alias("n")).first()
+        return ({r["column"]: r["n"] for r in rows},
+                total_row["n"] if total_row else 0)
+
+    def _needs_fallback(self, m: DataFrame, *cols: str) -> bool:
+        """True when schema evolution is active and any probed column
+        lacks full physical coverage. The encoded fast paths stay
+        sound for equality-family probes (a rowgroup without the
+        column has no manifest row, so pruning drops it and NULL never
+        matches) — but IS NULL, prefix/contains type checks, and
+        mixed conjunctions need the decode path, which null-fills."""
+        if not self._schema_log():
+            return False
+        eff = {f.name for f in self.schema().fields}
+        unknown = sorted(set(cols) - eff)
+        if unknown:
+            raise ValueError(
+                f"unknown column(s) {unknown}; store schema: {sorted(eff)}")
+        cov, total = self._column_coverage(m)
+        return any(cov.get(c, 0) < total for c in cols)
+
+    def _fallback_query(self, cond, columns, include_pending) -> DataFrame:
+        """Evolution-correct slow path: decode the committed store
+        under the EFFECTIVE schema (late-added columns null-filled,
+        drops projected away) and run Spark's own predicate. Used only
+        while a probed column is partially covered; `rebuild()`
+        restores every encoded fast path."""
+        out = self.solid_rows().where(cond)
+        return self._finish_query(out, cond, columns, include_pending)
+
+    def _guard_materialized(self, m: DataFrame, cols, op: str) -> None:
+        """The encoded-domain analytics (aggregate/group/distinct/
+        top-k) answer from manifest stats and dictionaries, which do
+        not exist for rowgroups that predate an add_column() — their
+        rows ARE null there, so the metadata answer would be wrong,
+        not just slow. Unknown-beats-wrong: raise until rebuild()
+        materializes the column."""
+        if self._needs_fallback(m, *cols):
+            raise ValueError(
+                f"{op}: column(s) {sorted(cols)} are not materialized in "
+                "every rowgroup (schema evolution in progress) — run "
+                "rebuild() first, or compute from rows()")
+
     # -- stats (T1-T4) -------------------------------------------------------
 
     def stats(self) -> DataFrame:
@@ -798,8 +1016,13 @@ class TranscriptColumnStore:
         (epoch units, unscaled decimal units); string bounds are
         64-char prefixes of the true min/max."""
         from .operators.aggregate import aggregate_segments
-        return aggregate_segments(self._manifest_or_raise(),
-                                  columns=columns)
+        m = self._manifest_or_raise()
+        if self._schema_log():
+            eff_names = [f.name for f in self.schema().fields]
+            want = list(columns) if columns is not None else eff_names
+            self._guard_materialized(m, want, "aggregate")
+            columns = want  # dropped columns never report
+        return aggregate_segments(m, columns=columns)
 
     def group_count(self, column: str) -> DataFrame:
         """GROUP BY `column` -> (value, cnt) in the encoded domain:
@@ -808,6 +1031,9 @@ class TranscriptColumnStore:
         per-segment distincts only (`operators/aggregate.group_count`).
         Includes the SQL NULL group when the column holds nulls."""
         from .operators.aggregate import group_count
+        if self._schema_log():
+            self._guard_materialized(self._manifest_or_raise(),
+                                     [column], "group_count")
         return group_count(
             self.warehouse.committed_segments(self.spark), column)
 
@@ -832,6 +1058,8 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         keys = [group_col] if isinstance(group_col, str) else list(group_col)
         need = {*keys, agg_col} | ({where[0]} if where else set())
+        if self._schema_log():
+            self._guard_materialized(m, sorted(need), "group_agg")
         # logical types come off the MANIFEST (tiny metadata parquet),
         # not the segments table — the operator skips its own job
         lts = {r["column"]: r["logical_type"]
@@ -896,6 +1124,8 @@ class TranscriptColumnStore:
         from .operators.aggregate import count_matching
         value = _naive_utc(value)
         m = self._manifest_or_raise()
+        if self._schema_log():
+            self._guard_materialized(m, [column], "count_by_value")
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
         if not _kernel_safe_probe(lt or "", value):
@@ -914,6 +1144,9 @@ class TranscriptColumnStore:
         NULL row when the column holds nulls. The value type resolves
         off the MANIFEST (metadata), not a segments job."""
         from .operators.aggregate import distinct_values
+        if self._schema_log():
+            self._guard_materialized(self._manifest_or_raise(),
+                                     [column], "distinct")
         return distinct_values(
             self.warehouse.committed_segments(self.spark), column,
             value_type=self._value_type(column))
@@ -925,6 +1158,9 @@ class TranscriptColumnStore:
         union of dictionaries, never the rows
         (`operators/aggregate.count_distinct`)."""
         from .operators.aggregate import count_distinct
+        if self._schema_log():
+            self._guard_materialized(self._manifest_or_raise(),
+                                     [column], "count_distinct")
         return count_distinct(
             self.warehouse.committed_segments(self.spark), column,
             value_type=self._value_type(column))
@@ -948,7 +1184,30 @@ class TranscriptColumnStore:
         doesn't hold (a typo must not count 0)."""
         m = self._manifest_or_raise()
         sub = m.where(F.col("column") == column)
-        if self._logical_type(m, column) is None:
+        if self._schema_log():
+            eff = {f.name for f in self.schema().fields}
+            if column not in eff:
+                raise ValueError(f"unknown column {column!r}")
+            cov, total = self._column_coverage(m)
+            if cov.get(column, 0) < total:
+                # still exact, still metadata-only: every row of a
+                # rowgroup that predates the add IS null for the
+                # column — add those rowgroups' row counts (max of the
+                # per-column n_rows sums = the rowgroup's row count)
+                per_rg = (m.groupBy("rowgroup_id", "column")
+                          .agg(F.sum("n_rows").alias("nr"))
+                          .groupBy("rowgroup_id")
+                          .agg(F.max("nr").alias("nr"),
+                               F.max(F.when(F.col("column") == column, 1)
+                                     .otherwise(0)).alias("has")))
+                extra = per_rg.where(F.col("has") == 0).agg(
+                    F.coalesce(F.sum("nr"), F.lit(0)).alias("x"))
+                base = sub.agg(
+                    F.coalesce(F.sum("n_nulls"), F.lit(0)).alias("b"))
+                return (base.crossJoin(extra)
+                        .select((F.col("b") + F.col("x")).cast("long")
+                                .alias("cnt")))
+        elif self._logical_type(m, column) is None:
             raise ValueError(f"unknown column {column!r}")
         return sub.agg(
             F.coalesce(F.sum("n_nulls"), F.lit(0)).cast("long")
@@ -964,6 +1223,8 @@ class TranscriptColumnStore:
         with k, not the store."""
         from .operators.topk import topk
         m = self._manifest_or_raise()
+        if self._schema_log():
+            self._guard_materialized(m, [column, *tie_cols], "topk")
         return topk(self.warehouse.committed_segments(self.spark),
                     column, k, descending=descending, columns=columns,
                     tie_cols=tie_cols,
@@ -1021,8 +1282,11 @@ class TranscriptColumnStore:
         if include_pending:
             pending = self._pending_batches()
             if pending:
-                delta = self.spark.read.parquet(
-                    *[f"{self._delta_root()}/{b}" for b in pending])
+                delta = self._read_pending(pending)
+                if self._schema_log():
+                    # late-added columns null-fill BEFORE the predicate
+                    # (IS NULL on an evolved column matches those rows)
+                    delta = self._align_delta(delta, list(out.columns))
                 out = out.unionByName(
                     delta.where(cond).select(*out.columns))
         return out if columns is None else out.select(*columns)
@@ -1056,6 +1320,8 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         inner = _inner_columns(columns, column)
         cond = F.col(column) == F.lit(value)
+        if self._needs_fallback(m, column):
+            return self._fallback_query(cond, columns, include_pending)
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
         if not _kernel_safe_probe(lt or "", value):
@@ -1082,6 +1348,8 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         inner = _inner_columns(columns, column)
         cond = F.col(column).between(F.lit(lo), F.lit(hi))
+        if self._needs_fallback(m, column):
+            return self._fallback_query(cond, columns, include_pending)
         pruned, lt = self._pruned_segments(m, column, lo, hi, eq=False)
         lt = lt or ""
         if lt.startswith("nested:") or lt == "binary":
@@ -1118,6 +1386,9 @@ class TranscriptColumnStore:
             out = decode(segs.where(F.lit(False)), schema=schema,
                          columns=inner)
             return out if columns is None else out.select(*columns)
+        if self._needs_fallback(m, column):
+            return self._fallback_query(_exact_in_cond(column, probes),
+                                        columns, include_pending)
         lt = self._logical_type(m, column)
         ids = prune_rowgroup_ids_in(m, column, probes, logical_type=lt)
         if ids is not None:
@@ -1192,6 +1463,13 @@ class TranscriptColumnStore:
         for every scalar codec). `columns` projects at the encoded
         level."""
         m = self._manifest_or_raise()
+        cond = F.col(column).isNull()
+        if self._needs_fallback(m, column):
+            # a rowgroup that predates add_column() holds NO manifest
+            # row for it — the n_nulls prune would wrongly drop it,
+            # yet every one of its rows matches IS NULL. The decode
+            # fallback null-fills, so the predicate sees them.
+            return self._fallback_query(cond, columns, include_pending)
         schema = schema_from_segments(m)
         inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
@@ -1200,7 +1478,6 @@ class TranscriptColumnStore:
             pruned = segs.where(F.col("rowgroup_id").isin(ids))
         else:
             pruned = prune_rowgroups_by_null(segs, column)
-        cond = F.col(column).isNull()
         out = decode_matching_null(pruned, column, columns=inner,
                                    schema=schema).where(cond)
         return self._finish_query(out, cond, columns, include_pending)
@@ -1220,13 +1497,20 @@ class TranscriptColumnStore:
         disagree) fall back to decode + filter — same rows, no skip.
         `columns` projects at the encoded level."""
         m = self._manifest_or_raise()
+        if not isinstance(prefix, str):
+            raise ValueError("prefix must be a str")
+        if self._needs_fallback(m, column):
+            if not isinstance(self.schema()[column].dataType,
+                              T.StringType):
+                raise ValueError(f"query_by_prefix needs a string "
+                                 f"column; {column!r} is not")
+            return self._fallback_query(F.col(column).startswith(prefix),
+                                        columns, include_pending)
         lt = self._logical_type(m, column)
         if lt != "string":
             raise ValueError(
                 f"query_by_prefix needs a string column; {column!r} "
                 f"is {lt!r}")
-        if not isinstance(prefix, str):
-            raise ValueError("prefix must be a str")
         schema = schema_from_segments(m)
         inner = _inner_columns(columns, column)
         cond = F.col(column).startswith(prefix)
@@ -1258,13 +1542,20 @@ class TranscriptColumnStore:
         filter is belt-and-braces, evaluated on matching rows only).
         `columns` projects at the encoded level."""
         m = self._manifest_or_raise()
+        if not isinstance(needle, str):
+            raise ValueError("needle must be a str")
+        if self._needs_fallback(m, column):
+            if not isinstance(self.schema()[column].dataType,
+                              T.StringType):
+                raise ValueError(f"query_by_contains needs a string "
+                                 f"column; {column!r} is not")
+            return self._fallback_query(F.col(column).contains(needle),
+                                        columns, include_pending)
         lt = self._logical_type(m, column)
         if lt != "string":
             raise ValueError(
                 f"query_by_contains needs a string column; {column!r} "
                 f"is {lt!r}")
-        if not isinstance(needle, str):
-            raise ValueError("needle must be a str")
         inner = _inner_columns(columns, column)
         cond = F.col(column).contains(needle)
         segs = self.warehouse.committed_segments(self.spark)
@@ -1297,6 +1588,11 @@ class TranscriptColumnStore:
         if not predicates:
             raise ValueError("query_where needs at least one predicate")
         m = self._manifest_or_raise()
+        if self._needs_fallback(m, *predicates.keys()):
+            norm = [_norm_one_pred(c, p, "") for c, p in predicates.items()]
+            return self._fallback_query(
+                _exact_pred_cond(norm, any_mode=False),
+                columns, include_pending)
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
         norm = [_norm_one_pred(col, probe,
@@ -1403,6 +1699,13 @@ class TranscriptColumnStore:
         if not items:
             raise ValueError("query_any needs at least one predicate")
         m = self._manifest_or_raise()
+        if self._needs_fallback(m, *[c for c, _p in items]):
+            norm = [p for p in (_norm_one_pred(c, pr, "")
+                                for c, pr in items)
+                    if not (p[1] == "in" and not p[2])]
+            cond = (_exact_pred_cond(norm, any_mode=True) if norm
+                    else F.lit(False))
+            return self._fallback_query(cond, columns, include_pending)
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
         norm = [p for p in
@@ -1423,11 +1726,24 @@ class TranscriptColumnStore:
         return self._finish_query(out.where(cond), cond, columns,
                                   include_pending)
 
+    def _align_effective(self, out: DataFrame) -> DataFrame:
+        """Project a decoded frame to the effective schema (no-op
+        without schema evolution): unphysical adds become typed NULL
+        columns, dropped columns are projected away."""
+        if not self._schema_log():
+            return out
+        eff = self.schema()
+        for f in eff.fields:
+            if f.name not in out.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return out.select(*[f.name for f in eff.fields])
+
     def query_by_window(self, rowgroup_id: int, start: int,
                         length: int) -> DataFrame:
         """Row window of one rowgroup via the run-clipping kernels."""
         segs = self.warehouse.committed_segments(self.spark)
-        return decode_window(segs, rowgroup_id, start, length)
+        return self._align_effective(
+            decode_window(segs, rowgroup_id, start, length))
 
     def rows_window(self, start: int, length: int) -> DataFrame:
         """GLOBAL page [start, start+length) of the committed store
@@ -1441,5 +1757,6 @@ class TranscriptColumnStore:
         from .operators import decode_window_global
         m = self._manifest_or_raise()
         segs = self.warehouse.committed_segments(self.spark)
-        return decode_window_global(segs, start, length,
-                                    schema=schema_from_segments(m))
+        return self._align_effective(
+            decode_window_global(segs, start, length,
+                                 schema=schema_from_segments(m)))

@@ -1,0 +1,204 @@
+"""Metadata-only schema evolution on TranscriptColumnStore — the
+Iceberg analogue: add_column()/drop_column() are one appended log
+line, no rowgroup rewrites. Rowgroups that predate an add read the
+column as NULL (decode null-fills); drops project away immediately;
+rebuild() materializes the evolved schema physically and restores
+every encoded fast path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnstore_spark.sources.transcripts import load_transcripts
+from columnstore_spark.store import TranscriptColumnStore
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    """A closed store of sf0.001 transcripts (1000 rows)."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "evo"),
+                                  num_rowgroups=4)
+    t = load_transcripts(spark, SF_DIR)
+    store.add_range(t)
+    store.close()
+    return store, t
+
+
+def _with_score(t):
+    return t.withColumn("score", (F.col("turn_idx") * 10).cast("long"))
+
+
+def test_add_column_null_fills_old_rowgroups(spark, base):
+    store, t = base
+    n = t.count()
+    store.add_column("score", "bigint")
+    assert [f.name for f in store.schema().fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "score"]
+
+    # before any data lands: every row reads NULL for the new column
+    rows = store.rows()
+    assert rows.count() == n
+    assert rows.where(F.col("score").isNull()).count() == n
+
+    # a new batch carries real values; old rowgroups stay NULL
+    batch2 = _with_score(t.limit(100)).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    store.add_range(batch2)
+    store.close()
+    rows = store.rows()
+    assert rows.count() == n + 100
+    assert rows.where(F.col("score").isNotNull()).count() == 100
+    # projection keeps row multiplicity for pre-add rowgroups
+    assert store.rows(columns=["score"]).count() == n + 100
+
+
+def test_add_column_query_semantics(spark, base):
+    store, t = base
+    store.add_column("score", "bigint")
+    batch2 = _with_score(t.limit(100)).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    store.add_range(batch2)
+    store.close()
+
+    expected_eq = batch2.where(F.col("score") == 10).count()
+    assert expected_eq > 0
+    got = store.query_by_value("score", 10)
+    assert got.count() == expected_eq
+    assert set(got.columns) == set(store.rows().columns)
+
+    # IS NULL matches every pre-add row (the all-match case the
+    # n_nulls prune alone would miss)
+    assert store.query_by_null("score").count() == t.count()
+    assert store.count_null("score").first()["cnt"] == t.count()
+
+    # range + conjunction through the fallback
+    lo_hi = store.query_by_range("score", 0, 25)
+    assert lo_hi.count() == batch2.where(
+        F.col("score").between(0, 25)).count()
+    conj = store.query_where({"score": None, "role": "user"})
+    assert conj.count() == t.where(F.col("role") == "user").count()
+
+    # pending (unclosed) rows participate too
+    batch3 = _with_score(t.limit(7)).withColumn(
+        "conv_id", F.concat(F.lit("y"), F.col("conv_id")))
+    store.add_range(batch3)
+    pend = store.query_by_value("score", 10, include_pending=True)
+    assert pend.count() == (batch2.where(F.col("score") == 10).count()
+                            + batch3.where(F.col("score") == 10).count())
+
+
+def test_unphysical_column_queries_are_empty(spark, base):
+    store, t = base
+    store.add_column("flag", "string")
+    assert store.query_by_value("flag", "on").count() == 0
+    assert store.query_by_prefix("flag", "o").count() == 0
+    assert store.query_by_contains("flag", "n").count() == 0
+    assert store.query_by_null("flag").count() == t.count()
+    with pytest.raises(ValueError, match="unknown column"):
+        store.query_by_value("nope", 1)
+
+
+def test_encoded_analytics_guarded_until_rebuild(spark, base):
+    store, t = base
+    store.add_column("score", "bigint")
+    for op in (lambda: store.group_count("score"),
+               lambda: store.distinct("score"),
+               lambda: store.count_distinct("score"),
+               lambda: store.aggregate(),
+               lambda: store.topk("score", 3),
+               lambda: store.delete_where("score", 10),
+               lambda: store.group_agg("role", "score")):
+        with pytest.raises(ValueError, match="rebuild"):
+            op()
+
+    store.rebuild()
+    # materialized: fast paths return, the column is physical (NULL)
+    agg = {r["col_name"]: r for r in store.aggregate().collect()}
+    assert agg["score"]["n_values"] == 0
+    assert store.count_null("score").first()["cnt"] == t.count()
+    d = store.distinct("score").collect()
+    assert len(d) == 1 and d[0]["value"] is None
+
+
+def test_drop_column_and_rebuild(spark, base):
+    store, t = base
+    store.drop_column("tool")
+    names = [f.name for f in store.schema().fields]
+    assert "tool" not in names
+    assert "tool" not in store.rows().columns
+    assert "tool" not in store.rows_window(0, 10).columns
+    with pytest.raises(ValueError, match="unknown column"):
+        store.query_by_value("tool", "search")
+    # re-add before rebuild is refused (old segments would resurface)
+    with pytest.raises(ValueError, match="physically present"):
+        store.add_column("tool", "string")
+
+    store.rebuild()
+    assert "tool" not in store.solid_rows().columns
+    # after rebuild the name is free again and starts NULL
+    store.add_column("tool", "string")
+    assert store.rows().where(F.col("tool").isNotNull()).count() == 0
+
+
+def test_rebuild_materializes_added_column(spark, base):
+    store, t = base
+    store.add_column("score", "bigint")
+    batch2 = _with_score(t.limit(50)).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    store.add_range(batch2)
+    store.close()
+    store.rebuild()
+
+    # physically everywhere now: encoded fast paths answer directly
+    got = store.query_by_value("score", 10)
+    assert got.count() == batch2.where(F.col("score") == 10).count()
+    assert store.count_null("score").first()["cnt"] == t.count()
+    gc = {r["value"]: r["cnt"] for r in store.group_count("score").collect()}
+    assert gc[None] == t.count()
+    # values survived the rebuild bit-exact
+    merged = store.rows().where(F.col("score").isNotNull())
+    exp = batch2.select("conv_id", "turn_idx", "score")
+    assert (merged.select("conv_id", "turn_idx", "score")
+            .exceptAll(exp).isEmpty())
+    assert exp.exceptAll(
+        merged.select("conv_id", "turn_idx", "score")).isEmpty()
+
+
+def test_time_travel_schema_isolation(spark, base):
+    """A pinned generation replays only log entries recorded during or
+    before its own lifetime: an add made AFTER the generation was
+    superseded never appears in its snapshot reads."""
+    store, t = base
+    store.rebuild()          # gen 1
+    gen_before = store._generation
+    store.rebuild()          # gen 2 supersedes gen 1
+    store.add_column("score", "bigint")   # recorded while gen 2 live
+
+    pinned = TranscriptColumnStore(spark, store.root,
+                                   generation=gen_before)
+    assert "score" not in [f.name for f in pinned.schema().fields]
+    assert "score" not in pinned.rows().columns
+    live = TranscriptColumnStore(spark, store.root)
+    assert "score" in live.rows().columns
+
+
+def test_add_column_validation(spark, base):
+    store, _t = base
+    with pytest.raises(Exception):
+        store.add_column("bad", "not_a_type")
+    store.add_column("score", "bigint")
+    with pytest.raises(ValueError, match="already"):
+        store.add_column("score", "bigint")
+    with pytest.raises(ValueError, match="not in the store schema"):
+        store.drop_column("nope")
+
+
+def test_schema_type_parsing(spark, base):
+    store, t = base
+    store.add_column("meta", "map<string,string>")
+    f = store.schema()["meta"]
+    assert isinstance(f.dataType, T.MapType)
+    assert store.rows().schema["meta"].dataType == f.dataType
