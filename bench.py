@@ -307,8 +307,9 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
                   .select("embedding").head()["embedding"])
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "dedup_embedding_lsh", "dedup_ngram_jaccard",
+                     "dedup_clusters",
                      "ann_cosine_topk", "ann_ivf",
-                     "text_metrics"):
+                     "text_metrics", "pack_sequences"):
             timings[f"q_{name}"] = _best(
                 lambda n=name: _noop(spark_pipeline_df(spark, n, dim)))
 

@@ -85,6 +85,14 @@ class Dialect:
             f"regexp_split_to_array(lower(trim({s})), '[^a-z0-9]+')",
             "x -> x != ''")
 
+    def ws_token_count(self, s: str) -> str:
+        """Whitespace-token count of a string expression — the ONE
+        spelling token_stats and pack_sequences share (a tokenizer
+        tweak must move both or their counts silently diverge)."""
+        arr = (f"split(trim({s}), ' +')" if self.spark
+               else f"regexp_split_to_array(trim({s}), ' +')")
+        return self.size(self.filter(arr, "x -> x != ''"))
+
 
     def rlit(self, pattern: str) -> str:
         """Regex pattern as a SQL string literal (engines differ on

@@ -134,9 +134,7 @@ def token_stats_sql(d: Dialect, table: str = "documents") -> str:
     a BPE-ish regex count (letter runs / single digits / punct runs —
     the GPT-2 pre-tokenizer shape, which upper-bounds real BPE counts
     deterministically with no vocabulary)."""
-    ws = (f"split(trim(text), ' +')" if d.spark
-          else "regexp_split_to_array(trim(text), ' +')")
-    ws_n = d.size(d.filter(ws, "x -> x != ''"))
+    ws_n = d.ws_token_count("text")
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({ws_n} AS BIGINT) AS n_ws_tokens,
@@ -237,6 +235,10 @@ WHERE {u} < {rate}
 
 _PACK_BUDGET = 512   # tokens per packed sequence
 _PACK_BUCKETS = 8    # independent packing lanes (scale = O(cluster))
+# lane radix for globally-unique pack ids: lane * 2^44 + local index.
+# 2^44 packs/lane * 512 tokens = ~9e15 tokens per lane before any
+# collision — far past a 100 TB corpus; lanes up to 2^18 fit int64
+_PACK_LANE_RADIX = 1 << 44
 
 
 def pack_sequences_sql(d: Dialect, table: str = "documents",
@@ -253,12 +255,11 @@ def pack_sequences_sql(d: Dialect, table: str = "documents",
     buckets), each lane a window PARTITION — at 100 TB, buckets =
     O(cluster parallelism) and every lane is one partial sort of
     corpus/buckets rows; pack ids are globally unique via
-    lane * 10^6 + lane-local index. Token counts are the whitespace
-    tokenizer (token_stats), computed map-side before the one window
-    shuffle on the lane key."""
-    ws = (f"split(trim(text), ' +')" if d.spark
-          else "regexp_split_to_array(trim(text), ' +')")
-    n_tok = d.size(d.filter(ws, "x -> x != ''"))
+    lane * 2^44 + lane-local index (collision-free to ~9e15 tokens
+    per lane). Token counts are the whitespace tokenizer — the SAME
+    dialect spelling token_stats reports — computed map-side before
+    the one window shuffle on the lane key."""
+    n_tok = d.ws_token_count("text")
     start = "(cum - n_tok)"
     return f"""
 WITH tok AS (
@@ -275,8 +276,8 @@ run AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(lane AS BIGINT) AS lane,
        CAST(n_tok AS BIGINT) AS n_tok,
-       CAST(lane * 1000000 + {d.idiv(start, str(budget))} AS BIGINT)
-         AS pack_id,
+       CAST(lane * {_PACK_LANE_RADIX} + {d.idiv(start, str(budget))}
+            AS BIGINT) AS pack_id,
        CAST({start} % {budget} AS BIGINT) AS pack_offset
 FROM run
 """
@@ -452,10 +453,9 @@ def minhash_pairs_sql(d: Dialect, table: str = "documents",
     join is the scale path: candidates only within equal band hashes
     (shuffle key), never all pairs. Output: (doc_a, doc_b, jaccard).
     """
-    over = minhash_pairs_over(d, "banded", threshold)
-    assert over.startswith("\nWITH ")
-    rest = over[len("\nWITH "):]
-    return f"\nWITH {_minhash_cte(d, table)},\n{rest}"
+    return (f"\nWITH {_minhash_cte(d, table)},\n"
+            f"{minhash_pairs_cte(d, 'banded', threshold)}\n"
+            f"SELECT * FROM pairs\n")
 
 
 # connected-components round guard: alternating star converges in

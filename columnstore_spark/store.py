@@ -599,6 +599,16 @@ class TranscriptColumnStore:
             # schema until rebuild(); incoming frames naturally omit
             # it — null-fill so the merge union lines up
             eff_names = {f.name for f in self.schema().fields}
+            phys_names = {f.name for f in schema.fields}
+            # incoming values for an evolved-but-unphysical column
+            # would be SILENTLY dropped by the physical projection
+            # below — refuse rather than lose data
+            unmat = sorted((set(df.columns) & eff_names) - phys_names)
+            if unmat:
+                raise ValueError(
+                    f"upsert: incoming frame carries column(s) {unmat} "
+                    "that are not materialized in the store — run "
+                    "rebuild() first")
             for f in schema.fields:
                 if f.name not in eff_names and f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -791,8 +801,16 @@ class TranscriptColumnStore:
             os.rename(build_root, final_root)
         else:
             os.unlink(f"{build_root}/_STAGING")
+        had_pending_evolution = bool(self._schema_log())
         self._generation = gen
         self.warehouse = Warehouse(final_root, format=self._format)
+        if had_pending_evolution:
+            # this generation physically carries every prior add/drop:
+            # mark them materialized so readers stop replaying the log
+            # (and stop paying its coverage checks). Earlier pinned
+            # generations still replay their own lifetime's entries —
+            # the marker's gen stamp keeps it invisible to them.
+            self._append_schema_log({"op": "materialize"})
 
     def vacuum(self) -> dict[str, list[str]]:
         """Reclaim dead bytes: superseded generation directories and
@@ -825,9 +843,14 @@ class TranscriptColumnStore:
         return f"{self.root}/schema_log.jsonl"
 
     def _schema_log(self) -> list[dict]:
-        """Ordered add/drop entries. A pinned (time-travel) store
-        replays only entries recorded while its generation or an
-        earlier one was live — the schema as of the snapshot."""
+        """Ordered add/drop entries still PENDING for this reader. A
+        pinned (time-travel) store replays only entries recorded while
+        its generation or an earlier one was live — the schema as of
+        the snapshot. Entries at or before the last `materialize`
+        marker this reader can see (appended by rebuild(), whose new
+        generation physically carries every prior add/drop) are baked
+        in and skipped — so a fully rebuilt store replays NOTHING and
+        every evolution branch on the hot read paths short-circuits."""
         try:
             with open(self._schema_log_path()) as f:
                 entries = [json.loads(ln) for ln in f if ln.strip()]
@@ -836,7 +859,13 @@ class TranscriptColumnStore:
         if self._pinned:
             entries = [e for e in entries
                        if e.get("gen", 0) <= self._generation]
-        return entries
+        last = -1
+        for i, e in enumerate(entries):
+            if (e.get("op") == "materialize"
+                    and e.get("gen", 0) <= self._generation):
+                last = i
+        return [e for e in entries[last + 1:]
+                if e.get("op") in ("add", "drop")]
 
     def _append_schema_log(self, entry: dict) -> None:
         with open(self._schema_log_path(), "a") as f:
@@ -1224,11 +1253,13 @@ class TranscriptColumnStore:
         from .operators.topk import topk
         m = self._manifest_or_raise()
         if self._schema_log():
-            self._guard_materialized(m, [column, *tie_cols], "topk")
-        return topk(self.warehouse.committed_segments(self.spark),
-                    column, k, descending=descending, columns=columns,
-                    tie_cols=tie_cols,
-                    logical_type=self._logical_type(m, column))
+            self._guard_materialized(
+                m, [column, *tie_cols, *(columns or [])], "topk")
+        out = topk(self.warehouse.committed_segments(self.spark),
+                   column, k, descending=descending, columns=columns,
+                   tie_cols=tie_cols,
+                   logical_type=self._logical_type(m, column))
+        return out if columns is not None else self._align_effective(out)
 
     # -- queries (S3/S4) -----------------------------------------------------
 
@@ -1279,6 +1310,11 @@ class TranscriptColumnStore:
         filter over the (small, recent) un-compacted batches. Then
         the user projection selects out any probe columns carried only
         for the predicate."""
+        if columns is None:
+            # full-row results follow the EFFECTIVE schema: dropped
+            # columns never resurface from physical segments, evolved
+            # adds appear (null-filled). No-op without evolution.
+            out = self._align_effective(out)
         if include_pending:
             pending = self._pending_batches()
             if pending:
@@ -1320,7 +1356,7 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         inner = _inner_columns(columns, column)
         cond = F.col(column) == F.lit(value)
-        if self._needs_fallback(m, column):
+        if self._needs_fallback(m, column, *(columns or [])):
             return self._fallback_query(cond, columns, include_pending)
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
@@ -1348,7 +1384,7 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         inner = _inner_columns(columns, column)
         cond = F.col(column).between(F.lit(lo), F.lit(hi))
-        if self._needs_fallback(m, column):
+        if self._needs_fallback(m, column, *(columns or [])):
             return self._fallback_query(cond, columns, include_pending)
         pruned, lt = self._pruned_segments(m, column, lo, hi, eq=False)
         lt = lt or ""
@@ -1386,7 +1422,7 @@ class TranscriptColumnStore:
             out = decode(segs.where(F.lit(False)), schema=schema,
                          columns=inner)
             return out if columns is None else out.select(*columns)
-        if self._needs_fallback(m, column):
+        if self._needs_fallback(m, column, *(columns or [])):
             return self._fallback_query(_exact_in_cond(column, probes),
                                         columns, include_pending)
         lt = self._logical_type(m, column)
@@ -1432,6 +1468,12 @@ class TranscriptColumnStore:
                     "key_col required when keys has multiple columns")
             key_col = keys.columns[0]
         m = self._manifest_or_raise()
+        if self._schema_log():
+            # join keys on a half-materialized column can't ride the
+            # manifest/Bloom prune soundly in both directions; a
+            # dropped or unphysical name must not resolve at all
+            self._guard_materialized(m, [on, *(columns or [])],
+                                     "semi_join")
         kdf = (keys.select(key_col)
                .where(F.col(key_col).isNotNull()).distinct())
         lt = self._logical_type(m, on)
@@ -1441,11 +1483,14 @@ class TranscriptColumnStore:
         out = decode(pruned, schema=schema_from_segments(m),
                      columns=inner)
         out = out.join(kdf, out[on] == kdf[key_col], "leftsemi")
+        if columns is None:
+            out = self._align_effective(out)
         if include_pending:
             pending = self._pending_batches()
             if pending:
-                delta = self.spark.read.parquet(
-                    *[f"{self._delta_root()}/{b}" for b in pending])
+                delta = self._read_pending(pending)
+                if self._schema_log():
+                    delta = self._align_delta(delta, list(out.columns))
                 out = out.unionByName(
                     delta.join(kdf, delta[on] == kdf[key_col],
                                "leftsemi").select(*out.columns))
@@ -1464,7 +1509,7 @@ class TranscriptColumnStore:
         level."""
         m = self._manifest_or_raise()
         cond = F.col(column).isNull()
-        if self._needs_fallback(m, column):
+        if self._needs_fallback(m, column, *(columns or [])):
             # a rowgroup that predates add_column() holds NO manifest
             # row for it — the n_nulls prune would wrongly drop it,
             # yet every one of its rows matches IS NULL. The decode
@@ -1499,7 +1544,7 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         if not isinstance(prefix, str):
             raise ValueError("prefix must be a str")
-        if self._needs_fallback(m, column):
+        if self._needs_fallback(m, column, *(columns or [])):
             if not isinstance(self.schema()[column].dataType,
                               T.StringType):
                 raise ValueError(f"query_by_prefix needs a string "
@@ -1544,7 +1589,7 @@ class TranscriptColumnStore:
         m = self._manifest_or_raise()
         if not isinstance(needle, str):
             raise ValueError("needle must be a str")
-        if self._needs_fallback(m, column):
+        if self._needs_fallback(m, column, *(columns or [])):
             if not isinstance(self.schema()[column].dataType,
                               T.StringType):
                 raise ValueError(f"query_by_contains needs a string "
@@ -1588,7 +1633,8 @@ class TranscriptColumnStore:
         if not predicates:
             raise ValueError("query_where needs at least one predicate")
         m = self._manifest_or_raise()
-        if self._needs_fallback(m, *predicates.keys()):
+        if self._needs_fallback(m, *predicates.keys(),
+                                *(columns or [])):
             norm = [_norm_one_pred(c, p, "") for c, p in predicates.items()]
             return self._fallback_query(
                 _exact_pred_cond(norm, any_mode=False),
@@ -1699,7 +1745,8 @@ class TranscriptColumnStore:
         if not items:
             raise ValueError("query_any needs at least one predicate")
         m = self._manifest_or_raise()
-        if self._needs_fallback(m, *[c for c, _p in items]):
+        if self._needs_fallback(m, *[c for c, _p in items],
+                                *(columns or [])):
             norm = [p for p in (_norm_one_pred(c, pr, "")
                                 for c, pr in items)
                     if not (p[1] == "in" and not p[2])]

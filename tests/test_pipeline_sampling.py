@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from columnstore_spark.functions.pipeline import (
     _PACK_BUDGET,
+    _PACK_LANE_RADIX,
     _SAMPLE_PERMILLE,
     _STRAT_DEFAULT,
     _STRAT_RATES,
@@ -125,11 +126,12 @@ def test_pack_sequences_invariants(spark, docs_registered):
     p = spark_pipeline_df(spark, "pack_sequences", DIM).toPandas()
     assert len(p) == docs_registered.count()  # packing drops nothing
     assert ((p["pack_offset"] >= 0) & (p["pack_offset"] < _PACK_BUDGET)).all()
-    assert (p["pack_id"] // 1000000 == p["lane"]).all()
+    assert (p["pack_id"] // _PACK_LANE_RADIX == p["lane"]).all()
     for lane, g in p.groupby("lane"):
         g = g.sort_values("doc_id").reset_index(drop=True)
         # concat-then-split: doc k starts where doc k-1's tokens end
         cum = g["n_tok"].cumsum() - g["n_tok"]
         assert (g["pack_offset"] == cum % _PACK_BUDGET).all()
-        assert (g["pack_id"] == lane * 1000000 + cum // _PACK_BUDGET).all()
+        assert (g["pack_id"] == lane * _PACK_LANE_RADIX
+                + cum // _PACK_BUDGET).all()
         assert g["pack_id"].is_monotonic_increasing

@@ -202,3 +202,69 @@ def test_schema_type_parsing(spark, base):
     f = store.schema()["meta"]
     assert isinstance(f.dataType, T.MapType)
     assert store.rows().schema["meta"].dataType == f.dataType
+
+
+def test_fast_paths_respect_effective_schema(spark, base):
+    """Review fixes: dropped columns never resurface from probe-query
+    results, include_pending survives a pending drop, and requesting
+    an evolved column by name routes through the sound fallback."""
+    store, t = base
+    store.add_column("score", "bigint")
+    store.drop_column("tool")
+
+    out = store.query_by_value("role", "user")
+    assert "tool" not in out.columns and "score" in out.columns
+    assert out.count() == t.where(F.col("role") == "user").count()
+
+    # read-your-writes still works while the drop is pending
+    store.add_range(t.limit(5).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))))
+    pend = store.query_by_value("role", "user", include_pending=True)
+    assert "tool" not in pend.columns
+
+    # evolved column in the projection -> fallback, not a crash
+    proj = store.query_by_value("role", "user", columns=["conv_id",
+                                                         "score"])
+    assert proj.columns == ["conv_id", "score"]
+    assert proj.where(F.col("score").isNotNull()).count() == 0
+
+    # dropped column in the projection -> unknown
+    with pytest.raises(ValueError, match="unknown column"):
+        store.query_by_value("role", "user", columns=["tool"])
+    # top-k and the window paths also follow the effective schema
+    assert "tool" not in store.topk("ts", 3).columns
+    assert "score" in store.rows_window(0, 5).columns
+
+
+def test_upsert_refuses_unmaterialized_column_values(spark, base):
+    store, t = base
+    store.add_column("score", "bigint")
+    up = _with_score(t.limit(3))
+    with pytest.raises(ValueError, match="not materialized"):
+        store.upsert(up)
+    store.rebuild()
+    res = store.upsert(up)   # materialized now: merge carries score
+    assert res["rows_written"] >= 3
+    got = store.rows().where(F.col("score").isNotNull())
+    assert got.count() == 3
+
+
+def test_rebuild_compacts_the_log(spark, base):
+    """After rebuild() materializes the evolution, the pending log is
+    empty — every hot-path evolution branch short-circuits again —
+    while pinned generations still replay their own entries."""
+    store, t = base
+    store.add_column("score", "bigint")
+    store.drop_column("tool")
+    assert len(store._schema_log()) == 2
+    gen_before = store._generation
+    store.rebuild()
+    assert store._schema_log() == []          # live: baked in
+    names = [f.name for f in store.schema().fields]
+    assert "score" in names and "tool" not in names
+
+    pinned = TranscriptColumnStore(spark, store.root,
+                                   generation=gen_before)
+    assert len(pinned._schema_log()) == 2     # snapshot still replays
+    pnames = [f.name for f in pinned.schema().fields]
+    assert "score" in pnames and "tool" not in pnames
