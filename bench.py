@@ -68,7 +68,12 @@ def _best(fn, repeats: int = REPEATS) -> float:
     elif spent > BUDGET_S * 0.6:
         repeats = min(repeats, 2)
     best = float("inf")
-    for _ in range(max(repeats, 1)):
+    for i in range(max(repeats, 1)):
+        # re-check between repeats too: a long query that STARTED just
+        # under a threshold must not run its remaining repeats straight
+        # through the driver's hard timeout (keep >=1 completed sample)
+        if i and time.monotonic() - _t_start > BUDGET_S * 0.8:
+            break
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)

@@ -278,6 +278,8 @@ class TranscriptColumnStore:
         # Names absent from an ingested frame are simply never built.
         self.bloom_columns = tuple(bloom_columns)
         self._format = format
+        # driver-side metadata memos, invalidated by _meta_token
+        self._meta_cache: dict[str, tuple] = {}
         # `generation` pins a historical generation (time travel — the
         # Iceberg snapshot-read analogue over our generation dirs),
         # read-only. A generation is immutable once SUPERSEDED (the
@@ -804,6 +806,7 @@ class TranscriptColumnStore:
         had_pending_evolution = bool(self._schema_log())
         self._generation = gen
         self.warehouse = Warehouse(final_root, format=self._format)
+        self._meta_cache.clear()  # token paths changed with the root
         if had_pending_evolution:
             # this generation physically carries every prior add/drop:
             # mark them materialized so readers stop replaying the log
@@ -871,7 +874,61 @@ class TranscriptColumnStore:
         with open(self._schema_log_path(), "a") as f:
             f.write(json.dumps(dict(entry, gen=self._generation)) + "\n")
 
+    def _meta_token(self):
+        """Invalidation token for driver-side metadata memos (physical
+        schema, column coverage): the manifest dir's file listing —
+        every commit writes new files — plus the schema log's stat and
+        the generation. Parquet backend only (an Iceberg table's file
+        layout isn't ours to fingerprint); None disables the memo."""
+        from .sources.storage import ParquetBackend
+        if not isinstance(self.warehouse.backend(self.spark),
+                          ParquetBackend):
+            return None
+        try:
+            st = os.stat(self._schema_log_path())
+            log_tok = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            log_tok = None
+        listing = []
+        for dirpath, _dirs, files in os.walk(self.warehouse.manifest_path):
+            for fn in files:
+                s = os.stat(os.path.join(dirpath, fn))
+                listing.append((dirpath, fn, s.st_size, s.st_mtime_ns))
+        # delta state matters too: a manifest-less store derives its
+        # physical schema from the first pending batch, and folding /
+        # vacuuming batches changes what's pending. Batch dirs are
+        # write-once (errorifexists), so their NAMES are the state.
+        try:
+            delta = tuple(sorted(os.listdir(self._delta_root())))
+        except FileNotFoundError:
+            delta = ()
+        try:
+            rs = os.stat(f"{self._gen_root()}/retired_batches.txt")
+            retired_tok = (rs.st_mtime_ns, rs.st_size)
+        except FileNotFoundError:
+            retired_tok = None
+        return (self._generation, log_tok, tuple(sorted(listing)),
+                delta, retired_tok)
+
+    def _cached_meta(self, key: str, compute):
+        """Memoize a pure-metadata computation under `_meta_token` —
+        while schema evolution is pending every probe query re-derives
+        the same (schema, coverage) several times per call; this keeps
+        it at one Spark job per commit instead of several per query."""
+        tok = self._meta_token()
+        if tok is None:
+            return compute()
+        hit = self._meta_cache.get(key)
+        if hit is not None and hit[0] == tok:
+            return hit[1]
+        val = compute()
+        self._meta_cache[key] = (tok, val)
+        return val
+
     def _physical_fields(self) -> list[T.StructField]:
+        return self._cached_meta("phys", self._physical_fields_impl)
+
+    def _physical_fields_impl(self) -> list[T.StructField]:
         m = self.warehouse.live_manifest(self.spark)
         if m is not None:
             return list(schema_from_segments(m).fields)
@@ -939,13 +996,17 @@ class TranscriptColumnStore:
 
     def _column_coverage(self, m: DataFrame) -> tuple[dict, int]:
         """({column: rowgroups holding it}, total rowgroups) — one
-        metadata aggregation on the live manifest."""
-        rows = (m.groupBy("column")
-                .agg(F.countDistinct("rowgroup_id").alias("n")).collect())
-        total_row = m.select(
-            F.countDistinct("rowgroup_id").alias("n")).first()
-        return ({r["column"]: r["n"] for r in rows},
-                total_row["n"] if total_row else 0)
+        metadata aggregation on the live manifest (memoized: every
+        call site passes the live manifest)."""
+        def compute():
+            rows = (m.groupBy("column")
+                    .agg(F.countDistinct("rowgroup_id").alias("n"))
+                    .collect())
+            total_row = m.select(
+                F.countDistinct("rowgroup_id").alias("n")).first()
+            return ({r["column"]: r["n"] for r in rows},
+                    total_row["n"] if total_row else 0)
+        return self._cached_meta("coverage", compute)
 
     def _needs_fallback(self, m: DataFrame, *cols: str) -> bool:
         """True when schema evolution is active and any probed column
@@ -1000,6 +1061,21 @@ class TranscriptColumnStore:
         m = self.warehouse.live_manifest(self.spark)
         if m is None:
             raise ValueError("empty store (no committed segments)")
+        # schema evolution: dropped columns never resurface here, and
+        # a late-added column's rows in pre-add rowgroups ARE null —
+        # report store-total n_rows with the shortfall folded into
+        # n_nulls (bounds/distincts unaffected: nulls carry no values)
+        total_rows = None
+        if self._schema_log():
+            eff = {f.name for f in self.schema().fields}
+            # per-rowgroup rows = max over columns of (sum over that
+            # column's segments) — mirrors count_null's accounting
+            total_rows = (m.groupBy("rowgroup_id", "column")
+                          .agg(F.sum("n_rows").alias("nr"))
+                          .groupBy("rowgroup_id")
+                          .agg(F.max("nr").alias("n"))
+                          .agg(F.sum("n")).first()[0]) or 0
+            m = m.where(F.col("column").isin(sorted(eff)))
         # pre-typed-bounds manifests roll up NULL min/max, not an error
         m = _with_typed_bounds(m)
         is_str = F.col("logical_type") == "string"
@@ -1027,7 +1103,12 @@ class TranscriptColumnStore:
                     F.sum("raw_bytes").alias("raw_bytes"),
                     F.sum("enc_bytes").alias("enc_bytes")))
         known = lambda miss_c, c: F.when(F.col(miss_c) == 0, c)  # noqa: E731
-        return agg.select(
+        if total_rows is not None:
+            shortfall = F.lit(total_rows) - F.col("n_rows")
+            agg = agg.withColumn("n_nulls",
+                                 F.col("n_nulls") + shortfall) \
+                     .withColumn("n_rows", F.lit(total_rows))
+        out = agg.select(
             "column", "n_rows", "n_nulls", "distinct_upper_bound",
             "n_runs",
             known("_miss_num", F.col("_min_num")).alias("min_num"),
@@ -1035,6 +1116,19 @@ class TranscriptColumnStore:
             known("_miss_flt", F.col("_min_flt")).alias("min_flt"),
             known("_miss_flt", F.col("_max_flt")).alias("max_flt"),
             "min_str", "max_str", "raw_bytes", "enc_bytes")
+        if total_rows is not None:
+            # an add_column with zero physical coverage has no manifest
+            # rows at all — synthesize its all-null row (n_nulls=total)
+            have = {r["column"]
+                    for r in out.select("column").distinct().collect()}
+            missing = sorted(eff - have)
+            if missing:
+                pad = self.spark.createDataFrame(
+                    [(c, total_rows, total_rows, 0, 0, None, None,
+                      None, None, None, None, 0, 0) for c in missing],
+                    out.schema)
+                out = out.unionByName(pad)
+        return out
 
     def aggregate(self, columns: list[str] | None = None) -> DataFrame:
         """COUNT/MIN/MAX/SUM per column answered from the manifest
@@ -1120,7 +1214,12 @@ class TranscriptColumnStore:
                 sum_expr = F.sum(F.datediff(
                     agg_t, F.to_date(F.lit("1970-01-01"))))
             elif alt in ("int8", "int16", "int32", "int64", "uint8",
-                         "uint16", "uint32", "uint64", "bool"):
+                         "uint16", "uint32", "bool"):
+                # uint64 deliberately NOT here: the operator path
+                # raises (values exceed exact-int64 arithmetic; the
+                # Spark surface is decimal(20,0), and .cast("long")
+                # would NULL-out >=2^63 values — a silently wrong
+                # sum). Same rejection on both paths.
                 sum_expr = F.sum(agg_t.cast("long"))
             else:
                 raise ValueError(
@@ -1419,6 +1518,14 @@ class TranscriptColumnStore:
         inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
         if not probes:
+            if self._schema_log():
+                # evolution-aware even for the empty frame: unknown /
+                # dropped names raise (inside _needs_fallback) and the
+                # result schema is the EFFECTIVE one, matching every
+                # non-empty result
+                self._needs_fallback(m, column, *(columns or []))
+                out = self.solid_rows().where(F.lit(False))
+                return out if columns is None else out.select(*columns)
             out = decode(segs.where(F.lit(False)), schema=schema,
                          columns=inner)
             return out if columns is None else out.select(*columns)

@@ -513,3 +513,28 @@ def test_uint_columns_decode_and_aggregate(spark, tmp_path):
 
     with _pytest.raises(Exception, match="unsupported agg column"):
         group_agg(segs, "u32", "u64").collect()
+
+
+def test_facade_group_agg_fallback_rejects_uint64(spark, tmp_path):
+    """Review fix: the facade's decode-fallback branch must reject the
+    same agg types the operator path rejects (uint64 summed via
+    .cast('long') silently NULLs values >= 2^63 — a wrong number).
+    uint64 isn't reachable through facade ingest today, so pin the
+    contract by forcing the fallback with a uint64 logical type."""
+    import pytest as _pytest
+
+    from columnstore_spark.sources.transcripts import load_transcripts
+    from columnstore_spark.store import TranscriptColumnStore
+
+    store = TranscriptColumnStore(spark, str(tmp_path / "u64f"),
+                                  num_rowgroups=2)
+    store.add_range(load_transcripts(spark, "/root/testdata/sf0.001"))
+    store.close()
+
+    orig = store._logical_type
+    store._logical_type = (lambda m, c, _o=orig:
+                           "uint64" if c == "turn_idx" else _o(m, c))
+    # a float probe on the string role column is kernel-unsafe ->
+    # fallback branch; the (forced) uint64 agg type must raise there
+    with _pytest.raises(ValueError, match="unsupported agg column"):
+        store.group_agg("role", "turn_idx", where=("turn_idx", 0.5))

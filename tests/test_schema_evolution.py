@@ -268,3 +268,71 @@ def test_rebuild_compacts_the_log(spark, base):
     assert len(pinned._schema_log()) == 2     # snapshot still replays
     pnames = [f.name for f in pinned.schema().fields]
     assert "score" in pnames and "tool" not in pnames
+
+
+def test_stats_follows_effective_schema(spark, base):
+    """Review fix: stats() is evolution-aware — dropped columns never
+    resurface, a zero-coverage add reports an all-null row with
+    n_nulls == n_rows == store total, and a partially-covered add
+    reports store-total rows with the uncovered shortfall as nulls
+    (agreeing with null_count)."""
+    store, t = base
+    n = t.count()
+    store.drop_column("tool")
+    store.add_column("score", "bigint")
+
+    st = {r["column"]: r for r in store.stats().collect()}
+    assert "tool" not in st
+    assert st["score"]["n_rows"] == n
+    assert st["score"]["n_nulls"] == n          # zero physical coverage
+    assert st["score"]["min_num"] is None
+
+    # land some covered rows: 5 new rows carry score values
+    extra = _with_score(t.limit(5)).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id")))
+    store.add_range(extra.drop("tool"))
+    store.close()
+    st = {r["column"]: r for r in store.stats().collect()}
+    assert st["score"]["n_rows"] == n + 5
+    nc = store.count_null("score").first()["cnt"]
+    assert st["score"]["n_nulls"] == nc == n    # old rows null, 5 covered
+    assert "tool" not in st
+
+
+def test_query_by_in_empty_probes_under_evolution(spark, base):
+    """Review fix: the empty-probe early return is evolution-aware —
+    effective schema on the result, unknown/dropped names raise."""
+    store, t = base
+    store.add_column("score", "bigint")
+    store.drop_column("tool")
+
+    out = store.query_by_in("conv_id", [])
+    assert "tool" not in out.columns and "score" in out.columns
+    assert out.count() == 0
+
+    proj = store.query_by_in("conv_id", [], columns=["conv_id", "score"])
+    assert proj.columns == ["conv_id", "score"] and proj.count() == 0
+
+    with pytest.raises(ValueError, match="unknown column"):
+        store.query_by_in("tool", [])
+    # null-only probe list dedups to empty -> same contract
+    out2 = store.query_by_in("conv_id", [None])
+    assert "tool" not in out2.columns and out2.count() == 0
+
+
+def test_metadata_memo_invalidates_across_mutations(spark, tmp_path):
+    """The driver-side (schema, coverage) memo must never serve stale
+    answers across add_range/close/add_column/rebuild."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "memo"),
+                                  num_rowgroups=4)
+    t = load_transcripts(spark, SF_DIR)
+    assert store.schema().fields == []          # memoized empty
+    store.add_range(t)
+    assert [f.name for f in store.schema().fields] != []  # invalidated
+    store.close()
+    store.add_column("score", "bigint")
+    assert "score" in [f.name for f in store.schema().fields]
+    assert store._needs_fallback(store._manifest_or_raise(), "score")
+    store.rebuild()
+    assert not store._schema_log()              # log compacted
+    assert "score" in [f.name for f in store.schema().fields]
