@@ -360,12 +360,18 @@ def decode_window_global(segments: DataFrame, start: int, length: int,
     if schema is None:
         schema = schema_from_segments(segments)
     start, length = max(0, int(start)), max(0, int(length))
-    first_col = schema.fields[0].name if schema.fields else None
-    if length == 0 or first_col is None:
+    if length == 0 or not schema.fields:
         return decode(segments.where(F.lit(False)), schema=schema)
 
-    counts = (segments.where(F.col("column") == first_col)
-              .select("rowgroup_id", "n_rows")
+    # per-rowgroup row count = max over columns of that column's total:
+    # robust under schema evolution, where a rowgroup may physically
+    # lack ANY given column (late add_column / post-drop ingest) — a
+    # single-column routing table would silently drop such rowgroups
+    # from the global page. Metadata-only (column-pruned manifest scan).
+    counts = (segments.groupBy("rowgroup_id", "column")
+              .agg(F.sum("n_rows").alias("nr"))
+              .groupBy("rowgroup_id")
+              .agg(F.max("nr").alias("n_rows"))
               .orderBy("rowgroup_id").collect())
     end = start + length
     windows: dict[int, tuple[int, int]] = {}

@@ -96,15 +96,31 @@ def pa_type_for(spark_type: T.DataType) -> None:
 
 
 def default_rowgroup_expr(num_rowgroups: int,
-                          rows_per_segment: int = 1_000_000) -> Column:
+                          rows_per_segment: int = 1_000_000,
+                          columns: list[str] | None = None) -> Column:
     """Salted, skew-aware rowgroup assignment (SURVEY.md §4.2).
 
     Hash-buckets conversations into `num_rowgroups` groups and splits any
     conversation longer than `rows_per_segment` turns into separate
     rowgroups — a zipf-head conversation can't produce a straggler.
+
+    `columns` (when given) is the frame's column list: a frame without
+    the transcript key columns — e.g. a post-`drop_column` ingest batch
+    under schema evolution — buckets on a hash of ALL its columns and
+    skips the turn-block split rather than failing analysis on a
+    missing name.
     """
-    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(num_rowgroups))
-    block = (F.col("turn_idx").cast("long") / F.lit(rows_per_segment)).cast("long")
+    have = (lambda c: columns is None or c in columns)
+    if have("conv_id"):
+        bucket = F.pmod(F.xxhash64("conv_id"), F.lit(num_rowgroups))
+    else:
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in (columns or [])]),
+                        F.lit(num_rowgroups))
+    if have("turn_idx"):
+        block = (F.col("turn_idx").cast("long")
+                 / F.lit(rows_per_segment)).cast("long")
+    else:
+        block = F.lit(0)
     return bucket * _TURN_BLOCKS + block
 
 
@@ -196,7 +212,9 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
             # rowgroup_expr explicitly (every driver query does)
             n = df.count()
             num_rowgroups = max(1, -(-n // rows_per_segment))
-        rowgroup_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+        rowgroup_expr = default_rowgroup_expr(num_rowgroups,
+                                              rows_per_segment,
+                                              columns=df.columns)
 
     for f in df.schema.fields:
         pa_type_for(f.dataType)
@@ -257,7 +275,8 @@ def write_bucketed_layout(df: DataFrame, path: str,
 
     if num_buckets is None:
         num_buckets = max(1, num_rowgroups // 8)
-    rg = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+    rg = default_rowgroup_expr(num_rowgroups, rows_per_segment,
+                               columns=df.columns)
     (df.withColumn(rowgroup_col, rg.cast("long"))
        .repartition(num_buckets, F.col(rowgroup_col))
        .sortWithinPartitions(rowgroup_col, *order)

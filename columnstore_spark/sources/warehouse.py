@@ -142,7 +142,8 @@ class Warehouse:
         from ..operators.decode import decode
 
         spark = delta_df.sparkSession
-        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment,
+                                        columns=delta_df.columns)
         if rowgroup_offset:
             rg_expr = rg_expr + F.lit(int(rowgroup_offset))
         done = self.done_rowgroups(spark)
@@ -178,7 +179,8 @@ class Warehouse:
         """
         spark = df.sparkSession
         run_id = run_id or uuid.uuid4().hex[:12]
-        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment)
+        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment,
+                                        columns=df.columns)
         if rowgroup_offset:
             rg_expr = rg_expr + F.lit(int(rowgroup_offset))
         work = df.withColumn("__rg", rg_expr)
@@ -320,7 +322,8 @@ class Warehouse:
         # collide with (and thus be resume-skipped by) a rewritten id.
         # Repeated rewrites keep growing from the global max.
         offset = max(1 << 62, max_id + 1)
-        rg_expr = (default_rowgroup_expr(n_new, rows_per_segment)
+        rg_expr = (default_rowgroup_expr(n_new, rows_per_segment,
+                                         columns=rows.columns)
                    + F.lit(offset))
         segs = encode(rows, rowgroup_expr=rg_expr,
                       rows_per_segment=rows_per_segment, mode=mode,

@@ -611,6 +611,16 @@ class TranscriptColumnStore:
                     f"upsert: incoming frame carries column(s) {unmat} "
                     "that are not materialized in the store — run "
                     "rebuild() first")
+            # the mirror case: values for a DROPPED-but-still-physical
+            # column would be written into the invisible column —
+            # unreachable by any read, discarded by rebuild(). Refuse
+            # rather than silently bury data.
+            buried = sorted((set(df.columns) & phys_names) - eff_names)
+            if buried:
+                raise ValueError(
+                    f"upsert: incoming frame carries dropped column(s) "
+                    f"{buried} — their values would be unreachable; "
+                    "remove them from the frame")
             for f in schema.fields:
                 if f.name not in eff_names and f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -976,6 +986,13 @@ class TranscriptColumnStore:
             raise ValueError(
                 f"column {name!r} is dropped but still physically "
                 "present — rebuild() before re-adding the name")
+        if name in self._pending_columns():
+            # same hazard one commit earlier: an un-folded delta batch
+            # still carries the dropped column's raw values, which
+            # close() would fold into segments under the re-added name
+            raise ValueError(
+                f"column {name!r} still has values in pending delta "
+                "batches — close() + rebuild() before re-adding it")
         self._append_schema_log({"op": "add", "name": name,
                                  "type": dtype_ddl})
 
@@ -993,6 +1010,17 @@ class TranscriptColumnStore:
         if len(cur) == 1:
             raise ValueError("cannot drop the store's last column")
         self._append_schema_log({"op": "drop", "name": name})
+
+    def _pending_columns(self) -> set:
+        """Union of column names across pending delta batches — driver-
+        side parquet footer reads only (no Spark job), used by the
+        add_column re-add guard."""
+        import pyarrow.dataset as pads
+        names: set = set()
+        for b in self._pending_batches():
+            names |= set(pads.dataset(f"{self._delta_root()}/{b}",
+                                      format="parquet").schema.names)
+        return names
 
     def _column_coverage(self, m: DataFrame) -> tuple[dict, int]:
         """({column: rowgroups holding it}, total rowgroups) — one
@@ -1025,13 +1053,22 @@ class TranscriptColumnStore:
         cov, total = self._column_coverage(m)
         return any(cov.get(c, 0) < total for c in cols)
 
-    def _fallback_query(self, cond, columns, include_pending) -> DataFrame:
+    def _fallback_query(self, cond, columns, include_pending,
+                        probe_cols: tuple = ()) -> DataFrame:
         """Evolution-correct slow path: decode the committed store
         under the EFFECTIVE schema (late-added columns null-filled,
         drops projected away) and run Spark's own predicate. Used only
         while a probed column is partially covered; `rebuild()`
-        restores every encoded fast path."""
-        out = self.solid_rows().where(cond)
+        restores every encoded fast path. A caller projection still
+        prunes at the ENCODED level — only `columns` + the predicate's
+        `probe_cols` decode, never the whole row (a wide text column
+        the caller didn't ask for stays in storage even here)."""
+        if columns is None:
+            out = self.solid_rows().where(cond)
+        else:
+            inner = list(columns) + [c for c in probe_cols
+                                     if c not in columns]
+            out = self.solid_rows(inner).where(cond)
         return self._finish_query(out, cond, columns, include_pending)
 
     def _guard_materialized(self, m: DataFrame, cols, op: str) -> None:
@@ -1118,10 +1155,12 @@ class TranscriptColumnStore:
             "min_str", "max_str", "raw_bytes", "enc_bytes")
         if total_rows is not None:
             # an add_column with zero physical coverage has no manifest
-            # rows at all — synthesize its all-null row (n_nulls=total)
-            have = {r["column"]
-                    for r in out.select("column").distinct().collect()}
-            missing = sorted(eff - have)
+            # rows at all — synthesize its all-null row (n_nulls=total).
+            # The memoized coverage map already knows which columns
+            # have manifest rows — no extra aggregation job here.
+            cov, _ = self._column_coverage(
+                self.warehouse.live_manifest(self.spark))
+            missing = sorted(eff - set(cov))
             if missing:
                 pad = self.spark.createDataFrame(
                     [(c, total_rows, total_rows, 0, 0, None, None,
@@ -1456,7 +1495,8 @@ class TranscriptColumnStore:
         inner = _inner_columns(columns, column)
         cond = F.col(column) == F.lit(value)
         if self._needs_fallback(m, column, *(columns or [])):
-            return self._fallback_query(cond, columns, include_pending)
+            return self._fallback_query(cond, columns, include_pending,
+                                        probe_cols=(column,))
         pruned, lt = self._pruned_segments(m, column, value, value,
                                            eq=True)
         if not _kernel_safe_probe(lt or "", value):
@@ -1484,7 +1524,8 @@ class TranscriptColumnStore:
         inner = _inner_columns(columns, column)
         cond = F.col(column).between(F.lit(lo), F.lit(hi))
         if self._needs_fallback(m, column, *(columns or [])):
-            return self._fallback_query(cond, columns, include_pending)
+            return self._fallback_query(cond, columns, include_pending,
+                                        probe_cols=(column,))
         pruned, lt = self._pruned_segments(m, column, lo, hi, eq=False)
         lt = lt or ""
         if lt.startswith("nested:") or lt == "binary":
@@ -1531,7 +1572,8 @@ class TranscriptColumnStore:
             return out if columns is None else out.select(*columns)
         if self._needs_fallback(m, column, *(columns or [])):
             return self._fallback_query(_exact_in_cond(column, probes),
-                                        columns, include_pending)
+                                        columns, include_pending,
+                                        probe_cols=(column,))
         lt = self._logical_type(m, column)
         ids = prune_rowgroup_ids_in(m, column, probes, logical_type=lt)
         if ids is not None:
@@ -1621,7 +1663,8 @@ class TranscriptColumnStore:
             # row for it — the n_nulls prune would wrongly drop it,
             # yet every one of its rows matches IS NULL. The decode
             # fallback null-fills, so the predicate sees them.
-            return self._fallback_query(cond, columns, include_pending)
+            return self._fallback_query(cond, columns, include_pending,
+                                        probe_cols=(column,))
         schema = schema_from_segments(m)
         inner = _inner_columns(columns, column)
         segs = self.warehouse.committed_segments(self.spark)
@@ -1859,7 +1902,8 @@ class TranscriptColumnStore:
                     if not (p[1] == "in" and not p[2])]
             cond = (_exact_pred_cond(norm, any_mode=True) if norm
                     else F.lit(False))
-            return self._fallback_query(cond, columns, include_pending)
+            return self._fallback_query(cond, columns, include_pending,
+                                        probe_cols=(column,))
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
         norm = [p for p in

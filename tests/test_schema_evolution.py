@@ -336,3 +336,81 @@ def test_metadata_memo_invalidates_across_mutations(spark, tmp_path):
     store.rebuild()
     assert not store._schema_log()              # log compacted
     assert "score" in [f.name for f in store.schema().fields]
+
+
+def test_rows_window_covers_rowgroups_missing_first_column(spark, base):
+    """Review fix: global paging routes through per-rowgroup MAX
+    column counts, not schema.fields[0] — a rowgroup that physically
+    lacks the first column (post-drop ingest) must still appear in
+    rows_window pages, and the pages must tile rows() exactly."""
+    store, t = base
+    n = t.count()
+    store.drop_column("conv_id")
+    extra = (t.drop("conv_id").limit(7)
+             .withColumn("turn_idx", F.col("turn_idx") + 1000))
+    store.add_range(extra)
+    store.close()
+
+    total = store.rows().count()
+    assert total == n + 7
+    # tile the whole store in pages; every row exactly once
+    pages = []
+    step = 300
+    for off in range(0, total + step, step):
+        pages.append(store.rows_window(off, step))
+    seen = pages[0]
+    for p in pages[1:]:
+        seen = seen.unionByName(p)
+    assert seen.count() == total
+    assert "conv_id" not in seen.columns
+    # the post-drop rows are reachable through some page
+    assert seen.where(F.col("turn_idx") >= 1000).count() == 7
+
+
+def test_readd_guard_sees_pending_delta_batches(spark, base):
+    """Review fix: re-adding a dropped name whose values still sit in
+    an un-folded delta batch must raise (close() would fold the old
+    values in under the re-added name)."""
+    store, t = base
+    store.add_column("score", "bigint")
+    store.add_range(_with_score(t.limit(5)))     # pending, carries score
+    store.drop_column("score")
+    with pytest.raises(ValueError, match="pending delta"):
+        store.add_column("score", "string")
+    # folding + rebuild clears the hazard path the guard points at
+    store.close()
+    with pytest.raises(ValueError, match="physically present"):
+        store.add_column("score", "string")
+    store.rebuild()
+    store.add_column("score", "string")          # now legal
+    assert store.rows().where(F.col("score").isNotNull()).count() == 0
+
+
+def test_upsert_refuses_dropped_but_physical_column(spark, base):
+    """Review fix: an incoming upsert frame carrying a dropped (still
+    physical) column must raise instead of writing unreachable
+    values."""
+    store, t = base
+    store.drop_column("tool")
+    bad = t.limit(3)                              # still carries tool
+    with pytest.raises(ValueError, match="dropped column"):
+        store.upsert(bad, key="conv_id")
+    ok = bad.drop("tool")
+    res = store.upsert(ok, key="conv_id")
+    assert res["rows_written"] == 3
+
+
+def test_fallback_query_projection_correct(spark, base):
+    """The evolution slow path honors the caller projection (and
+    still returns exactly the matching rows)."""
+    store, t = base
+    store.add_column("score", "bigint")
+    store.add_range(_with_score(t.limit(5)).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))))
+    store.close()
+    out = store.query_by_value("score", 0, columns=["conv_id"])
+    assert out.columns == ["conv_id"]
+    exp = (store.rows().where(F.col("score") == 0)
+           .select("conv_id"))
+    assert (sorted(r[0] for r in out.collect())
+            == sorted(r[0] for r in exp.collect()))
