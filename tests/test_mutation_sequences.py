@@ -85,3 +85,93 @@ def test_mutation_sequence_matches_model(spark, tmp_path):
     assert (s.query_by_value("conv_id", probe).count()
             == model.where(F.col("conv_id") == probe).count())
     t.unpersist()
+
+
+def test_evolution_interleaved_mutations_match_model(spark, tmp_path):
+    """Schema evolution composed with every mutation: adds/drops land
+    between ingests, deletes and compactions run while evolution is
+    pending, rebuild materializes, and a dropped name is re-added
+    after rebuild. After every step the store's enumeration equals a
+    plain-DataFrame model under the effective schema."""
+    t = load_transcripts(spark, SF_DIR).persist()
+    s = TranscriptColumnStore(spark, str(tmp_path / "evo_store"),
+                              num_rowgroups=4)
+
+    def check(model):
+        cols = [f.name for f in s.schema().fields]
+        assert sorted(model.columns) == sorted(cols)
+        assert _sorted(s.rows(), cols) == _sorted(model.select(cols), cols)
+
+    # step 1: base ingest
+    b1 = t.where(F.col("turn_idx") % 3 == 0)
+    s.add_range(b1)
+    s.close()
+    model = b1
+    check(model)
+
+    # step 2: metadata-only add — old rows read NULL
+    s.add_column("score", "bigint")
+    model = model.withColumn("score", F.lit(None).cast("long"))
+    check(model)
+
+    # step 3: ingest WITH the evolved column
+    b2 = (t.where(F.col("turn_idx") % 3 == 1)
+          .withColumn("score", (F.col("turn_idx") * 7).cast("long")))
+    s.add_range(b2)
+    s.close()
+    model = model.unionByName(b2)
+    check(model)
+
+    # step 4: probe queries while evolution is pending
+    assert (s.query_by_null("score").count()
+            == model.where(F.col("score").isNull()).count())
+    probe = model.where(F.col("score").isNotNull()).first()["score"]
+    assert (s.query_by_value("score", probe).count()
+            == model.where(F.col("score") == probe).count())
+
+    # step 5: delete on a fully-covered column, evolution still pending
+    s.delete_where("turn_idx", (0, 1))
+    model = model.where(~F.col("turn_idx").between(0, 1))
+    check(model)
+
+    # step 6: drop a column mid-flight
+    s.drop_column("tool")
+    model = model.drop("tool")
+    check(model)
+
+    # step 7: rebuild materializes adds + drops physically
+    s.rebuild()
+    assert not s._schema_log()
+    check(model)
+
+    # step 8: re-adding the dropped name is legal post-rebuild; it
+    # starts NULL everywhere (old values must NOT resurface)
+    s.add_column("tool", "string")
+    model = model.withColumn("tool", F.lit(None).cast("string"))
+    check(model)
+    assert s.rows().where(F.col("tool").isNotNull()).count() == 0
+
+    # step 9: post-re-add ingest carries fresh tool values
+    b3 = (t.where(F.col("turn_idx") % 3 == 2)
+          .withColumn("score", F.lit(None).cast("long"))
+          .withColumn("tool", F.lit("fresh")))
+    s.add_range(b3)
+    s.close()
+    model = model.unionByName(b3.select(model.columns))
+    check(model)
+
+    # step 10: compact the accreted rowgroups (heterogeneous coverage)
+    s.compact()
+    check(model)
+
+    # step 11: rebuild + vacuum; global paging tiles the final state
+    s.rebuild()
+    s.vacuum()
+    check(model)
+    total = model.count()
+    got = None
+    for off in range(0, total + 300, 300):
+        page = s.rows_window(off, 300)
+        got = page if got is None else got.unionByName(page)
+    assert got.count() == total
+    t.unpersist()
