@@ -76,7 +76,31 @@ class ParquetBackend:
         df.write.mode("append").parquet(self.segments_path)
 
     def append_manifest(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.manifest_path)
+        """Atomic manifest append: the manifest IS the commit point of
+        every write protocol, and a plain multi-file Spark append can
+        tear mid-job-commit (a crash leaves a SUBSET of part files
+        visible) — for a replace_rowgroups commit that could expose
+        retire tombstones without their replacement rows (rows vanish)
+        or the reverse (rows double-counted). Manifest rows are
+        metadata-only (payload dropped), so one file per commit is the
+        right shape at any scale: stage a single part file under a
+        hidden dir (invisible to Spark's file index), then os.rename
+        it into the manifest dir — rename is atomic on a filesystem,
+        mirroring the Iceberg backend's snapshot commit."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        tag = uuid.uuid4().hex
+        tmp = f"{self.manifest_path}/.staging-{tag}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(f"{tmp}/part-*.parquet")
+        if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees
+            raise RuntimeError(
+                f"manifest staging wrote {len(parts)} files, expected 1")
+        os.rename(parts[0], f"{self.manifest_path}/commit-{tag}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 class IcebergBackend:

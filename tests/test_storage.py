@@ -86,3 +86,43 @@ def test_read_unified_mid_ingest(spark, tmp_path):
     uni2 = wh.read_unified(t, num_rowgroups=8)
     assert (uni2.orderBy("conv_id", "turn_idx").collect()
             == t.orderBy("conv_id", "turn_idx").collect())
+
+
+def test_manifest_append_atomic_under_crash(spark, tmp_path, monkeypatch):
+    """The manifest append is the commit point: a crash at the rename
+    (the atomic step) must leave the store exactly as it was — no
+    tombstones without replacements, no double counting — and a retry
+    must succeed cleanly."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from columnstore_spark.sources.transcripts import load_transcripts
+    from columnstore_spark.store import TranscriptColumnStore
+
+    store = TranscriptColumnStore(spark, str(tmp_path / "atomic"),
+                                  num_rowgroups=2)
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    store.add_range(t)
+    store.close()
+    before = sorted(str(tuple(r)) for r in store.rows().collect())
+
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        if "/commit-" in str(dst):
+            raise OSError("injected crash before manifest commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", boom)
+    with _pytest.raises(OSError, match="injected crash"):
+        store.delete_where("turn_idx", (0, 1))
+    monkeypatch.setattr("os.rename", real_rename)
+
+    after = sorted(str(tuple(r)) for r in store.rows().collect())
+    assert after == before          # torn attempt fully invisible
+
+    res = store.delete_where("turn_idx", (0, 1))
+    assert res["rows_deleted"] > 0
+    assert store.rows().where(
+        F.col("turn_idx").between(0, 1)).count() == 0
