@@ -421,3 +421,68 @@ class Warehouse:
         # just to peek; an all-done run commits zero segment rows and
         # zero manifest rows, which reads back as rowgroups_encoded=0
         return self._commit(spark, backend, segs, run_id, attempt)
+
+    def vacuum_orphan_segments(self, spark: SparkSession) -> list[str]:
+        """Delete segment part files whose every (run_id, attempt_id)
+        never reached the manifest — the debris of attempts that
+        crashed between `append_segments` and the manifest commit. The
+        commit protocol keeps them invisible to every read (segments
+        serve only via the manifest join), but the files are still
+        listed, footer-read, and join-filtered on each scan; at
+        warehouse scale that is wasted IO forever. Parquet backend
+        only (Iceberg debris belongs to expire_snapshots / orphan-file
+        removal on the catalog side).
+
+        Single-writer contract (same as the generation GC): must not
+        run concurrently with an in-flight encode, whose freshly
+        appended segments would look orphaned until its commit."""
+        import os
+        from urllib.parse import unquote, urlparse
+
+        from .storage import ParquetBackend
+
+        backend = self.backend(spark)
+        if not isinstance(backend, ParquetBackend):
+            return []
+        try:
+            listing = os.listdir(self.segments_path)
+        except FileNotFoundError:
+            return []  # no segments table yet
+        candidates = {
+            os.path.join(self.segments_path, n) for n in listing
+            if not n.startswith(("_", "."))
+            and os.path.isfile(os.path.join(self.segments_path, n))}
+        if not candidates:
+            return []
+        # the LIVE file set: files holding at least one row whose
+        # (run_id, attempt_id) the manifest committed. Everything else
+        # — torn attempts AND the zero-row part files Spark appends
+        # write (which carry no rows and thus serve no read) — is
+        # garbage. One column-pruned scan of (run_id, attempt_id).
+        live_files: set = set()
+        m = self.manifest(spark)
+        if m is not None:
+            segs = backend.read_segments(spark)
+            att = (F.coalesce("attempt_id", F.lit(""))
+                   if "attempt_id" in segs.columns else F.lit(""))
+            per_file = (segs.withColumn("__file", F.input_file_name())
+                        .select("__file", "run_id",
+                                att.alias("attempt_id")).distinct())
+            matt = (F.coalesce("attempt_id", F.lit(""))
+                    if "attempt_id" in m.columns else F.lit(""))
+            committed = (m.select("run_id", matt.alias("attempt_id"))
+                         .distinct())
+            live_files = {
+                unquote(urlparse(r["__file"]).path) for r in
+                (per_file.join(committed,
+                               on=["run_id", "attempt_id"],
+                               how="leftsemi")
+                 .select("__file").distinct().collect())}
+        removed = []
+        for path in sorted(candidates - live_files):
+            try:
+                os.remove(path)
+                removed.append(path)
+            except FileNotFoundError:
+                pass
+        return removed

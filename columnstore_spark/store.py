@@ -848,6 +848,11 @@ class TranscriptColumnStore:
         for b in sorted(self._retired_batches() & set(self._batches())):
             shutil.rmtree(f"{self._delta_root()}/{b}")
             removed["batches"].append(b)
+        # segment part files from attempts that crashed before their
+        # manifest commit: invisible to reads, pure scan overhead
+        removed["segment_files"] = (
+            self.warehouse.vacuum_orphan_segments(self.spark))
+        self._meta_cache.clear()
         return removed
 
     # -- schema evolution (metadata-only, the Iceberg analogue) ---------------

@@ -76,7 +76,13 @@ def test_vacuum_noop_without_rebuild(spark, transcripts, tmp_path):
     s.add_range(transcripts.limit(100))
     s.close()
     removed = s.vacuum()
-    assert removed == {"generations": [], "batches": []}
+    assert removed["generations"] == [] and removed["batches"] == []
+    # the only reclaimable segment files on a clean store are the
+    # zero-row artifacts Spark appends write; data is untouched
+    assert s.rows().count() == 100
+    # and the second pass is a strict no-op
+    assert s.vacuum() == {"generations": [], "batches": [],
+                          "segment_files": []}
     assert s.rows().count() == 100
 
 
@@ -112,3 +118,58 @@ def test_vacuum_spares_staging_dirs(spark, transcripts, tmp_path):
     removed = s.vacuum()
     assert removed["generations"] == []
     assert os.path.exists(f"{staged}/_STAGING")  # retry can reclaim it
+
+
+def test_vacuum_reclaims_orphan_segments(spark, tmp_path):
+    """An attempt that crashes between append_segments and the
+    manifest commit leaves segment files the reads never see but every
+    scan lists — vacuum() deletes exactly those, keeping all committed
+    files and answers intact."""
+    import glob
+
+    import pytest as _pytest
+
+    from columnstore_spark.sources.transcripts import load_transcripts
+    from columnstore_spark.store import TranscriptColumnStore
+
+    store = TranscriptColumnStore(spark, str(tmp_path / "orph"),
+                                  num_rowgroups=2)
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    store.add_range(t.where(F.col("turn_idx") % 2 == 0))
+    store.close()
+    before = sorted(str(tuple(r)) for r in store.rows().collect())
+    seg_glob = f"{store.warehouse.segments_path}/*.parquet"
+    n_committed = len(glob.glob(seg_glob))
+
+    # torn attempt: segments land, manifest commit crashes
+    b = store.warehouse.backend(spark)
+    orig = b.append_manifest
+
+    def boom(df):
+        raise OSError("injected crash before manifest commit")
+
+    b.append_manifest = boom
+    store.add_range(t.where(F.col("turn_idx") % 2 == 1))
+    with _pytest.raises(OSError, match="injected crash"):
+        store.close()
+    b.append_manifest = orig
+
+    assert len(glob.glob(seg_glob)) > n_committed      # debris on disk
+    removed = store.vacuum()
+    assert removed["segment_files"]                    # reclaimed
+    # every surviving file carries committed rows (torn-attempt files
+    # AND zero-row append artifacts are both gone)
+    import pyarrow.parquet as _pq
+    for f in glob.glob(seg_glob):
+        assert _pq.read_metadata(f).num_rows > 0
+    assert sorted(str(tuple(r))
+                  for r in store.solid_rows().collect()) == before
+
+    # the batch is still pending; a clean retry folds it
+    store.close()
+    n_after_retry = len(glob.glob(seg_glob))
+    assert store.rows().count() == t.count()
+    # vacuum never touches live files: answers and data files stable
+    again = store.vacuum()["segment_files"]
+    assert len(glob.glob(seg_glob)) == n_after_retry - len(again)
+    assert store.rows().count() == t.count()
