@@ -259,27 +259,26 @@ class Warehouse:
         small_cond = F.col("n_rows") < thresh
         agg = sizes.agg(
             F.sum(F.when(small_cond, F.col("n_rows"))).alias("small_rows"),
-            F.count(F.when(small_cond, True)).alias("n_small"),
-            F.max("rowgroup_id").alias("max_id")).collect()[0]
+            F.count(F.when(small_cond, True)).alias("n_small")).collect()[0]
         n_small = int(agg["n_small"] or 0)
         if n_small < 2:
             return empty
         small = sizes.where(small_cond).select("rowgroup_id")
         rows = decode(self.committed_segments(spark)
                       .join(small, on="rowgroup_id", how="leftsemi"))
-        out = self.replace_rowgroups(
+        return self.replace_rowgroups(
             spark, small, rows, victim_rows=int(agg["small_rows"]),
             rows_per_segment=rows_per_segment, mode=mode,
-            run_id=run_id, bloom_columns=bloom_columns)
-        assert out["rowgroups_retired"] == n_small
-        return out
+            run_id=run_id, bloom_columns=bloom_columns,
+            expected_victims=n_small)
 
     def replace_rowgroups(self, spark: SparkSession, victims: DataFrame,
                           rows: DataFrame, victim_rows: int | None = None,
                           rows_per_segment: int = 1_000_000,
                           mode: str = chooser.MODE_SIZE,
                           run_id: str | None = None,
-                          bloom_columns: tuple[str, ...] = ()) -> dict:
+                          bloom_columns: tuple[str, ...] = (),
+                          expected_victims: int | None = None) -> dict:
         """Atomically replace the rowgroups named by `victims` (a
         one-column `rowgroup_id` frame) with `rows` re-encoded into
         capacity-sized groups — the shared tombstone+replace commit
@@ -312,9 +311,18 @@ class Warehouse:
             F.count(F.when(F.col("v") == 1, True)).alias("n_victims"),
             F.max("rowgroup_id").alias("max_id")).collect()[0]
         n_victims = int(agg["n_victims"] or 0)
+        if expected_victims is not None and n_victims != expected_victims:
+            # validated BEFORE anything commits: a mismatch means the
+            # victim set changed between the caller's scan and ours —
+            # a single-writer contract violation, not a torn state
+            raise RuntimeError(
+                f"replace_rowgroups: victim set changed underneath the "
+                f"caller ({n_victims} != expected {expected_victims}); "
+                "nothing was committed")
         if victim_rows is None:
             victim_rows = int(agg["rows"] or 0)
-        max_id = int(agg["max_id"])
+        # an empty LIVE manifest (zero-row commits only) has no max id
+        max_id = int(agg["max_id"] or 0)
         n_new = max(1, -(-victim_rows // rows_per_segment))
         # rewritten ids live in their own namespace at 2^62+: ingest
         # ids are `batch_idx << 40 + bucket expr`, so they stay below
@@ -380,6 +388,15 @@ class Warehouse:
                     .withColumn("run_id", F.lit(run_id)))
             if "attempt_id" in manifest.columns:
                 tomb = tomb.withColumn("attempt_id", F.lit(attempt))
+            # legacy-store shim, generalized: `retire` rows come from a
+            # manifest that may predate ANY additive nullable column
+            # (bloom words, sum_repr, typed bounds...) the fresh 'done'
+            # side carries — null-fill them so the union never throws
+            # on an upgraded store's first compact()/delete
+            for f in manifest.schema.fields:
+                if f.name not in tomb.columns:
+                    tomb = tomb.withColumn(
+                        f.name, F.lit(None).cast(f.dataType))
             manifest = manifest.unionByName(
                 tomb.select(*manifest.columns))
         backend.append_manifest(manifest)
@@ -449,7 +466,8 @@ class Warehouse:
         except FileNotFoundError:
             return []  # no segments table yet
         candidates = {
-            os.path.join(self.segments_path, n) for n in listing
+            os.path.abspath(os.path.join(self.segments_path, n))
+            for n in listing
             if not n.startswith(("_", "."))
             and os.path.isfile(os.path.join(self.segments_path, n))}
         if not candidates:
@@ -473,11 +491,20 @@ class Warehouse:
             committed = (m.select("run_id", matt.alias("attempt_id"))
                          .distinct())
             live_files = {
-                unquote(urlparse(r["__file"]).path) for r in
+                os.path.abspath(unquote(urlparse(r["__file"]).path))
+                for r in
                 (per_file.join(committed,
                                on=["run_id", "attempt_id"],
                                how="leftsemi")
                  .select("__file").distinct().collect())}
+        # safety invariant: a healthy store's live files are a subset
+        # of the directory listing. Zero overlap means either nothing
+        # is live (an all-debris store — deleting everything would
+        # leave an empty dir that breaks read_segments) or a path
+        # normalization mismatch (deleting "orphans" would destroy
+        # live data). Either way: touch nothing.
+        if not (live_files & candidates):
+            return []
         removed = []
         for path in sorted(candidates - live_files):
             try:

@@ -192,3 +192,38 @@ def test_compact_then_ingest_namespaces_disjoint(spark, tmp_path, t):
     # and compacting the mixed store still round-trips
     store.compact()
     assert _sorted(store.rows(), cols) == _sorted(t, cols)
+
+
+def test_compact_on_legacy_manifest_without_additive_columns(
+        spark, transcripts, tmp_path):
+    """Upgrade path (review fix): a store whose manifest files predate
+    additive nullable columns (bloom words, sum_repr) must still
+    compact — the retire tombstones are null-filled to the modern
+    manifest schema instead of crashing the union."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    s = TranscriptColumnStore(spark, str(tmp_path / "legacy"),
+                              num_rowgroups=2)
+    t = transcripts.limit(200)
+    s.add_range(t.where(F.col("turn_idx") % 2 == 0))
+    s.close()
+    s.add_range(t.where(F.col("turn_idx") % 2 == 1))
+    s.close()
+    before = sorted(str(tuple(r)) for r in s.rows().collect())
+
+    # simulate the legacy manifest: strip additive nullable columns
+    stripped = 0
+    for f in glob.glob(f"{s.warehouse.manifest_path}/*.parquet"):
+        tbl = pq.read_table(f)
+        keep = [c for c in tbl.column_names
+                if c not in ("bloom", "sum_repr")]
+        if len(keep) < len(tbl.column_names):
+            pq.write_table(tbl.select(keep), f)
+            stripped += 1
+    assert stripped > 0
+
+    res = s.compact()
+    assert res["rowgroups_retired"] >= 2
+    assert sorted(str(tuple(r)) for r in s.rows().collect()) == before
