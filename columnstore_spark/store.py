@@ -870,10 +870,19 @@ class TranscriptColumnStore:
         in and skipped — so a fully rebuilt store replays NOTHING and
         every evolution branch on the hot read paths short-circuits."""
         try:
-            with open(self._schema_log_path()) as f:
-                entries = [json.loads(ln) for ln in f if ln.strip()]
+            st = os.stat(self._schema_log_path())
         except FileNotFoundError:
             return []
+        # memoized on the file's stat: a single evolved query path
+        # consults the log several times (schema, fallback checks,
+        # alignment) — one driver-side parse per log change, not per
+        # call
+        tok = (st.st_mtime_ns, st.st_size, self._generation)
+        hit = getattr(self, "_log_memo", None)
+        if hit is not None and hit[0] == tok:
+            return hit[1]
+        with open(self._schema_log_path()) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
         if self._pinned:
             entries = [e for e in entries
                        if e.get("gen", 0) <= self._generation]
@@ -882,8 +891,10 @@ class TranscriptColumnStore:
             if (e.get("op") == "materialize"
                     and e.get("gen", 0) <= self._generation):
                 last = i
-        return [e for e in entries[last + 1:]
-                if e.get("op") in ("add", "drop")]
+        out = [e for e in entries[last + 1:]
+               if e.get("op") in ("add", "drop")]
+        self._log_memo = (tok, out)
+        return out
 
     def _append_schema_log(self, entry: dict) -> None:
         with open(self._schema_log_path(), "a") as f:
@@ -1705,7 +1716,8 @@ class TranscriptColumnStore:
                 raise ValueError(f"query_by_prefix needs a string "
                                  f"column; {column!r} is not")
             return self._fallback_query(F.col(column).startswith(prefix),
-                                        columns, include_pending)
+                                        columns, include_pending,
+                                        probe_cols=(column,))
         lt = self._logical_type(m, column)
         if lt != "string":
             raise ValueError(
@@ -1750,7 +1762,8 @@ class TranscriptColumnStore:
                 raise ValueError(f"query_by_contains needs a string "
                                  f"column; {column!r} is not")
             return self._fallback_query(F.col(column).contains(needle),
-                                        columns, include_pending)
+                                        columns, include_pending,
+                                        probe_cols=(column,))
         lt = self._logical_type(m, column)
         if lt != "string":
             raise ValueError(
@@ -1793,7 +1806,8 @@ class TranscriptColumnStore:
             norm = [_norm_one_pred(c, p, "") for c, p in predicates.items()]
             return self._fallback_query(
                 _exact_pred_cond(norm, any_mode=False),
-                columns, include_pending)
+                columns, include_pending,
+                probe_cols=tuple(predicates.keys()))
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
         norm = [_norm_one_pred(col, probe,
@@ -1801,7 +1815,13 @@ class TranscriptColumnStore:
                 for col, probe in predicates.items()]
         if any(kind == "in" and not payload
                for _c, kind, payload, _lt in norm):
-            # IN () is false for every row -> the conjunction is empty
+            # IN () is false for every row -> the conjunction is empty.
+            # Under pending evolution the empty frame must still carry
+            # the EFFECTIVE schema (drops away, adds present) so it
+            # unions with any non-empty result
+            if self._schema_log():
+                out = self.solid_rows().where(F.lit(False))
+                return out if columns is None else out.select(*columns)
             out = decode(segs.where(F.lit(False)), schema=schema,
                          columns=_inner_columns(columns))
             return out if columns is None else out.select(*columns)
@@ -1907,8 +1927,9 @@ class TranscriptColumnStore:
                     if not (p[1] == "in" and not p[2])]
             cond = (_exact_pred_cond(norm, any_mode=True) if norm
                     else F.lit(False))
-            return self._fallback_query(cond, columns, include_pending,
-                                        probe_cols=(column,))
+            return self._fallback_query(
+                cond, columns, include_pending,
+                probe_cols=tuple(c for c, _p in items))
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
         norm = [p for p in
@@ -1919,6 +1940,9 @@ class TranscriptColumnStore:
                 if not (p[1] == "in" and not p[2])]
         inner = _inner_columns(columns, *[p[0] for p in norm])
         if not norm:  # every branch was an empty IN-list
+            if self._schema_log():
+                out = self.solid_rows().where(F.lit(False))
+                return out if columns is None else out.select(*columns)
             out = decode(segs.where(F.lit(False)), schema=schema,
                          columns=inner)
             return out if columns is None else out.select(*columns)

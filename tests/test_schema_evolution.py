@@ -414,3 +414,60 @@ def test_fallback_query_projection_correct(spark, base):
            .select("conv_id"))
     assert (sorted(r[0] for r in out.collect())
             == sorted(r[0] for r in exp.collect()))
+
+
+def test_multi_predicate_fallbacks_under_evolution(spark, base):
+    """Review fix: query_where / query_any / prefix / contains route
+    through the evolution fallback with their probe columns carried,
+    so projections that exclude the probe column(s) still work."""
+    store, t = base
+    store.add_column("score", "bigint")
+    store.add_range(_with_score(t.limit(5)).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))))
+    store.close()
+    full = store.rows()
+
+    out = store.query_where({"score": 0, "role": "user"},
+                            columns=["conv_id"])
+    exp = (full.where((F.col("score") == 0) & (F.col("role") == "user"))
+           .select("conv_id"))
+    assert out.columns == ["conv_id"]
+    assert sorted(r[0] for r in out.collect()) == \
+        sorted(r[0] for r in exp.collect())
+
+    out = store.query_any({"score": 0, "role": "user"},
+                          columns=["conv_id"])
+    exp = (full.where((F.col("score") == 0) | (F.col("role") == "user"))
+           .select("conv_id"))
+    assert sorted(r[0] for r in out.collect()) == \
+        sorted(r[0] for r in exp.collect())
+
+    # string-column fallbacks: force partial coverage of a NEW string
+    # column, then probe it with a projection that excludes it
+    store.add_column("tag", "string")
+    extra = (t.limit(3)
+             .withColumn("conv_id", F.concat(F.lit("y"), F.col("conv_id")))
+             .withColumn("score", F.lit(None).cast("long"))
+             .withColumn("tag", F.lit("alpha")))
+    store.add_range(extra)
+    store.close()
+    out = store.query_by_prefix("tag", "al", columns=["conv_id"])
+    assert out.count() == 3 and out.columns == ["conv_id"]
+    out = store.query_by_contains("tag", "lph", columns=["conv_id"])
+    assert out.count() == 3
+
+
+def test_empty_in_branches_follow_effective_schema(spark, base):
+    """Review fix: the IN-() early exits of query_where/query_any
+    return the EFFECTIVE schema while evolution is pending."""
+    store, t = base
+    store.drop_column("tool")
+    store.add_column("score", "bigint")
+
+    out = store.query_where({"conv_id": []})
+    assert "tool" not in out.columns and "score" in out.columns
+    assert out.count() == 0
+
+    out = store.query_any({"conv_id": []})
+    assert "tool" not in out.columns and "score" in out.columns
+    assert out.count() == 0
