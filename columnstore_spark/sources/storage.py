@@ -95,7 +95,9 @@ class ParquetBackend:
         tag = uuid.uuid4().hex
         tmp = f"{self.manifest_path}/.staging-{tag}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = glob.glob(f"{tmp}/part-*.parquet")
+        # glob.escape: a warehouse root containing glob metachars
+        # ([, ], *, ?) must not turn the staging path into a pattern
+        parts = glob.glob(f"{glob.escape(tmp)}/part-*.parquet")
         if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees
             raise RuntimeError(
                 f"manifest staging wrote {len(parts)} files, expected 1")

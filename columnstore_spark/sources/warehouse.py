@@ -297,9 +297,14 @@ class Warehouse:
         if live is None:
             return {"run_id": run_id, "rowgroups_encoded": 0,
                     "rowgroups_retired": 0, "storage": backend.name}
-        # one manifest scan collects victim rows/count AND the global
-        # max id (the live_manifest window replays per scan — don't
-        # pay it three times per mutation)
+        # materialize the live view ONCE: the full-manifest scan +
+        # row_number window otherwise replays for the victim agg AND
+        # the retire join below (and, being checkpointed, the retire
+        # frame no longer reads the manifest files the commit appends)
+        live = live.localCheckpoint()
+        # one manifest scan collects victim rows/count (the
+        # live_manifest window replays per scan — don't pay it three
+        # times per mutation)
         marked = (live.join(victims.select("rowgroup_id")
                             .withColumn("__v", F.lit(1)),
                             on="rowgroup_id", how="left")
@@ -308,8 +313,16 @@ class Warehouse:
                        F.max("__v").alias("v")))
         agg = marked.agg(
             F.sum(F.when(F.col("v") == 1, F.col("n"))).alias("rows"),
-            F.count(F.when(F.col("v") == 1, True)).alias("n_victims"),
-            F.max("rowgroup_id").alias("max_id")).collect()[0]
+            F.count(F.when(F.col("v") == 1, True)).alias("n_victims")
+        ).collect()[0]
+        # the id high-water mark must come from the RAW manifest, not
+        # the live view: a tombstone-only commit (delete_where erasing
+        # every row of a rowgroup writes 'retired' rows and zero 'done'
+        # rows) removes the id from live, and reusing it would write a
+        # later 'done' for a retired id — which live_manifest's
+        # same-second tie-break (retired outranks done) then hides
+        raw_max = self.manifest(spark).agg(
+            F.max("rowgroup_id").alias("m")).collect()[0]["m"]
         n_victims = int(agg["n_victims"] or 0)
         if expected_victims is not None and n_victims != expected_victims:
             # validated BEFORE anything commits: a mismatch means the
@@ -321,8 +334,8 @@ class Warehouse:
                 "nothing was committed")
         if victim_rows is None:
             victim_rows = int(agg["rows"] or 0)
-        # an empty LIVE manifest (zero-row commits only) has no max id
-        max_id = int(agg["max_id"] or 0)
+        # an empty manifest (zero-row commits only) has no max id
+        max_id = int(raw_max or 0)
         n_new = max(1, -(-victim_rows // rows_per_segment))
         # rewritten ids live in their own namespace at 2^62+: ingest
         # ids are `batch_idx << 40 + bucket expr`, so they stay below
@@ -337,8 +350,9 @@ class Warehouse:
                       rows_per_segment=rows_per_segment, mode=mode,
                       bloom_columns=bloom_columns)
         # tombstones: the live manifest rows being superseded, eagerly
-        # materialized so the manifest append below never reads the
-        # manifest files it is appending to
+        # materialized so nothing here (in particular a caller-supplied
+        # victims frame derived from the manifest) evaluates after the
+        # commit starts mutating state; cheap — live is checkpointed
         retire = (live.join(victims, on="rowgroup_id", how="leftsemi")
                   .localCheckpoint())
         attempt = uuid.uuid4().hex[:12]

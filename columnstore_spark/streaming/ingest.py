@@ -53,6 +53,14 @@ def encode_stream(spark: SparkSession, input_path: str, warehouse_root: str,
     `available_now=True` drains everything currently in `input_path`
     then stops (test/backfill mode); False runs continuously.
     """
+    # a batch's ids are `bucket * 2^20 + block` (default_rowgroup_expr)
+    # below its `batch_id << 40` offset — num_rowgroups must keep them
+    # inside the 2^40 namespace or batch 0 bleeds into batch 1 and the
+    # resume anti-join silently skips data
+    if num_rowgroups << 20 >= 1 << _BATCH_ID_SHIFT:
+        raise ValueError(
+            f"num_rowgroups={num_rowgroups} overflows the per-batch "
+            f"rowgroup-id namespace (max {(1 << (_BATCH_ID_SHIFT - 20)) - 1})")
     wh = Warehouse(warehouse_root)
     stream = spark.readStream.schema(schema).parquet(input_path)
 

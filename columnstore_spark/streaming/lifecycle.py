@@ -103,16 +103,23 @@ def conversation_close_stream(stream: DataFrame,
         n, first_us, last_us = (state.get if state.exists
                                 else (0, None, None))
         for pdf in pdfs:
-            ts = (pdf["ts"].dt.tz_localize(tz)
+            if not len(pdf):  # defensive: skip empty Arrow chunks
+                continue
+            # non-UTC session tz: wall times inside a DST fold/gap are
+            # inherently ambiguous — resolve deterministically (DST
+            # side / shift forward) instead of crash-looping the query
+            ts = (pdf["ts"].dt.tz_localize(tz, ambiguous=True,
+                                           nonexistent="shift_forward")
                   .astype("datetime64[us, UTC]").astype("int64"))
             n += len(pdf)
             lo, hi = int(ts.min()), int(ts.max())
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
+        if last_us is None:  # no rows and no prior state: nothing to track
+            return
         state.update((n, first_us, last_us))
         # close when the watermark passes last turn + gap (UTC ms)
         state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
-        yield from ()
 
     return (stream
             .withWatermark("ts", watermark)

@@ -227,3 +227,39 @@ def test_compact_on_legacy_manifest_without_additive_columns(
     res = s.compact()
     assert res["rowgroups_retired"] >= 2
     assert sorted(str(tuple(r)) for r in s.rows().collect()) == before
+
+
+def test_tombstone_only_commit_never_reuses_rewrite_ids(spark, tmp_path, t):
+    """A rewrite whose survivors are EMPTY (delete_where erasing every
+    row of its victim rowgroups) commits 'retired' tombstones and zero
+    'done' rows, dropping the id from the live view. The next rewrite's
+    id high-water mark must come from the RAW manifest: reusing the
+    retired id would write a later 'done' for it, which live_manifest's
+    same-second tie-break (retired outranks done) then silently hides —
+    the freshly committed rows vanish from every read."""
+    store = _small_store(spark, tmp_path, t)
+    store.compact()  # merge into the rewrite namespace (ids >= 2^62)
+    wh = store.warehouse
+    big = sorted(i for i in _live_rowgroups(store) if i >= 1 << 62)
+    assert big, "compact() should allocate in the rewrite namespace"
+    victims = spark.createDataFrame([(int(i),) for i in big],
+                                    "rowgroup_id bigint")
+    # tombstone-only commit: every victim row deleted, no survivors
+    out = wh.replace_rowgroups(spark, victims, t.limit(0))
+    assert out["rowgroups_retired"] == len(big)
+
+    # re-ingest and rewrite again — must allocate ABOVE the retired ids
+    store.add_range(t)
+    store.close()
+    store.compact()
+    m = wh.manifest(spark)
+    retired = {r["rowgroup_id"] for r in
+               m.where("status = 'retired'")
+               .select("rowgroup_id").distinct().collect()}
+    live_now = _live_rowgroups(store)
+    # a live rowgroup at an ever-retired id == id reuse (pre-fix the
+    # second compact() re-allocated exactly max(big))
+    reused = {i for i in live_now & retired if i >= 1 << 62}
+    assert not reused, f"rewrite reused retired ids {sorted(reused)}"
+    # and every re-ingested row is visible regardless of commit timing
+    assert store.rows().count() == t.count()
