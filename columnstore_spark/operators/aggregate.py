@@ -133,14 +133,15 @@ def _distinct_stage(segments: DataFrame, column: str,
         row = sub.select("logical_type").first()
         if row is None:
             raise ValueError(f"no segments for column {column!r}")
-        if row["logical_type"].startswith("nested:"):
-            # fail on the driver: Arrow has no dictionary_encode /
-            # value_counts kernels for nested types — an executor-side
-            # ArrowNotImplementedError would be opaque
-            raise ValueError(
-                f"nested column {column!r} unsupported for "
-                "distinct/group aggregates")
         value_type = _spark_type_of(row["logical_type"])
+    if isinstance(value_type, (T.ArrayType, T.MapType, T.StructType)):
+        # fail on the driver EVEN when the caller supplied the type
+        # (the facade always does): Arrow has no dictionary_encode /
+        # value_counts kernels for nested types — an executor-side
+        # ArrowNotImplementedError would be opaque
+        raise ValueError(
+            f"nested column {column!r} unsupported for "
+            "distinct/group aggregates")
     out_schema = T.StructType([
         T.StructField("value", value_type, True),
         T.StructField("cnt", T.LongType(), False),
@@ -408,6 +409,22 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
     pa_agg_t = pa_schema.field("min_agg").type
 
     def group_fn(payloads, logicals, colnames):
+        # schema evolution: a rowgroup encoded before add_column() has
+        # no segment for the late column. A missing WHERE column means
+        # the probe value never matches (the column is NULL there) —
+        # zero contribution, by SQL semantics. A missing group/agg
+        # column can't be answered on the encoded form: fail with the
+        # remedy instead of an opaque list-index error (the facade
+        # routes partial coverage through the decode fallback).
+        if where is not None and where_col not in colnames:
+            return None
+        gaps = [c for c in dict.fromkeys((agg_col, *group_cols))
+                if c not in colnames]
+        if gaps:
+            raise ValueError(
+                f"group_agg: rowgroup lacks segments for {gaps} "
+                "(column added after it was encoded?) — use the "
+                "decode fallback or rebuild() to materialize")
         ai = colnames.index(agg_col)
         per = [_gc(payloads[colnames.index(c)].as_py(),
                    logicals[colnames.index(c)]) for c in group_cols]
@@ -460,7 +477,12 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
             sg, sv = gv[order], vv[order]
             b = np.flatnonzero(np.diff(sg, prepend=-1))
             sums[sg[b]] = np.add.reduceat(sv, b)
-            mins[sg[b]] = np.minimum.reduceat(sv, b)
+            # Spark orders NaN above every double: MIN skips NaN
+            # (fmin; an all-NaN group still yields NaN) while MAX
+            # returns NaN when the group holds one (maximum
+            # propagates) — np.minimum would wrongly report NaN for
+            # a group like [1.0, NaN]. SUM propagates NaN (add).
+            mins[sg[b]] = np.fmin.reduceat(sv, b)
             maxs[sg[b]] = np.maximum.reduceat(sv, b)
         has_agg = n_agg > 0
         out = {}

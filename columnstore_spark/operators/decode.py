@@ -322,6 +322,7 @@ def _matching_stage(segments: DataFrame, column: str, probe_fn,
     from ..codecs.query import gather_ranges
 
     names = set(f.name for f in schema.fields)
+    first_field = arrow_schema_for(schema).field(0)
 
     def match_group(payloads, logicals, colnames):
         if column not in colnames:
@@ -334,9 +335,17 @@ def _matching_stage(segments: DataFrame, column: str, probe_fn,
         ranges = probe_fn(payloads[probe_i].as_py(), logicals[probe_i])
         if not ranges:
             return None
-        return {name: gather_ranges(payloads[i].as_py(), logicals[i],
-                                    ranges)
-                for i, name in enumerate(colnames) if name in names}
+        out = {name: gather_ranges(payloads[i].as_py(), logicals[i],
+                                   ranges)
+               for i, name in enumerate(colnames) if name in names}
+        if not out:
+            # every projected column is late-added relative to this
+            # rowgroup: the probe matched, so the rows exist — they
+            # must surface as NULL rows, not silently vanish. Size one
+            # null column; _rowgroup_stage null-fills the rest.
+            n = sum(ln for _, ln in ranges)
+            out = {first_field.name: pa.nulls(n, type=first_field.type)}
+        return out
 
     return _rowgroup_stage(segments, schema, num_partitions, match_group)
 

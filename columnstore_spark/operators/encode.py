@@ -251,6 +251,19 @@ def encode(df: DataFrame, rowgroup_expr: Column | None = None,
     return work.mapInArrow(encode_partition, SEGMENT_SCHEMA)
 
 
+def _ingest_type(t: pa.DataType) -> pa.DataType:
+    """Normalize a parquet field type to what Spark's scan delivers:
+    session-tz(UTC) timestamps at MICROsecond unit. ns-unit files
+    (which the JVM scan path refuses outright as an illegal parquet
+    type) downcast via arrow's SAFE cast — whole-us values ingest
+    losslessly, sub-us values raise ArrowInvalid at ingest instead of
+    committing segments the us-typed decode surface can never read."""
+    if pa.types.is_timestamp(t):
+        unit = "us" if t.unit == "ns" else t.unit
+        return pa.timestamp(unit, tz="UTC" if t.tz is not None else None)
+    return t
+
+
 def write_bucketed_layout(df: DataFrame, path: str,
                           num_rowgroups: int,
                           num_buckets: int | None = None,
@@ -277,11 +290,14 @@ def write_bucketed_layout(df: DataFrame, path: str,
         num_buckets = max(1, num_rowgroups // 8)
     rg = default_rowgroup_expr(num_rowgroups, rows_per_segment,
                                columns=df.columns)
+    # tolerate absent order columns the same way encode() and
+    # default_rowgroup_expr do (post-drop_column ingest frames)
+    sort_cols = [c for c in order if c in df.columns]
     (df.withColumn(rowgroup_col, rg.cast("long"))
        .repartition(num_buckets, F.col(rowgroup_col))
-       .sortWithinPartitions(rowgroup_col, *order)
+       .sortWithinPartitions(rowgroup_col, *sort_cols)
        .write.mode("overwrite").parquet(path))
-    return sorted(glob.glob(f"{path.rstrip('/')}/*.parquet"))
+    return sorted(glob.glob(f"{glob.escape(path.rstrip('/'))}/*.parquet"))
 
 
 def encode_files(spark, paths, rowgroup_col: str = "__rg",
@@ -397,14 +413,9 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                                 f"{rowgroup_col}")
                         seen.add(rg_id)
                         if cast_schema is None:
-                            fields = [
-                                pa.field(f.name,
-                                         pa.timestamp(f.type.unit, tz="UTC")
-                                         if pa.types.is_timestamp(f.type)
-                                         and f.type.tz is not None
-                                         else f.type)
-                                for f in gtbl.schema]
-                            cast_schema = pa.schema(fields)
+                            cast_schema = pa.schema(
+                                [pa.field(f.name, _ingest_type(f.type))
+                                 for f in gtbl.schema])
                             col_order = [c for c in gtbl.column_names
                                          if c != rowgroup_col]
                         yield _encode_rowgroup(
@@ -422,13 +433,9 @@ def encode_files(spark, paths, rowgroup_col: str = "__rg",
                 # normalize to the arrow schema Spark's scan delivers
                 # (session tz UTC) so segments are bit-identical
                 # across the two scan paths
-                cast = []
-                for f in tbl.schema:
-                    t = f.type
-                    if pa.types.is_timestamp(t) and t.tz is not None:
-                        t = pa.timestamp(t.unit, tz="UTC")
-                    cast.append(pa.field(f.name, t))
-                tbl = tbl.cast(pa.schema(cast))
+                tbl = tbl.cast(pa.schema(
+                    [pa.field(f.name, _ingest_type(f.type))
+                     for f in tbl.schema]))
                 sort_keys = [(rowgroup_col, "ascending")] + [
                     (c, "ascending") for c in order
                     if c in tbl.column_names]

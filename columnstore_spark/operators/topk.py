@@ -146,13 +146,15 @@ def topk(segments: DataFrame, column: str, k: int,
         # values hide in bound-less segments): no sound threshold
         return finish(segments)
 
-    # phase 2: tau = k-th probe value within the seed rowgroups
-    seed_vals = (decode(segments.where(F.col("rowgroup_id")
-                                       .isin(seed_ids)),
-                        schema=schema, columns=[column])
-                 .where(F.col(column).isNotNull())
-                 .orderBy(order[0]).limit(k).collect())
-    tau = seed_vals[-1][column]
+    # phase 2: tau = k-th probe value within the seed rowgroups —
+    # offset(k-1).limit(1) ships exactly ONE row to the driver instead
+    # of materializing all k probe values just to read the last
+    tau_row = (decode(segments.where(F.col("rowgroup_id")
+                                     .isin(seed_ids)),
+                      schema=schema, columns=[column])
+               .where(F.col(column).isNotNull())
+               .orderBy(order[0]).offset(k - 1).limit(1).collect())
+    tau = tau_row[0][column]
     if domain == "str":
         tau_stored = str(tau)
     elif domain == "flt":

@@ -538,3 +538,99 @@ def test_facade_group_agg_fallback_rejects_uint64(spark, tmp_path):
     # fallback branch; the (forced) uint64 agg type must raise there
     with _pytest.raises(ValueError, match="unsupported agg column"):
         store.group_agg("role", "turn_idx", where=("turn_idx", 0.5))
+
+
+def test_group_agg_float_nan_min_like_spark(spark):
+    """Spark orders NaN ABOVE every double: MIN skips NaN unless the
+    whole group is NaN, MAX returns NaN when the group holds one, SUM
+    propagates. One rowgroup forces the kernel's reduceat partials to
+    carry the semantics themselves (pre-fix np.minimum made
+    min([1.0, NaN]) = NaN)."""
+    import math
+
+    from columnstore_spark.operators.aggregate import group_agg
+    nan = float("nan")
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("g", T.IntegerType(), True),
+        T.StructField("f", T.DoubleType(), True),
+    ])
+    rows = [("c0", 0, 1.0), ("c1", 0, nan), ("c2", 0, 2.0),
+            ("c3", 1, nan), ("c4", 1, nan),
+            ("c5", 2, 3.0), ("c6", 2, 4.0), ("c7", 2, None)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=F.lit(0), order=("conv_id",))
+    got = {r["value"]: r for r in group_agg(segs, "g", "f").collect()}
+
+    def same(a, b):
+        if isinstance(a, float) and isinstance(b, float) \
+                and math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+
+    exp = df.groupBy(F.col("g").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.count("f").alias("n_agg"),
+        F.sum("f").alias("sum_agg"), F.min("f").alias("min_agg"),
+        F.max("f").alias("max_agg")).collect()
+    assert len(exp) == len(got) == 3
+    for r in exp:
+        g = got[r["value"]]
+        for k in ("cnt", "n_agg", "sum_agg", "min_agg", "max_agg"):
+            assert same(g[k], r[k]), (r["value"], k, g[k], r[k])
+    # pin the headline case explicitly: min skips NaN, max keeps it
+    assert got[0]["min_agg"] == 1.0 and math.isnan(got[0]["max_agg"])
+    assert math.isnan(got[1]["min_agg"])
+
+
+def test_group_agg_evolution_gaps(spark):
+    """Rowgroups lacking a late-added column: a missing WHERE column
+    contributes nothing (the probe value never equals NULL); a missing
+    group/agg column fails with a clear message, not an opaque
+    list-index error."""
+    from columnstore_spark.operators.aggregate import group_agg
+    sch_old = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("g", T.IntegerType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    sch_new = T.StructType(
+        sch_old.fields + [T.StructField("f", T.DoubleType(), True)])
+    old = spark.createDataFrame(
+        [(f"a{i}", i % 2, i) for i in range(20)], sch_old)
+    new = spark.createDataFrame(
+        [(f"b{i}", i % 2, 100 + i, float(i % 3)) for i in range(20)],
+        sch_new)
+    segs = (encode(old, rowgroup_expr=F.lit(0), order=("conv_id",))
+            .unionByName(
+                encode(new, rowgroup_expr=F.lit(1), order=("conv_id",))))
+
+    # missing WHERE column: only the covered rowgroup contributes
+    got = {r["value"]: (r["cnt"], r["sum_agg"])
+           for r in group_agg(segs, "g", "v", where=("f", 1.0)).collect()}
+    exp = {r["g"]: (r["cnt"], r["s"])
+           for r in new.where(F.col("f") == 1.0).groupBy("g")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("s")).collect()}
+    assert got == exp and got
+
+    # missing AGG column: clear executor-side error names the gap
+    with pytest.raises(Exception, match="lacks segments"):
+        group_agg(segs, "g", "f").collect()
+
+
+def test_distinct_nested_column_fails_on_driver(spark):
+    """distinct/count_distinct on a nested column must raise a clean
+    ValueError on the driver even when the caller supplies value_type
+    (the facade always does) — not an executor-side
+    ArrowNotImplementedError from pc.value_counts."""
+    from columnstore_spark.operators.aggregate import distinct_values
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("emb", T.ArrayType(T.DoubleType()), True),
+    ])
+    df = spark.createDataFrame(
+        [(f"c{i}", [float(i), 1.0]) for i in range(10)], sch)
+    segs = encode(df, rowgroup_expr=F.lit(0), order=("conv_id",))
+    for vt in (None, T.ArrayType(T.DoubleType())):
+        with pytest.raises(ValueError, match="nested"):
+            distinct_values(segs, "emb", value_type=vt)

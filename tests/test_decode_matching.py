@@ -153,3 +153,31 @@ def test_query_range_kernel_superset_fallbacks():
                           codec=dictrle.CODEC_ID)
     ranges = query_range(iseg.payload, iseg.logical, 2.5, 5.5)
     assert sum(ln for _, ln in ranges) >= 3  # superset of {3,4,5}
+
+
+def test_projection_of_late_added_column_nullfills(spark, transcripts):
+    """Projecting ONLY a column that some rowgroups predate (schema
+    evolution) must surface their matching rows as NULLs — pre-fix the
+    rowgroup's name-filtered dict came back empty and the matched rows
+    silently vanished."""
+    from pyspark.sql import types as T
+
+    t_old = transcripts.where(F.col("turn_idx") % 2 == 0)
+    t_new = (transcripts.where(F.col("turn_idx") % 2 == 1)
+             .withColumn("score", (F.col("turn_idx") * 2).cast("long")))
+    segs = (encode(t_old, rowgroup_expr=F.lit(0))
+            .unionByName(encode(t_new, rowgroup_expr=F.lit(1))))
+    schema = T.StructType(
+        list(transcripts.schema.fields)
+        + [T.StructField("score", T.LongType(), True)])
+
+    got = decode_matching(segs, "role", "user", columns=["score"],
+                          schema=schema)
+    assert got.columns == ["score"]
+    vals = [r["score"] for r in got.collect()]
+    n_old = t_old.where(F.col("role") == "user").count()
+    exp_new = sorted(r["score"] for r in
+                     t_new.where(F.col("role") == "user")
+                     .select("score").collect())
+    assert vals.count(None) == n_old and n_old > 0
+    assert sorted(v for v in vals if v is not None) == exp_new

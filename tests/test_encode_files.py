@@ -171,3 +171,55 @@ def test_missing_rowgroup_col(spark, tmp_path):
     f = sorted(glob.glob(os.path.join(p, "*.parquet")))
     with pytest.raises(Exception, match="__rg"):
         encode_files(spark, f).collect()
+
+
+def test_ns_timestamps_normalize_or_fail_at_ingest(spark, tmp_path):
+    """ns-unit parquet (which the JVM scan path refuses outright):
+    whole-microsecond values ingest losslessly as timestamp_us and
+    decode fine; sub-microsecond values raise AT INGEST instead of
+    committing segments the us-typed decode surface can never read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnstore_spark.operators.encode import encode_files
+
+    def write(path, ns_vals):
+        tbl = pa.table({
+            "__rg": pa.array([0] * len(ns_vals), type=pa.int64()),
+            "conv_id": pa.array([f"c{i}" for i in range(len(ns_vals))]),
+            "ts": pa.array(ns_vals, type=pa.timestamp("ns", tz="UTC")),
+        })
+        pq.write_table(tbl, path)
+        return path
+
+    ok = write(str(tmp_path / "ok.parquet"),
+               [1_000_000_000_000 * i for i in range(1, 5)])
+    segs = encode_files(spark, [ok])
+    out = decode(segs)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.count() == 4
+
+    bad = write(str(tmp_path / "bad.parquet"),
+                [1_000_000_000_001])  # sub-us remainder: lossy
+    with pytest.raises(Exception, match="(?i)lose data|truncat"):
+        encode_files(spark, [bad]).collect()
+    with pytest.raises(Exception, match="(?i)lose data|truncat"):
+        encode_files(spark, [bad], presorted=True).collect()
+
+
+def test_write_bucketed_layout_without_order_columns(spark, transcripts,
+                                                     tmp_path):
+    """A frame missing the default order columns (post-drop_column
+    ingest) must still write — absent sort keys are skipped, same
+    tolerance as encode() and default_rowgroup_expr."""
+    from columnstore_spark.operators import write_bucketed_layout
+    from columnstore_spark.operators.encode import encode_files
+
+    df = transcripts.drop("turn_idx")
+    paths = write_bucketed_layout(df, str(tmp_path / "b"),
+                                  num_rowgroups=4, num_buckets=2)
+    assert paths
+    segs = encode_files(spark, paths)
+    got = decode(segs)
+    assert got.count() == transcripts.count()
+    assert "turn_idx" not in got.columns
