@@ -90,14 +90,26 @@ def _q_encode_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnstore_spark.operators import encode_files
 
     t = load_transcripts(spark, sf_dir)
-    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"cs_direct_{key}")
+    # cache key covers the SOURCE parquet fingerprints, not just the
+    # path: a regenerated testdata set at the same sf_dir must rebuild
+    # the layout, or the Spark side would encode stale /tmp data while
+    # the DuckDB oracle reads the fresh files
+    h = hashlib.sha256(sf_dir.encode())
+    for src in sorted(glob.glob(os.path.join(glob.escape(sf_dir),
+                                             "*.parquet"))):
+        st = os.stat(src)
+        h.update(f"{os.path.basename(src)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+    root = os.path.join(tempfile.gettempdir(),
+                        f"cs_direct_{h.hexdigest()[:12]}")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        (t.withColumn("__rg", _rg_expr().cast("long"))
-         .repartition(4, "__rg")
-         .sortWithinPartitions("__rg", "conv_id", "turn_idx")
-         .write.mode("overwrite").parquet(root))
-    paths = sorted(glob.glob(os.path.join(root, "*.parquet")))
+        # the ingest half of the direct-scan contract lives in ONE
+        # place (sort keys, rowgroup column, file layout)
+        from columnstore_spark.operators import write_bucketed_layout
+        write_bucketed_layout(t, root, num_rowgroups=4, num_buckets=4,
+                              rowgroup_expr=_rg_expr().cast("long"))
+    paths = sorted(glob.glob(os.path.join(glob.escape(root),
+                                          "*.parquet")))
     segs = encode_files(spark, paths, presorted=True)
     return decode(segs).select(TRANSCRIPT_COLS)
 

@@ -49,7 +49,7 @@ def _noop(df):
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Wall-clock budget for the WHOLE bench process (seconds). The full
-# 21-query best-of-3 run takes ~3.5 min on an idle box, but this host
+# 23-query best-of-3 run takes ~4 min on an idle box, but this host
 # shows 2-4x co-tenant jitter (preamble) and the driver runs bench
 # under a hard timeout — a killed bench records nothing, which is
 # strictly worse than best-of-1 timings. _best sheds repeats as the
@@ -130,7 +130,10 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
                                        num_buckets=enc_parts)
 
         def q_encode_direct():
-            encode_files(spark, bpaths, presorted=True).write.mode(
+            # same job as q_encode (incl. the production conv_id bloom
+            # build) so min() below compares like with like
+            encode_files(spark, bpaths, presorted=True,
+                         bloom_columns=("conv_id",)).write.mode(
                 "overwrite").parquet(f"{tmp}/segments_direct")
 
         timings["q_encode_direct"] = _best(q_encode_direct)
@@ -363,8 +366,12 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         "cpus": cpus,
         "bench_repeats": REPEATS,
         "warehouse_storage": storage,
+        # (raw_gb, enc_gb) describe ONE encode — the replicated
+        # parallel store every timed query ran against (the r1/r2
+        # pairing); (capacity_raw_gb, capacity_enc_gb) are the
+        # symmetric single-copy capacity-store pair
         "raw_gb": round(raw_bytes / 1e9, 4),
-        "enc_gb": round(cap_enc_bytes / 1e9, 4),
+        "enc_gb": round(enc_bytes / 1e9, 4),
         "throughput_gbps": round(raw_bytes / 1e9 / enc_sec, 4),
         "rows_per_sec": round(rows / enc_sec),
         # headline ratio = reference-capacity rowgroups (1M rows,
@@ -376,7 +383,7 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         "compression_ratio_parallel_store":
             round(raw_bytes / max(enc_bytes, 1), 3),
         "capacity_raw_gb": round(cap_raw_bytes / 1e9, 4),
-        "enc_gb_parallel_store": round(enc_bytes / 1e9, 4),
+        "capacity_enc_gb": round(cap_enc_bytes / 1e9, 4),
         "capacity_encode_sec": round(cap_sec, 3),
     }
 

@@ -129,7 +129,11 @@ class SparkDialect(Dialect):
     def list_sum(self, x):
         return f"aggregate({x}, 0D, (acc, v) -> acc + v)"
     def element(self, x, i): return f"element_at({x}, {i})"
-    def re_replace_all(self, x, pat): return f"regexp_replace({x}, '{pat}', '')"
+    def re_replace_all(self, x, pat):
+        # route through rlit like re_replace: Spark literals consume
+        # backslashes, so a raw f-string would desync vs DuckDB the
+        # moment a pattern carries an escape
+        return f"regexp_replace({x}, {self.rlit(pat)}, '')"
     def re_replace(self, x, pat, repl):
         return f"regexp_replace({x}, {self.rlit(pat)}, '{repl}')"
     def contains(self, arr, x): return f"array_contains({arr}, {x})"

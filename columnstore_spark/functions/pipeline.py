@@ -770,15 +770,22 @@ FROM votes
 """
 
 
+def _simhash_bands(d: Dialect) -> str:
+    """The 4x12-bit band projection — ONE spelling shared by the Spark
+    runner (simhash_chunked_sql) and the oracle (simhash_pairs_sql) so
+    a band-geometry change can never desynchronize them."""
+    return ", ".join(
+        f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
+        for b in range(4))
+
+
 def simhash_chunked_sql(d: Dialect, table: str = "documents") -> str:
     """(doc_id, simhash, chunk_0..3) — the explode-heavy half of the
     SimHash pipeline, separated so Spark can materialize it once
     (same CTE-inlining rationale as minhash_banded_sql)."""
     sim = simhash_sql(d, table)
-    bands = ", ".join(
-        f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
-        for b in range(4))
-    return f"WITH sim AS ({sim}) SELECT doc_id, simhash, {bands} FROM sim"
+    return (f"WITH sim AS ({sim}) "
+            f"SELECT doc_id, simhash, {_simhash_bands(d)} FROM sim")
 
 
 def simhash_pairs_over(d: Dialect, chunked: str = "chunked",
@@ -812,9 +819,7 @@ def simhash_pairs_sql(d: Dialect, table: str = "documents",
     12-bit band (pigeonhole over 4 bands); max_hamming=6 keeps recall
     high while the band join keeps the candidate set bucket-local."""
     sim = simhash_sql(d, table)
-    bands = ", ".join(
-        f"({d.shiftright('simhash', str(12 * b))} & 4095) AS chunk_{b}"
-        for b in range(4))
+    bands = _simhash_bands(d)
     over = simhash_pairs_over(d, "chunked", max_hamming)
     assert over.startswith("\nWITH ")  # same splice guard as siblings
     rest = over[len("\nWITH "):]

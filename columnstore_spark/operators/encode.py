@@ -270,7 +270,9 @@ def write_bucketed_layout(df: DataFrame, path: str,
                           rows_per_segment: int = 1_000_000,
                           order: tuple[str, ...] = ("conv_id",
                                                     "turn_idx"),
-                          rowgroup_col: str = "__rg") -> list[str]:
+                          rowgroup_col: str = "__rg",
+                          rowgroup_expr: Column | None = None
+                          ) -> list[str]:
     """Write `df` as the bucketed-table layout `encode_files` consumes:
     parquet partitioned by the salted rowgroup key (kept as
     `rowgroup_col`), rows sorted by (key, *order) within each file so
@@ -288,8 +290,9 @@ def write_bucketed_layout(df: DataFrame, path: str,
 
     if num_buckets is None:
         num_buckets = max(1, num_rowgroups // 8)
-    rg = default_rowgroup_expr(num_rowgroups, rows_per_segment,
-                               columns=df.columns)
+    rg = (rowgroup_expr if rowgroup_expr is not None
+          else default_rowgroup_expr(num_rowgroups, rows_per_segment,
+                                     columns=df.columns))
     # tolerate absent order columns the same way encode() and
     # default_rowgroup_expr do (post-drop_column ingest frames)
     sort_cols = [c for c in order if c in df.columns]
