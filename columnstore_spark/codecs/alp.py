@@ -34,6 +34,11 @@ import numpy as np
 
 from . import bitpack, forpack
 from . import values as V
+# zigzag helpers shared with the FoR family: ONE spelling of the
+# wire-format-critical scalar codec (forpack owns it; alp's header
+# varints and its embedded encode_for body must never fork)
+from .forpack import _unzz1 as _unzz
+from .forpack import _zz1 as _zz
 
 CODEC_ID = 13
 
@@ -47,14 +52,6 @@ _SAMPLE = 1024       # selection sample size
 _I64_SAFE = float(1 << 62)  # |scaled| bound before the int64 cast
 
 _POW10 = 10.0 ** np.arange(0, _MAX_K + 1)
-
-
-def _zz(v: int) -> int:
-    return (v << 1) ^ (v >> 63) if v >= 0 else ((v << 1) ^ -1) & ((1 << 64) - 1)
-
-
-def _unzz(u: int) -> int:
-    return (u >> 1) ^ -(u & 1)
 
 
 def _reconstruct(d: np.ndarray, k: int) -> np.ndarray:

@@ -125,6 +125,12 @@ def varint_decode_array(buf: bytes | memoryview, count: int) -> tuple[np.ndarray
     out = np.zeros(count, dtype=np.uint64)
     payload = (raw & 0x7F).astype(np.uint64)
     max_w = int(within.max()) if consumed else 0
+    if max_w >= 10:
+        # a uint64 LEB128 varint is at most 10 bytes; longer means a
+        # corrupted stream (e.g. a run of continuation bytes). numpy
+        # leaves shifts >= 64 UNDEFINED, so without this check the
+        # decode would return silent garbage instead of raising.
+        raise ValueError("varint longer than 10 bytes: corrupt stream")
     for k in range(max_w + 1):
         sel = within == k
         out[value_idx[sel]] |= payload[sel] << np.uint64(7 * k)

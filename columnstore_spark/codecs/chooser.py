@@ -40,7 +40,15 @@ def choose(st: SegmentStats, logical: str, vals, mode: str = MODE_SIZE) -> int:
     if st.n_distinct == 1:
         return constant.CODEC_ID
 
-    candidates: dict[int, int] = {plain.CODEC_ID: st.raw_bytes}
+    # plain's candidate must be its EXACT written size: for var columns
+    # write_var spends ~1 B/value on varint lengths, not the 4 B/value
+    # Arrow-offset equivalent raw_bytes reports — scoring plain at
+    # raw_bytes let FSST "win" arbitrations it actually lost
+    if logical in V.VAR_LOGICAL and isinstance(vals, V.VarChunk):
+        plain_size = V.var_encoded_size(vals)
+    else:
+        plain_size = st.raw_bytes  # fixed width: write_fixed == raw
+    candidates: dict[int, int] = {plain.CODEC_ID: plain_size}
     candidates[dictrle.CODEC_ID] = dictrle.estimate_size(
         st.n_rows - st.n_nulls, st.n_distinct, st.n_runs,
         st.dict_raw_bytes, st.max_run_len)

@@ -520,6 +520,18 @@ def query_range(payload: bytes | memoryview, logical: str,
     return _mask_to_ranges(np.asarray(mask))
 
 
+def _empty(payload: bytes | memoryview, logical: str) -> pa.Array:
+    """0-row array of the segment's type WITHOUT decoding the body —
+    callers probing many segments must not pay a full decode per
+    non-matching segment just to build an empty slice. Nested logicals
+    keep the decode-slice fallback (their arrow type lives in the IPC
+    body, and _pa_type's scalar mapping doesn't cover them)."""
+    if logical.startswith("nested:"):
+        return decode_segment(payload, logical).slice(0, 0)
+    from .segment import _pa_type
+    return pa.array([], type=_pa_type(logical))
+
+
 def gather_ranges(payload: bytes | memoryview, logical: str,
                   ranges: list[tuple[int, int]]) -> pa.Array:
     """Concatenated rows of `ranges` [(start, len), ...] from one
@@ -531,7 +543,7 @@ def gather_ranges(payload: bytes | memoryview, logical: str,
     (the window fast path); everything else decodes the segment ONCE
     and gathers slices — never once per range."""
     if not ranges:
-        return decode_segment(payload, logical).slice(0, 0)
+        return _empty(payload, logical)
     codec, n, validity, body = _parse_frame(payload)
     if validity is None and codec == dictrle.CODEC_ID:
         # parse the frame ONCE (a probe can yield one range per run —
@@ -557,7 +569,7 @@ def query_window(payload: bytes | memoryview, logical: str,
     start = max(0, start)
     length = max(0, min(length, n - start))
     if length == 0:
-        return decode_segment(payload, logical).slice(0, 0)
+        return _empty(payload, logical)
 
     if validity is None and codec == dictrle.CODEC_ID:
         return _dict_window(_dict_runs(body, logical), logical,

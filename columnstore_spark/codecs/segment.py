@@ -354,7 +354,10 @@ def _ipc_bytes(arr: pa.Array) -> bytes:
 
 
 def _ipc_read(body: bytes | memoryview) -> pa.Array:
-    with pa.ipc.open_stream(pa.py_buffer(bytes(body))) as r:
+    # py_buffer accepts the memoryview ZERO-COPY (and keeps the backing
+    # payload alive); bytes(body) would memcpy the whole IPC stream on
+    # every nested-segment decode
+    with pa.ipc.open_stream(pa.py_buffer(body)) as r:
         tbl = r.read_all()
     return tbl.column(0).combine_chunks()
 

@@ -116,7 +116,11 @@ def collect(vals, logical: str, n_total: int, n_nulls: int) -> SegmentStats:
         max_run_len=int(run_len.max()) if run_len.size else 0,
     )
     if isinstance(vals, V.VarChunk):
-        st.dict_raw_bytes = uniques.nbytes_raw()
+        # exact write_var size of the dictionary payload, so the
+        # chooser's dict-vs-plain-vs-FSST arbitration compares what
+        # each codec actually writes (nbytes_raw's 4 B/value offset
+        # convention overestimated var dictionaries ~3 B per distinct)
+        st.dict_raw_bytes = V.var_encoded_size(uniques)
         st.avg_len = float(vals.lengths.mean()) if n else 0.0
         # min/max over the dictionary (cheaper than full column)
         arr = V.var_chunk_to_arrow(uniques, logical)

@@ -145,6 +145,17 @@ def write_var(chunk: VarChunk) -> bytes:
     return b"".join((bitpack.write_varint(len(lens)), lens, chunk.blob))
 
 
+def var_encoded_size(chunk: VarChunk) -> int:
+    """Exact byte size write_var(chunk) would produce, WITHOUT
+    encoding — the chooser's size arithmetic must score candidates by
+    what they actually write (varint length stream, ~1 B/short value),
+    not the 4 B/value Arrow-offset-equivalent `nbytes_raw` reports."""
+    lens_bytes = int(bitpack.varint_nbytes(
+        chunk.lengths.astype(np.uint64, copy=False)).sum())
+    return len(bitpack.write_varint(lens_bytes)) + lens_bytes \
+        + len(chunk.blob)
+
+
 def read_var(buf: memoryview, n: int) -> tuple[VarChunk, int]:
     lens_size, pos = bitpack.read_varint(buf)
     lengths, _ = bitpack.varint_decode_array(buf[pos:pos + lens_size], n)

@@ -86,3 +86,28 @@ def test_mode_none_forces_plain():
     arr = pa.array(["a"] * 1000)
     seg = encode_segment(arr, mode=chooser.MODE_NONE)
     assert seg.codec_id == CODEC_IDS["plain"]
+
+
+def test_chooser_scores_plain_at_exact_written_size():
+    """plain's candidate must be write_var's EXACT size (varint length
+    stream, ~1 B/short value), not the 4 B/value Arrow-offset raw
+    convention — pre-fix FSST could 'win' an arbitration against a
+    plain payload that was actually smaller AND cheaper."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from columnstore_spark.codecs import chooser, plain
+    from columnstore_spark.codecs import values as V
+    from columnstore_spark.codecs.stats import collect
+
+    random.seed(7)
+    strs = ["".join(random.choices(string.ascii_letters, k=12))
+            for _ in range(2000)]
+    chunk = V.var_chunk_from_arrow(
+        pa.array(strs, type=pa.large_utf8()))
+    assert V.var_encoded_size(chunk) == len(plain.encode(chunk, "string"))
+    st = collect(chunk, "string", n_total=2000, n_nulls=0)
+    cid = chooser.choose(st, "string", chunk, mode=chooser.MODE_SIZE)
+    assert cid == plain.CODEC_ID  # incompressible text: plain wins

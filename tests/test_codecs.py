@@ -198,3 +198,47 @@ def test_bitpack_roundtrip():
         packed = bitpack.pack_bits(vals, width)
         out = bitpack.unpack_bits(packed, len(vals), width)
         np.testing.assert_array_equal(out, vals)
+
+
+def test_varint_decode_rejects_overlong_values():
+    """A corrupted stream with 10+ continuation bytes must raise, not
+    feed numpy a shift >= 64 (undefined -> silent garbage)."""
+    import numpy as np
+    import pytest
+
+    from columnstore_spark.codecs import bitpack
+
+    with pytest.raises(ValueError, match="corrupt"):
+        bitpack.varint_decode_array(b"\x80" * 12 + b"\x01", 1)
+    # a legal 10-byte varint (uint64 max) still round-trips
+    enc = bitpack.varint_encode_array(
+        np.array([2**64 - 1, 0, 127, 128], dtype=np.uint64))
+    out, _ = bitpack.varint_decode_array(enc, 4)
+    assert out.tolist() == [2**64 - 1, 0, 127, 128]
+
+
+def test_empty_gather_and_window_skip_decode_with_right_type():
+    """gather_ranges([]) / zero-length windows return a 0-row array of
+    the segment's exact arrow type without decoding the body."""
+    import numpy as np
+    import pyarrow as pa
+
+    from columnstore_spark.codecs.query import gather_ranges, query_window
+    from columnstore_spark.codecs.segment import encode_segment
+
+    cases = [
+        (pa.array(np.arange(50, dtype=np.int64)), "int64"),
+        (pa.array([f"s{i % 5}" for i in range(50)],
+                  type=pa.large_utf8()), "string"),
+        (pa.array(np.linspace(0, 1, 50)), "float64"),
+    ]
+    for arr, logical in cases:
+        seg = encode_segment(arr, logical)
+        payload = seg.payload
+        e = gather_ranges(payload, logical, [])
+        w = query_window(payload, logical, 10, 0)
+        assert len(e) == len(w) == 0
+        assert e.type == w.type == arr.type
+        # concat with a real gather keeps the type (no drift)
+        g = gather_ranges(payload, logical, [(0, 3)])
+        assert pa.concat_arrays([e, g]).type == arr.type
