@@ -8,6 +8,7 @@ handling for the salted conv_id-range shuffle (SURVEY.md §4.2).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -20,14 +21,17 @@ def get_spark(app: str = "columnstore_spark", master: str | None = None,
     # ~4x slower end-to-end on text-heavy rows (measured on bench.py)
     master = master or os.environ.get("SPARK_MASTER", None) or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    cores = "".join(c for c in master if c.isdigit()) or "32"
-    shuffle = shuffle_partitions or int(os.environ.get(
-        "SPARK_SQL_SHUFFLE_PARTITIONS", cores))
+    # derive a shuffle default only from a local[N] master — any other
+    # URL (spark://host:7077, local-cluster[2,1,1024]) must not have
+    # its digits concatenated into a partition count
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    env = os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS")
+    shuffle = shuffle_partitions or (int(env) if env else None) or \
+        (int(m.group(1)) if m else None)
     b = (
         SparkSession.builder.appName(app)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch_rows))
@@ -37,6 +41,10 @@ def get_spark(app: str = "columnstore_spark", master: str | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if shuffle is not None:
+        # cluster masters without an explicit setting keep Spark's own
+        # default (AQE coalesces the excess anyway)
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle))
     return b.getOrCreate()
 
 

@@ -299,7 +299,10 @@ class TranscriptColumnStore:
         else:
             self._generation = self._latest_generation()
         self.warehouse = Warehouse(self._gen_root(), format=format)
-        os.makedirs(self._delta_root(), exist_ok=True)
+        if not self._pinned:
+            # a pinned open is contractually read-only — it must work
+            # against a read-only mount, so no mkdir on its path
+            os.makedirs(self._delta_root(), exist_ok=True)
 
     # -- layout --------------------------------------------------------------
 
@@ -334,6 +337,28 @@ class TranscriptColumnStore:
         except FileNotFoundError:
             return set()
 
+    def _batch_rows(self, name: str) -> int:
+        """Row count of one delta batch from parquet FOOTERS (driver-
+        side metadata read, no Spark job)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        d = _glob.escape(f"{self._delta_root()}/{name}")
+        return sum(pq.read_metadata(p).num_rows
+                   for p in _glob.glob(f"{d}/*.parquet"))
+
+    def _retire_batches(self, names: list[str]) -> None:
+        """Merge `names` into retired_batches.txt (atomic rewrite —
+        the file is small; a crash leaves either version, both safe:
+        an unretired empty batch is just retried on the next close)."""
+        merged = sorted(self._retired_batches() | set(names))
+        os.makedirs(self._gen_root(), exist_ok=True)
+        tmp = f"{self._gen_root()}/.retired_batches.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(merged))
+        os.replace(tmp, f"{self._gen_root()}/retired_batches.txt")
+
     def _pending_batches(self) -> list[str]:
         # a pinned (time-travel) store never sees pending deltas: they
         # postdate its snapshot. Guarded HERE so every consumer —
@@ -363,14 +388,53 @@ class TranscriptColumnStore:
         The next index counts RETIRED names too, not just directories
         on disk: after vacuum() deletes a folded batch dir, reusing its
         name would make the new rows look already-folded to
-        `_pending_batches` — appended data silently never compacted."""
+        `_pending_batches` — appended data silently never compacted.
+
+        An empty frame is a NO-OP returning -1: an on-disk zero-row
+        batch could never be retired by close() (encode commits no
+        manifest rows for it), leaving it pending forever and blocking
+        every mutation behind _require_closed.
+
+        The frame's columns must be a subset of the store schema with
+        matching types — silent widening would bypass the schema log
+        that every evolution-coverage guard keys on (add_column is the
+        sanctioned path)."""
         self._writable()
+        eff = self.schema()
+        if eff.fields:
+            def norm(dt: T.DataType) -> T.DataType:
+                # the session pins UTC, so NTZ and UTC-adjusted
+                # timestamps encode identically — not drift
+                return (T.TimestampType()
+                        if isinstance(dt, T.TimestampNTZType) else dt)
+
+            # physical-but-dropped columns stay accepted (legacy feeds
+            # keep shipping them while a drop is pending; reads project
+            # them away) — only NEVER-DECLARED columns are drift
+            types = {f.name: norm(f.dataType)
+                     for f in self._physical_fields()}
+            types.update((f.name, norm(f.dataType)) for f in eff.fields)
+            extra = sorted(set(df.columns) - set(types))
+            if extra:
+                raise ValueError(
+                    f"add_range: column(s) {extra} not in the store "
+                    "schema — add_column() them first")
+            mism = sorted(
+                f"{c}: {df.schema[c].dataType.simpleString()} != "
+                f"{types[c].simpleString()}"
+                for c in df.columns
+                if norm(df.schema[c].dataType) != types[c])
+            if mism:
+                raise ValueError(f"add_range: type mismatch {mism}")
         taken = {int(b.split("_")[1])
                  for b in set(self._batches()) | self._retired_batches()
                  if b.startswith("batch_")}
         idx = max(taken) + 1 if taken else 0
-        df.write.mode("errorifexists").parquet(
-            f"{self._delta_root()}/batch_{idx:06d}")
+        path = f"{self._delta_root()}/batch_{idx:06d}"
+        df.write.mode("errorifexists").parquet(path)
+        if self._batch_rows(f"batch_{idx:06d}") == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            return -1
         return idx
 
     def close(self) -> int:
@@ -381,6 +445,13 @@ class TranscriptColumnStore:
         compacted = 0
         for name in self._pending_batches():
             batch_idx = int(name.split("_")[1])
+            if self._batch_rows(name) == 0:
+                # a zero-row batch (legacy stores; add_range now blocks
+                # them) commits no manifest rows, so encode alone would
+                # leave it pending FOREVER — retire it explicitly
+                self._retire_batches([name])
+                compacted += 1
+                continue
             df = self.spark.read.parquet(f"{self._delta_root()}/{name}")
             self.warehouse.encode_resumable(
                 df, num_rowgroups=self.num_rowgroups,
@@ -454,16 +525,16 @@ class TranscriptColumnStore:
             cand = prune_rowgroups_by_null(segs, column)
         cond = _exact_pred_cond([(col, kind, payload, lt)],
                                 any_mode=False)
-        # schema from the UNpruned segments: a fully-pruned candidate
-        # set would otherwise infer an empty schema and the predicate
-        # column wouldn't resolve. The decode keeps each row's source
-        # rowgroup id so the victim set tightens to rowgroups that
-        # ACTUALLY hold matches — a bounds/bloom false-positive
-        # candidate decodes but is never rewritten or tombstoned
-        # (needless rewrites double a rowgroup's stored bytes until
-        # rebuild()).
+        # schema from the MANIFEST (metadata-only; a fully-pruned
+        # candidate set would otherwise infer an empty schema and the
+        # predicate column wouldn't resolve). The decode keeps each
+        # row's source rowgroup id so the victim set tightens to
+        # rowgroups that ACTUALLY hold matches — a bounds/bloom
+        # false-positive candidate decodes but is never rewritten or
+        # tombstoned (needless rewrites double a rowgroup's stored
+        # bytes until rebuild()).
         decoded = decode_with_rowgroup(
-            cand, schema=schema_from_segments(segs)).persist()
+            cand, schema=schema_from_segments(m)).persist()
         victims = None
         try:
             victims = (decoded.where(cond).select(
@@ -529,21 +600,26 @@ class TranscriptColumnStore:
         noop = {"rows_deleted": 0, "rowgroups_rewritten": 0,
                 "rowgroups_retired": 0}
         kc = key_col or on
-        keys = (keys.select(F.col(kc).alias(on))
-                .where(F.col(on).isNotNull()).distinct().persist())
+        # every raising guard runs BEFORE the first persist, and the
+        # try starts immediately after it — a guard raise must not
+        # leak cached frames for the session lifetime
         m = self._manifest_or_raise()
         if self._schema_log():
             self._guard_materialized(m, [on], "delete_keys")
         lt = self._logical_type(m, on)
         if lt is None:
             raise ValueError(f"unknown column {on!r}")
-        from .operators.semijoin import semi_join_segments
-        segs = self.warehouse.committed_segments(self.spark)
-        cand = semi_join_segments(segs, m, on, keys, lt)
-        decoded = decode_with_rowgroup(
-            cand, schema=schema_from_segments(segs)).persist()
-        victims = None
+        keys = (keys.select(F.col(kc).alias(on))
+                .where(F.col(on).isNotNull()).distinct().persist())
+        decoded = victims = None
         try:
+            from .operators.semijoin import semi_join_segments
+            segs = self.warehouse.committed_segments(self.spark)
+            cand = semi_join_segments(segs, m, on, keys, lt)
+            # schema off the manifest (metadata-only), not a second
+            # pass over the committed-segments join
+            decoded = decode_with_rowgroup(
+                cand, schema=schema_from_segments(m)).persist()
             matches = decoded.join(keys, on=on, how="leftsemi")
             victims = (matches.select(F.col("__rg").alias("rowgroup_id"))
                        .distinct().persist())
@@ -561,8 +637,9 @@ class TranscriptColumnStore:
                 rows_per_segment=self.rows_per_segment,
                 mode=self.mode, bloom_columns=self.bloom_columns)
         finally:
-            decoded.unpersist()
             keys.unpersist()
+            if decoded is not None:
+                decoded.unpersist()
             if victims is not None:
                 victims.unpersist()
         return {"rows_deleted": n_del,
@@ -581,8 +658,8 @@ class TranscriptColumnStore:
         fully merged one. Requires a fully closed store."""
         self._writable()
         self._require_closed("upsert")
-        keys = (df.select(F.col(key).alias(key))
-                .where(F.col(key).isNotNull()).distinct().persist())
+        # raising guards run BEFORE any persist (a guard raise must not
+        # leak cached frames); schema comes off the manifest metadata
         m = self._manifest_or_raise()
         if self._schema_log():
             # the incoming frame must carry every physical column of
@@ -592,10 +669,7 @@ class TranscriptColumnStore:
         lt = self._logical_type(m, key)
         if lt is None:
             raise ValueError(f"unknown column {key!r}")
-        from .operators.semijoin import semi_join_segments
-        segs = self.warehouse.committed_segments(self.spark)
-        cand = semi_join_segments(segs, m, key, keys, lt)
-        schema = schema_from_segments(segs)
+        schema = schema_from_segments(m)
         if self._schema_log():
             # a dropped-but-still-physical column stays in the rewrite
             # schema until rebuild(); incoming frames naturally omit
@@ -624,14 +698,27 @@ class TranscriptColumnStore:
             for f in schema.fields:
                 if f.name not in eff_names and f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        decoded = decode_with_rowgroup(cand, schema=schema).persist()
-        # persisted: counted once here and consumed again by the
-        # replace encode — an unpersisted nondeterministic source
-        # (df.limit, sampling) could otherwise write different rows
-        # than it counted
-        incoming = df.select([f.name for f in schema.fields]).persist()
-        victims = None
+        # incoming projection validated above; from here on persists
+        # are immediately covered by the try/finally
+        proj = [f.name for f in schema.fields]
+        missing = sorted(set(proj) - set(df.columns))
+        if missing:
+            raise ValueError(
+                f"upsert: incoming frame lacks physical column(s) "
+                f"{missing}")
+        keys = (df.select(F.col(key).alias(key))
+                .where(F.col(key).isNotNull()).distinct().persist())
+        decoded = incoming = victims = None
         try:
+            from .operators.semijoin import semi_join_segments
+            segs = self.warehouse.committed_segments(self.spark)
+            cand = semi_join_segments(segs, m, key, keys, lt)
+            decoded = decode_with_rowgroup(cand, schema=schema).persist()
+            # persisted: counted once here and consumed again by the
+            # replace encode — an unpersisted nondeterministic source
+            # (df.limit, sampling) could otherwise write different rows
+            # than it counted
+            incoming = df.select(proj).persist()
             matches = decoded.join(keys, on=key, how="leftsemi")
             victims = (matches.select(F.col("__rg").alias("rowgroup_id"))
                        .distinct().persist())
@@ -646,7 +733,8 @@ class TranscriptColumnStore:
                              how="leftsemi")
                          .join(keys, on=key, how="left_anti")
                          .drop("__rg"))
-            victim_rows = (self.warehouse.live_manifest(self.spark)
+            # m IS the live view — no second manifest window replay
+            victim_rows = (m
                            .join(victims, on="rowgroup_id", how="leftsemi")
                            .groupBy("rowgroup_id")
                            .agg(F.max("n_rows").alias("n"))
@@ -657,11 +745,10 @@ class TranscriptColumnStore:
                 rows_per_segment=self.rows_per_segment,
                 mode=self.mode, bloom_columns=self.bloom_columns)
         finally:
-            decoded.unpersist()
             keys.unpersist()
-            incoming.unpersist()
-            if victims is not None:
-                victims.unpersist()
+            for frame in (decoded, incoming, victims):
+                if frame is not None:
+                    frame.unpersist()
         return {"rows_replaced": n_replaced, "rows_written": n_ins,
                 "rowgroups_rewritten": out["rowgroups_encoded"],
                 "rowgroups_retired": out["rowgroups_retired"]}
@@ -799,9 +886,18 @@ class TranscriptColumnStore:
         if not relocatable:
             os.makedirs(build_root, exist_ok=True)
             open(f"{build_root}/_STAGING", "w").close()
+        if num_rowgroups is None:
+            # default to capacity-sized groups, NOT the reference's
+            # literal "one compressed group" (`Rebuild`,
+            # ColumnStore.cs:68-74): a single rowgroup means one task
+            # materializes the whole store — an OOM/straggler hazard at
+            # exactly the sizes where rebuild is prescribed. Row count
+            # comes from manifest metadata + delta footers (no scan).
+            total = self._row_count_estimate()
+            num_rowgroups = max(1, -(-total // self.rows_per_segment))
         staged = Warehouse(build_root, format=self._format)
         staged.encode_resumable(
-            all_rows, num_rowgroups=num_rowgroups or 1,
+            all_rows, num_rowgroups=num_rowgroups,
             rows_per_segment=self.rows_per_segment, mode=self.mode,
             run_id="rebuild", bloom_columns=self.bloom_columns)
         # every existing delta batch is now solid in this generation;
@@ -824,6 +920,21 @@ class TranscriptColumnStore:
             # generations still replay their own lifetime's entries —
             # the marker's gen stamp keeps it invisible to them.
             self._append_schema_log({"op": "materialize"})
+
+    def _row_count_estimate(self) -> int:
+        """Store row count from METADATA alone: live-manifest n_rows
+        per committed rowgroup + parquet footer counts of pending delta
+        batches — never a table scan."""
+        total = 0
+        m = self.warehouse.live_manifest(self.spark)
+        if m is not None:
+            r = (m.groupBy("rowgroup_id")
+                 .agg(F.max("n_rows").alias("n"))
+                 .agg(F.sum("n")).collect()[0][0])
+            total += int(r or 0)
+        for b in self._pending_batches():
+            total += self._batch_rows(b)
+        return total
 
     def vacuum(self) -> dict[str, list[str]]:
         """Reclaim dead bytes: superseded generation directories and
@@ -1432,6 +1543,15 @@ class TranscriptColumnStore:
                .select("logical_type").first())
         return row["logical_type"] if row is not None else None
 
+    def _logical_types(self, m: DataFrame, cols) -> dict[str, str]:
+        """Logical types for ALL of `cols` in one manifest job — a
+        multi-predicate query must not pay one driver round-trip per
+        column just for type lookup."""
+        want = list(dict.fromkeys(cols))
+        rows = (m.where(F.col("column").isin(want))
+                .select("column", "logical_type").distinct().collect())
+        return {r["column"]: r["logical_type"] for r in rows}
+
     def _pruned_segments(self, m: DataFrame, column: str, lo, hi,
                          eq: bool) -> DataFrame:
         """Segments restricted to rowgroups that may match the probe.
@@ -1810,8 +1930,8 @@ class TranscriptColumnStore:
                 probe_cols=tuple(predicates.keys()))
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
-        norm = [_norm_one_pred(col, probe,
-                               self._logical_type(m, col) or "")
+        lts = self._logical_types(m, predicates.keys())
+        norm = [_norm_one_pred(col, probe, lts.get(col) or "")
                 for col, probe in predicates.items()]
         if any(kind == "in" and not payload
                for _c, kind, payload, _lt in norm):
@@ -1932,9 +2052,9 @@ class TranscriptColumnStore:
                 probe_cols=tuple(c for c, _p in items))
         schema = schema_from_segments(m)
         segs = self.warehouse.committed_segments(self.spark)
+        lts = self._logical_types(m, [c for c, _p in items])
         norm = [p for p in
-                (_norm_one_pred(col, probe,
-                                self._logical_type(m, col) or "")
+                (_norm_one_pred(col, probe, lts.get(col) or "")
                  for col, probe in items)
                 # IN () matches nothing: drop the branch under OR
                 if not (p[1] == "in" and not p[2])]

@@ -305,3 +305,75 @@ def test_distinct_and_count_distinct(spark, tmp_path, t):
         assert got == exp, col
         n = store.count_distinct(col).first()["n_distinct"]
         assert n == t.agg(F.count_distinct(F.col(col))).first()[0], col
+
+
+def test_empty_add_range_never_bricks_the_store(spark, tmp_path, t):
+    """An empty batch commits no manifest rows, so pre-fix it stayed
+    pending FOREVER and _require_closed blocked every mutation.
+    add_range now refuses to write it (returns -1); a legacy zero-row
+    batch already on disk is retired by close()."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    assert store.add_range(t.limit(0)) == -1          # no-op, nothing written
+    assert store.close() == 1
+    # legacy path: force an empty batch dir onto disk
+    t.limit(0).write.parquet(f"{store._delta_root()}/batch_000007")
+    assert store._pending_batches() == ["batch_000007"]
+    assert store.close() == 1                         # retired, not encoded
+    assert store._pending_batches() == []
+    victim = t.select("conv_id").first()["conv_id"]
+    out = store.delete_where("conv_id", victim)       # mutations unblocked
+    assert out["rows_deleted"] > 0
+
+
+def test_add_range_validates_schema(spark, tmp_path, t):
+    """Silent schema drift (a wider or retyped batch) would bypass the
+    schema log every evolution guard keys on — refuse it up front."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t.limit(50))
+    with pytest.raises(ValueError, match="add_column"):
+        store.add_range(t.limit(5).withColumn("extra", F.lit(1)))
+    with pytest.raises(ValueError, match="type mismatch"):
+        store.add_range(
+            t.limit(5).withColumn("turn_idx",
+                                  F.col("turn_idx").cast("long")))
+    # sanctioned evolution still works: add_column then a wider batch
+    store.close()
+    store.add_column("extra", "bigint")
+    store.add_range(t.limit(5).withColumn("extra", F.lit(1).cast("bigint")))
+    assert store.close() == 1
+
+
+def test_pinned_open_is_readonly_on_disk(spark, tmp_path, t):
+    """Opening a pinned (time-travel) generation must not mkdir on the
+    store root — it is contractually read-only (read-only mounts)."""
+    import shutil as _sh
+
+    root = str(tmp_path / "store")
+    store = TranscriptColumnStore(spark, root, num_rowgroups=4)
+    store.add_range(t.limit(100))
+    store.close()
+    snap = str(tmp_path / "snapshot")
+    _sh.copytree(root, snap)
+    _sh.rmtree(f"{snap}/delta")                       # snapshot w/o delta dir
+    pinned = TranscriptColumnStore(spark, snap, generation=0)
+    assert not os.path.exists(f"{snap}/delta")        # nothing created
+    assert pinned.rows().count() == 100
+
+
+def test_rebuild_defaults_to_capacity_sized_groups(spark, tmp_path, t):
+    """rebuild() with no argument must not funnel the store into ONE
+    rowgroup (single-task OOM hazard): groups default to
+    ceil(rows / rows_per_segment)."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4, rows_per_segment=300)
+    store.add_range(t)                                 # 1000 rows at sf0.001
+    store.close()
+    before = _sorted(store.rows(), t.columns)
+    store.rebuild()
+    m = store.warehouse.live_manifest(spark)
+    n_groups = m.select("rowgroup_id").distinct().count()
+    assert n_groups >= 3                               # ceil(1000/300) = 4
+    assert _sorted(store.rows(), t.columns) == before
