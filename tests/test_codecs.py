@@ -233,7 +233,7 @@ def test_empty_gather_and_window_skip_decode_with_right_type():
         (pa.array(np.linspace(0, 1, 50)), "float64"),
     ]
     for arr, logical in cases:
-        seg = encode_segment(arr, logical)
+        seg = encode_segment(arr)
         payload = seg.payload
         e = gather_ranges(payload, logical, [])
         w = query_window(payload, logical, 10, 0)
