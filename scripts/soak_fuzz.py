@@ -67,6 +67,30 @@ def _rand_values(rng: np.random.Generator, kind: str, n: int):
     if kind == "timestamp_us":
         pool = rng.integers(0, 2**44, size=card)
         return pa.array(rng.choice(pool, size=n), type=pa.timestamp("us"))
+    if kind == "bool":
+        return pa.array(rng.random(n) < 0.5, type=pa.bool_())
+    if kind == "date32":
+        pool = rng.integers(-30000, 40000, size=card).astype(np.int32)
+        return pa.array(rng.choice(pool, size=n), type=pa.date32())
+    if kind == "binary":
+        pool = np.array(
+            [rng.integers(0, 256, size=rng.integers(0, 24))
+             .astype(np.uint8).tobytes() for _ in range(card)],
+            dtype=object)
+        return pa.array(rng.choice(pool, size=n), type=pa.large_binary())
+    if kind == "decimal64":
+        import decimal as D
+        pool = [D.Decimal(int(v)).scaleb(-2)
+                for v in rng.integers(-(10**12), 10**12, size=card)]
+        return pa.array(rng.choice(np.array(pool, dtype=object), size=n),
+                        type=pa.decimal128(14, 2))
+    if kind == "decimal128":
+        import decimal as D
+        pool = [D.Decimal(int(v)) * (10**12) + int(w)
+                for v, w in zip(rng.integers(-(10**15), 10**15, size=card),
+                                rng.integers(0, 10**12, size=card))]
+        return pa.array(rng.choice(np.array(pool, dtype=object), size=n),
+                        type=pa.decimal128(30, 0))
     raise AssertionError(kind)
 
 
@@ -121,7 +145,8 @@ def _eq_mask(dec: pa.Array, probe) -> np.ndarray:
 
 def check_one(rng: np.random.Generator, it: int) -> None:
     kind = str(rng.choice(["int64", "int32", "float64", "string",
-                           "timestamp_us"]))
+                           "timestamp_us", "bool", "date32", "binary",
+                           "decimal64", "decimal128"]))
     n = int(rng.choice([1, 2, 7, 100, 1000, 5000]))
     nullp = float(rng.choice([0.0, 0.0, 0.05, 0.5]))
     mode = str(rng.choice([chooser.MODE_SIZE, chooser.MODE_SPEED,
