@@ -429,6 +429,39 @@ def _q_query_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(TRANSCRIPT_COLS))
 
 
+def _q_query_where_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box probe over a Z-ORDER-clustered store
+    (`operators/zorder.py` — the Iceberg/Delta zorder-rewrite
+    analogue): rowgroups are assigned along a Morton curve over
+    (turn_idx, ts), so each gets a tight bounding box in BOTH
+    dimensions and the ordinary min/max manifest pruning eliminates
+    most of the store for a conjunctive range probe (6 of 37 occupied
+    rowgroups kept at sf0.1 for a 17.7k-row box vs 64 of 64 under the
+    conv-hash layout — BENCH.md §6). Layout never changes answers: the exact predicates
+    re-apply on the decoded survivors."""
+    import datetime as dt
+
+    from columnstore_spark.operators import (compute_bounds,
+                                             zorder_column,
+                                             zorder_rowgroup_expr)
+
+    t = load_transcripts(spark, sf_dir)
+    bounds = compute_bounds(t, ["turn_idx", "ts"])
+    segs = encode(t, rowgroup_expr=zorder_rowgroup_expr(t, bounds, 16),
+                  order=(zorder_column(t, bounds), "conv_id", "turn_idx"))
+    lo_ts = dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc)
+    hi_ts = dt.datetime(2024, 1, 16, tzinfo=dt.timezone.utc)
+    pruned = prune_rowgroups_by_range(segs, "turn_idx", 20, 35,
+                                      logical_type="int32")
+    pruned = prune_rowgroups_by_range(pruned, "ts", lo_ts, hi_ts,
+                                      logical_type="timestamp_us")
+    return (decode_matching_range(pruned, "turn_idx", 20, 35,
+                                  schema=t.schema)
+            .where(F.col("turn_idx").between(20, 35)
+                   & F.col("ts").between(lo_ts, hi_ts))
+            .select(TRANSCRIPT_COLS))
+
+
 def _q_query_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive (OR) multi-column query (facade `store.query_any`):
     the per-predicate manifest keep-sets UNION in one metadata pass
@@ -826,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_by_prefix": _q_query_by_prefix,
         "query_by_contains": _q_query_by_contains,
         "query_where": _q_query_where,
+        "query_where_zorder": _q_query_where_zorder,
         "query_any": _q_query_any,
         "query_mixed": _q_query_mixed,
         "distinct": _q_distinct,
@@ -991,6 +1025,11 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id = '{_POINT_KEY}' AND role = 'assistant' "
             "AND turn_idx BETWEEN 3 AND 30",
+        "query_where_zorder":
+            f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+            "WHERE turn_idx BETWEEN 20 AND 35 AND ts BETWEEN "
+            "TIMESTAMP '2024-01-08 00:00:00' AND "
+            "TIMESTAMP '2024-01-16 00:00:00'",
         "query_any":
             f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
             f"WHERE conv_id = '{_POINT_KEY}' "

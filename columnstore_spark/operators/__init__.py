@@ -7,6 +7,7 @@ from .encode import (SEGMENT_SCHEMA, default_rowgroup_expr, encode,
                      encode_files, manifest_of, write_bucketed_layout)
 from .topk import topk
 from .verify import roundtrip_equal
+from .zorder import compute_bounds, zorder_column, zorder_rowgroup_expr
 
 __all__ = [
     "SEGMENT_SCHEMA", "default_rowgroup_expr", "encode", "encode_files",
@@ -17,4 +18,5 @@ __all__ = [
     "decode_window_global",
     "schema_from_segments", "roundtrip_equal",
     "topk",
+    "compute_bounds", "zorder_column", "zorder_rowgroup_expr",
 ]
