@@ -165,7 +165,9 @@ class Warehouse:
                          run_id: str | None = None,
                          fail_after_rowgroups: int | None = None,
                          rowgroup_offset: int = 0,
-                         bloom_columns: tuple[str, ...] = ()) -> dict:
+                         bloom_columns: tuple[str, ...] = (),
+                         rowgroup_expr=None,
+                         order: tuple | None = None) -> dict:
         """Encode `df` into the warehouse, skipping rowgroups already
         committed by earlier runs.
 
@@ -176,11 +178,20 @@ class Warehouse:
         `rowgroup_offset` namespaces rowgroup ids per ingest batch
         (streaming micro-batches append disjoint id ranges, so the
         done-rowgroup anti-join never confuses two batches' groups).
+
+        `rowgroup_expr` / `order` override the layout (e.g. Z-order
+        clustering, `operators/zorder.py`). The expression MUST be
+        deterministic over the row's own values — resume identity and
+        the done-rowgroup anti-join depend on a row landing in the
+        same rowgroup on every attempt (the default conv-hash expr and
+        the z-grid both are).
         """
         spark = df.sparkSession
         run_id = run_id or uuid.uuid4().hex[:12]
-        rg_expr = default_rowgroup_expr(num_rowgroups, rows_per_segment,
-                                        columns=df.columns)
+        rg_expr = (rowgroup_expr if rowgroup_expr is not None
+                   else default_rowgroup_expr(num_rowgroups,
+                                              rows_per_segment,
+                                              columns=df.columns))
         if rowgroup_offset:
             rg_expr = rg_expr + F.lit(int(rowgroup_offset))
         work = df.withColumn("__rg", rg_expr)
@@ -208,9 +219,10 @@ class Warehouse:
         # must never share a manifest join key with this retry's rows,
         # even when the caller replays the same logical run_id
         attempt = uuid.uuid4().hex[:12]
+        okw = {} if order is None else {"order": order}
         segs = encode(work.drop("__rg"), rowgroup_expr=rg_expr,
                       rows_per_segment=rows_per_segment, mode=mode,
-                      bloom_columns=bloom_columns)
+                      bloom_columns=bloom_columns, **okw)
         return self._commit(spark, backend, segs, run_id, attempt)
 
     def compact(self, spark: SparkSession, min_fill: float = 0.5,

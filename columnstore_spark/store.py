@@ -265,7 +265,10 @@ class TranscriptColumnStore:
                  mode: str = chooser.MODE_SIZE,
                  format: str = "auto",
                  bloom_columns: tuple[str, ...] = ("conv_id",),
-                 generation: int | None = None):
+                 generation: int | None = None,
+                 cluster_by: tuple[str, ...] = (),
+                 cluster_bits: int = 16,
+                 cluster_bounds: dict | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self.num_rowgroups = num_rowgroups
@@ -277,6 +280,18 @@ class TranscriptColumnStore:
         # "fetch one conversation" is the store's primary point lookup.
         # Names absent from an ingested frame are simply never built.
         self.bloom_columns = tuple(bloom_columns)
+        # Z-order clustering (operators/zorder.py): close()/rebuild()
+        # assign rowgroups along a Morton curve over these columns, so
+        # conjunctive range probes (query_where) prune to the few grid
+        # cells the box touches (BENCH.md §6). Layout-only — every
+        # query stays correct with or without it. `cluster_bounds`
+        # (col -> (lo, hi) in the double axis domain, timestamps in
+        # epoch micros) pins one grid across all ingest batches — the
+        # production setting; when None each encode derives bounds
+        # from its own batch (one extra min/max aggregate).
+        self.cluster_by = tuple(cluster_by)
+        self.cluster_bits = int(cluster_bits)
+        self.cluster_bounds = dict(cluster_bounds) if cluster_bounds else None
         self._format = format
         # driver-side metadata memos, invalidated by _meta_token
         self._meta_cache: dict[str, tuple] = {}
@@ -453,14 +468,36 @@ class TranscriptColumnStore:
                 compacted += 1
                 continue
             df = self.spark.read.parquet(f"{self._delta_root()}/{name}")
+            rg_expr, order = self._cluster_exprs(df)
             self.warehouse.encode_resumable(
                 df, num_rowgroups=self.num_rowgroups,
                 rows_per_segment=self.rows_per_segment, mode=self.mode,
                 run_id=name,
                 rowgroup_offset=batch_idx << _BATCH_SHIFT,
-                bloom_columns=self.bloom_columns)
+                bloom_columns=self.bloom_columns,
+                rowgroup_expr=rg_expr, order=order)
             compacted += 1
         return compacted
+
+    def _cluster_exprs(self, df: DataFrame, num_rowgroups: int | None = None):
+        """(rowgroup_expr, order) for `cluster_by` Z-order layout, or
+        (None, None) -> default conv-hash layout. Falls back to the
+        default when a cluster column is missing from the frame (a
+        post-drop_column ingest batch under schema evolution)."""
+        if not self.cluster_by or any(c not in df.columns
+                                      for c in self.cluster_by):
+            return None, None
+        from .operators.zorder import (compute_bounds, zorder_column,
+                                       zorder_rowgroup_expr)
+        bounds = self.cluster_bounds or compute_bounds(df, self.cluster_by)
+        rg = zorder_rowgroup_expr(df, bounds,
+                                  num_rowgroups or self.num_rowgroups,
+                                  self.cluster_bits)
+        # within-rowgroup sort: curve position first (tightens runs on
+        # the clustered columns), then the stable transcript key
+        order = (zorder_column(df, bounds, self.cluster_bits),
+                 "conv_id", "turn_idx")
+        return rg, order
 
     def compact(self, min_fill: float = 0.5) -> dict:
         """Merge under-capacity solid rowgroups into capacity-sized
@@ -896,10 +933,14 @@ class TranscriptColumnStore:
             total = self._row_count_estimate()
             num_rowgroups = max(1, -(-total // self.rows_per_segment))
         staged = Warehouse(build_root, format=self._format)
+        # rebuild may size groups from the row count — derive the grid
+        # at that granularity
+        rg_expr, order = self._cluster_exprs(all_rows, num_rowgroups)
         staged.encode_resumable(
             all_rows, num_rowgroups=num_rowgroups,
             rows_per_segment=self.rows_per_segment, mode=self.mode,
-            run_id="rebuild", bloom_columns=self.bloom_columns)
+            run_id="rebuild", bloom_columns=self.bloom_columns,
+            rowgroup_expr=rg_expr, order=order)
         # every existing delta batch is now solid in this generation;
         # written BEFORE the commit point so retirement commits
         # atomically with the generation itself

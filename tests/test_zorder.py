@@ -129,3 +129,57 @@ def test_zorder_pruning_beats_linear_layout(spark):
             .select(*t.columns).collect()))
         assert got == expect
     t.unpersist(), linear.unpersist(), zed.unpersist()
+
+
+def test_store_cluster_by_facade(spark, tmp_path):
+    """`TranscriptColumnStore(cluster_by=...)`: close() and rebuild()
+    lay rowgroups along the z-curve; query_where answers the 2-D box
+    exactly and its manifest keep-set is a fraction of the store."""
+    from columnstore_spark.plans.pruning import prune_rowgroup_ids
+    from columnstore_spark.store import TranscriptColumnStore
+
+    t = load_transcripts(spark, SF_DIR).cache()
+    lo_t, hi_t = 20, 35
+    ts_lo = dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc)
+    ts_hi = dt.datetime(2024, 1, 16, tzinfo=dt.timezone.utc)
+    expect = sorted(map(tuple, t.where(
+        F.col("turn_idx").between(lo_t, hi_t)
+        & F.col("ts").between(ts_lo, ts_hi))
+        .select(*t.columns).collect()))
+
+    store = TranscriptColumnStore(spark, str(tmp_path / "zs"),
+                                  num_rowgroups=16,
+                                  cluster_by=("turn_idx", "ts"))
+    store.add_range(t)
+    store.close()
+
+    def keep_frac(s):
+        m = s.warehouse.live_manifest(spark)
+        total = m.select("rowgroup_id").distinct().count()
+        ids = prune_rowgroup_ids(m, "turn_idx", lo_t, hi_t, False,
+                                 logical_type="int32")
+        ids2 = prune_rowgroup_ids(
+            m, "ts", ts_lo, ts_hi, False, logical_type="timestamp_us")
+        return len(set(ids) & set(ids2)), total
+
+    got = sorted(map(tuple, store.query_where(
+        {"turn_idx": (lo_t, hi_t), "ts": (ts_lo, ts_hi)}).collect()))
+    assert got == expect
+    kept, total = keep_frac(store)
+    assert kept <= total // 2, (kept, total)
+
+    # rebuild re-clusters and stays exact; a plain store prunes nothing
+    store.rebuild(num_rowgroups=16)
+    got = sorted(map(tuple, store.query_where(
+        {"turn_idx": (lo_t, hi_t), "ts": (ts_lo, ts_hi)}).collect()))
+    assert got == expect
+    kept, total = keep_frac(store)
+    assert kept <= total // 2, (kept, total)
+
+    plain = TranscriptColumnStore(spark, str(tmp_path / "ps"),
+                                  num_rowgroups=16)
+    plain.add_range(t)
+    plain.close()
+    kept_p, total_p = keep_frac(plain)
+    assert kept < kept_p, (kept, kept_p)
+    t.unpersist()
