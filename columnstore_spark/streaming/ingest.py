@@ -47,12 +47,29 @@ def encode_stream(spark: SparkSession, input_path: str, warehouse_root: str,
                   num_rowgroups: int = 8,
                   rows_per_segment: int = 1_000_000,
                   mode: str = chooser.MODE_SIZE,
-                  available_now: bool = True) -> StreamingQuery:
+                  available_now: bool = True,
+                  cluster_by: tuple[str, ...] = (),
+                  cluster_bounds: dict | None = None,
+                  cluster_bits: int = 16) -> StreamingQuery:
     """Stream transcript parquet files into encoded warehouse segments.
 
     `available_now=True` drains everything currently in `input_path`
     then stops (test/backfill mode); False runs continuously.
+
+    `cluster_by` lays each micro-batch's rowgroups along a Z-order
+    curve (`operators/zorder.py`). Streaming REQUIRES explicit
+    `cluster_bounds` (col -> (lo, hi) in the double axis domain,
+    timestamps in epoch micros): micro-batches must share one fixed
+    grid — per-batch bounds would both cost an extra aggregate per
+    trigger and make the layout drift with arrival order. Bounds are
+    a retention-window property (e.g. the table's ts span), known in
+    production ahead of time; values outside them clamp to edge cells
+    (layout-only, never a correctness hazard).
     """
+    if cluster_by and not cluster_bounds:
+        raise ValueError("streaming cluster_by requires explicit "
+                         "cluster_bounds (one fixed grid across "
+                         "micro-batches)")
     # a batch's ids are `bucket * 2^20 + block` (default_rowgroup_expr)
     # below its `batch_id << 40` offset — num_rowgroups must keep them
     # inside the 2^40 namespace or batch 0 bleeds into batch 1 and the
@@ -66,11 +83,21 @@ def encode_stream(spark: SparkSession, input_path: str, warehouse_root: str,
 
     def close_and_compact(batch_df, batch_id: int) -> None:
         # batch = closed row groups; encode is the delta->solid step
+        rg = order = None
+        if cluster_by:
+            from ..operators.zorder import (zorder_column,
+                                            zorder_rowgroup_expr)
+            rg = zorder_rowgroup_expr(batch_df, cluster_bounds,
+                                      num_rowgroups, cluster_bits)
+            order = (zorder_column(batch_df, cluster_bounds,
+                                   cluster_bits),
+                     "conv_id", "turn_idx")
         wh.encode_resumable(
             batch_df, num_rowgroups=num_rowgroups,
             rows_per_segment=rows_per_segment, mode=mode,
             run_id=f"stream-{batch_id:06d}",
-            rowgroup_offset=batch_id << _BATCH_ID_SHIFT)
+            rowgroup_offset=batch_id << _BATCH_ID_SHIFT,
+            rowgroup_expr=rg, order=order)
 
     writer = (stream.writeStream
               .foreachBatch(close_and_compact)

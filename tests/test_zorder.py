@@ -131,6 +131,51 @@ def test_zorder_pruning_beats_linear_layout(spark):
     t.unpersist(), linear.unpersist(), zed.unpersist()
 
 
+def test_stream_cluster_by(spark, tmp_path):
+    """Streaming ingest with a FIXED z-grid: micro-batches land on one
+    shared curve (explicit bounds required), union stays bit-identical,
+    and the 2-D keep-set is a fraction of the store."""
+    import os
+
+    from columnstore_spark.plans.pruning import prune_rowgroup_ids
+    from columnstore_spark.sources.warehouse import Warehouse
+    from columnstore_spark.streaming.ingest import encode_stream
+
+    t = load_transcripts(spark, SF_DIR).cache()
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    t.coalesce(1).write.mode("append").parquet(inp)
+
+    with pytest.raises(ValueError):
+        encode_stream(spark, inp, str(tmp_path / "w0"),
+                      str(tmp_path / "c0"), cluster_by=("turn_idx",))
+
+    mu = lambda d: d.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    bounds = {"turn_idx": (0.0, 100.0),
+              "ts": (mu(dt.datetime(2024, 1, 1)),
+                     mu(dt.datetime(2024, 2, 1)))}
+    q = encode_stream(spark, inp, str(tmp_path / "w"),
+                      str(tmp_path / "c"), num_rowgroups=16,
+                      cluster_by=("turn_idx", "ts"),
+                      cluster_bounds=bounds)
+    q.awaitTermination(120)
+
+    wh = Warehouse(str(tmp_path / "w"))
+    decoded = decode(wh.committed_segments(spark))
+    assert (sorted(map(tuple, decoded.select(*t.columns).collect()))
+            == sorted(map(tuple, t.collect())))
+    m = wh.live_manifest(spark)
+    total = m.select("rowgroup_id").distinct().count()
+    ids = set(prune_rowgroup_ids(m, "turn_idx", 20, 35, False,
+                                 logical_type="int32"))
+    ids &= set(prune_rowgroup_ids(
+        m, "ts", dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 16, tzinfo=dt.timezone.utc), False,
+        logical_type="timestamp_us"))
+    assert len(ids) <= total // 2, (len(ids), total)
+    t.unpersist()
+
+
 def test_store_cluster_by_facade(spark, tmp_path):
     """`TranscriptColumnStore(cluster_by=...)`: close() and rebuild()
     lay rowgroups along the z-curve; query_where answers the 2-D box
