@@ -241,6 +241,43 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_query_by_in"] = _best(q_query_by_in)
 
+        # q_query_where_zorder — 2-D box probe on the Z-ORDER layout
+        # (operators/zorder.py). The clustered store build is an
+        # ingest-time choice (untimed, like the bucketed write); the
+        # timed probe prunes on BOTH dimensions' manifest bounds and
+        # decodes only the touched grid cells (6/37 rowgroups at
+        # sf0.1 vs 64/64 on the conv-hash layout — BENCH.md §6).
+        import datetime as _dt
+
+        from columnstore_spark.operators import (
+            compute_bounds,
+            zorder_column,
+            zorder_rowgroup_expr,
+        )
+        from columnstore_spark.plans.pruning import (
+            prune_rowgroups_by_range,
+        )
+
+        zb = compute_bounds(t, ["turn_idx", "ts"])
+        encode(t, rowgroup_expr=zorder_rowgroup_expr(t, zb, num_rowgroups),
+               order=(zorder_column(t, zb), "conv_id", "turn_idx"),
+               num_partitions=enc_parts).write.mode("overwrite").parquet(
+            f"{tmp}/segments_z")
+        zsegs = spark.read.parquet(f"{tmp}/segments_z")
+        z_lo = _dt.datetime(2024, 1, 8, tzinfo=_dt.timezone.utc)
+        z_hi = _dt.datetime(2024, 1, 16, tzinfo=_dt.timezone.utc)
+
+        def q_query_where_zorder():
+            p = prune_rowgroups_by_range(zsegs, "turn_idx", 20, 35,
+                                         logical_type="int32")
+            p = prune_rowgroups_by_range(p, "ts", z_lo, z_hi,
+                                         logical_type="timestamp_us")
+            _noop(decode(p, schema=t.schema)
+                  .where(F.col("turn_idx").between(20, 35)
+                         & F.col("ts").between(z_lo, z_hi)))
+
+        timings["q_query_where_zorder"] = _best(q_query_where_zorder)
+
         # q_semi_join — distributed key-set pruning: a 64-conversation
         # key DataFrame (never collected) broadcast-joins the manifest
         # bounds for the rowgroup keep-set, survivors decode and

@@ -112,8 +112,14 @@ def main() -> None:
     raw = spark.createDataFrame(build_rows(rng, 900), SCHEMA).persist()
     raw.count()
     root = tempfile.mkdtemp(prefix="cs_soak_store_")
+    # half the seeds soak the Z-order layout (operators/zorder.py):
+    # identical probe contract, rowgroups on a (turn_idx, ts) grid —
+    # the pruner must stay exact under the clustered bounds too
+    cluster = (("turn_idx", "ts") if int(rng.integers(0, 2)) else ())
     store = TranscriptColumnStore(spark, root, num_rowgroups=6,
-                                  bloom_columns=("conv_id",))
+                                  bloom_columns=("conv_id",),
+                                  cluster_by=cluster)
+    print(f"layout: {'zorder' + str(cluster) if cluster else 'default'}")
     store.add_range(raw)
     store.close()
     cols = [f.name for f in SCHEMA.fields]
