@@ -124,21 +124,41 @@ def zorder_column(df: DataFrame, bounds: dict[str, tuple[float, float]],
 
 def zorder_rowgroup_expr(df: DataFrame,
                          bounds: dict[str, tuple[float, float]],
-                         num_rowgroups: int, bits: int = 16) -> Column:
+                         num_rowgroups: int, bits: int = 16,
+                         cell_split: int = 1,
+                         salt: Column | None = None) -> Column:
     """Rowgroup assignment = the top ceil(log2(num_rowgroups)) bits of
     the Morton code: contiguous curve ranges -> one grid-prefix cell
     per rowgroup, each with a tight per-dimension bounding box in the
     manifest. Deterministic and map-only (see module docstring for the
-    skew trade vs repartitionByRange)."""
+    skew trade vs repartitionByRange).
+
+    `cell_split > 1` is the capacity guard for skewed cells: each grid
+    cell splits into that many sub-rowgroups by `salt` (default: hash
+    of the cluster columns — pass an explicit salt such as
+    xxhash64(conv_id) when one hot VALUE dominates a cell, since
+    equal cluster values hash together). Every sub-rowgroup inherits
+    the cell's tight bounding box, so pruning selectivity is
+    unchanged — only the per-task working set shrinks. At 10^12 turns
+    this is what bounds a dense cell to rowgroup capacity without
+    giving up the deterministic, resume-stable assignment."""
     if num_rowgroups < 1:
         raise ValueError("num_rowgroups must be >= 1")
+    if cell_split < 1:
+        raise ValueError("cell_split must be >= 1")
     n = len(bounds)
     gbits = max((num_rowgroups - 1).bit_length(), 1)
     total = bits * n
     if gbits > total:
         raise ValueError(f"num_rowgroups {num_rowgroups} exceeds the "
                          f"{total}-bit curve resolution")
-    return F.shiftright(zorder_column(df, bounds, bits), total - gbits)
+    cell = F.shiftright(zorder_column(df, bounds, bits), total - gbits)
+    if cell_split == 1:
+        return cell
+    if salt is None:
+        salt = F.xxhash64(*[F.col(c) for c in bounds])
+    return cell * F.lit(int(cell_split)) + F.pmod(salt,
+                                                  F.lit(int(cell_split)))
 
 
 def morton_ref(values: dict[str, float],

@@ -268,7 +268,8 @@ class TranscriptColumnStore:
                  generation: int | None = None,
                  cluster_by: tuple[str, ...] = (),
                  cluster_bits: int = 16,
-                 cluster_bounds: dict | None = None):
+                 cluster_bounds: dict | None = None,
+                 cluster_split: int = 1):
         self.spark = spark
         self.root = root.rstrip("/")
         self.num_rowgroups = num_rowgroups
@@ -292,6 +293,10 @@ class TranscriptColumnStore:
         self.cluster_by = tuple(cluster_by)
         self.cluster_bits = int(cluster_bits)
         self.cluster_bounds = dict(cluster_bounds) if cluster_bounds else None
+        # capacity guard for dense grid cells: each cell splits into
+        # this many sub-rowgroups by conv_id hash (bounds stay per-cell
+        # tight, so pruning selectivity is unchanged)
+        self.cluster_split = int(cluster_split)
         self._format = format
         # driver-side metadata memos, invalidated by _meta_token
         self._meta_cache: dict[str, tuple] = {}
@@ -490,9 +495,13 @@ class TranscriptColumnStore:
         from .operators.zorder import (compute_bounds, zorder_column,
                                        zorder_rowgroup_expr)
         bounds = self.cluster_bounds or compute_bounds(df, self.cluster_by)
+        salt = (F.xxhash64("conv_id") if self.cluster_split > 1
+                and "conv_id" in df.columns else None)
         rg = zorder_rowgroup_expr(df, bounds,
                                   num_rowgroups or self.num_rowgroups,
-                                  self.cluster_bits)
+                                  self.cluster_bits,
+                                  cell_split=self.cluster_split,
+                                  salt=salt)
         # within-rowgroup sort: curve position first (tightens runs on
         # the clustered columns), then the stable transcript key
         order = (zorder_column(df, bounds, self.cluster_bits),

@@ -176,6 +176,50 @@ def test_stream_cluster_by(spark, tmp_path):
     t.unpersist()
 
 
+def test_cell_split_bounds_capacity_not_selectivity(spark):
+    """cell_split: a dense grid cell splits into k sub-rowgroups (the
+    capacity guard for skewed cells) while every sub-rowgroup keeps
+    the cell's tight bounding box — so the pruned ROW fraction is
+    unchanged and results stay exact."""
+    t = load_transcripts(spark, SF_DIR).cache()
+    bounds = compute_bounds(t, ["turn_idx", "ts"])
+    lo_t, hi_t = 20, 35
+    ts_lo = dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc)
+    ts_hi = dt.datetime(2024, 1, 16, tzinfo=dt.timezone.utc)
+
+    plain = encode(t, rowgroup_expr=zorder_rowgroup_expr(t, bounds, 16))
+    split = encode(t, rowgroup_expr=zorder_rowgroup_expr(
+        t, bounds, 16, cell_split=4))
+
+    def profile(segs):
+        m = segs.select("rowgroup_id", "n_rows").distinct()
+        groups = m.count()
+        biggest = m.agg(F.max("n_rows")).collect()[0][0]
+        kept = _kept(segs, lo_t, hi_t, ts_lo, ts_hi)
+        kept_rows = (kept.select("rowgroup_id", "n_rows").distinct()
+                     .agg(F.sum("n_rows")).collect()[0][0])
+        return groups, biggest, kept_rows
+
+    g0, b0, kr0 = profile(plain)
+    g1, b1, kr1 = profile(split)
+    assert g1 > g0                     # more, smaller rowgroups
+    assert b1 < b0                     # capacity actually bounded
+    # sub-rowgroups record their ACTUAL bounds (<= the cell box), so
+    # the split layout prunes at least as well — never worse
+    assert kr1 <= kr0
+    # and the decoded result is exact on the split layout
+    expect = sorted(map(tuple, t.where(
+        F.col("turn_idx").between(lo_t, hi_t)
+        & F.col("ts").between(ts_lo, ts_hi)).collect()))
+    got = sorted(map(tuple, decode(
+        _kept(split, lo_t, hi_t, ts_lo, ts_hi), schema=t.schema)
+        .where(F.col("turn_idx").between(lo_t, hi_t)
+               & F.col("ts").between(ts_lo, ts_hi))
+        .select(*t.columns).collect()))
+    assert got == expect
+    t.unpersist()
+
+
 def test_store_cluster_by_facade(spark, tmp_path):
     """`TranscriptColumnStore(cluster_by=...)`: close() and rebuild()
     lay rowgroups along the z-curve; query_where answers the 2-D box
