@@ -187,6 +187,22 @@ def _exact_pred_cond(norm, any_mode: bool):
     return cond
 
 
+def _pred_keep_ids(m: DataFrame, col: str, kind: str, payload, lt: str):
+    """Manifest keep-set (rowgroup id list) for one normalized
+    predicate, or None when this column/probe is unprunable in id-list
+    form. The single switch behind query_where's intersection AND
+    explain_where's truth table — one code path, no drift."""
+    if kind == "null":
+        return prune_rowgroup_ids_null(m, col)
+    if kind == "in":
+        return prune_rowgroup_ids_in(m, col, payload, logical_type=lt)
+    if kind == "range":
+        return prune_rowgroup_ids(m, col, payload[0], payload[1],
+                                  False, logical_type=lt)
+    return prune_rowgroup_ids(m, col, payload, payload, True,
+                              logical_type=lt)
+
+
 def _kernel_safe_probe(lt: str, value) -> bool:
     """True when the encoded-form kernels' exact-typed equality agrees
     with Spark's coercing equality for this (logical, probe) pair.
@@ -629,6 +645,40 @@ class TranscriptColumnStore:
             lo = hi = _naive_utc(probe)
             eq = True
         return _explain(m, column, lo, hi, eq, logical_type=lt)
+
+    def explain_where(self, predicates: dict[str, object]) -> DataFrame:
+        """EXPLAIN for a `query_where` conjunction: one metadata row
+        per rowgroup with each predicate's keep verdict (NULL when
+        that column/probe is unprunable in manifest form — the
+        conjunction then keeps the rowgroup conservatively on that
+        predicate's account) and the combined ``kept``. Built on the
+        SAME `_pred_keep_ids` switch `query_where` intersects, so the
+        table shows exactly what the query will decode. Metadata-only
+        at any store size — the answer to "why does this conjunction
+        touch N rowgroups?"."""
+        if not predicates:
+            raise ValueError("explain_where needs at least one predicate")
+        m = self._manifest_or_raise()
+        lts = self._logical_types(m, predicates.keys())
+        norm = [_norm_one_pred(c, p, lts.get(c) or "")
+                for c, p in predicates.items()]
+        keep_sets = {col: (None if (s := _pred_keep_ids(
+            m, col, kind, payload, lt)) is None else set(s))
+            for col, kind, payload, lt in norm}
+        base = (m.select("rowgroup_id", "n_rows").distinct()
+                 .orderBy("rowgroup_id"))
+        cols = [F.col("rowgroup_id"), F.col("n_rows")]
+        kept = F.lit(True)
+        for col, s in keep_sets.items():
+            if s is None:
+                verdict = F.lit(None).cast("boolean")
+            else:
+                verdict = F.col("rowgroup_id").isin(sorted(s)) \
+                    if s else F.lit(False)
+                kept = kept & verdict
+            cols.append(verdict.alias(f"keep_{col}"))
+        cols.append(kept.alias("kept"))
+        return base.select(*cols)
 
     def delete_keys(self, keys: DataFrame, on: str = "conv_id",
                     key_col: str | None = None) -> dict:
@@ -2002,16 +2052,7 @@ class TranscriptColumnStore:
         ids: set[int] | None = None
         sizes: dict[str, float] = {}
         for col, kind, payload, lt in norm:
-            if kind == "null":
-                s = prune_rowgroup_ids_null(m, col)
-            elif kind == "in":
-                s = prune_rowgroup_ids_in(m, col, payload, logical_type=lt)
-            elif kind == "range":
-                s = prune_rowgroup_ids(m, col, payload[0], payload[1],
-                                       False, logical_type=lt)
-            else:
-                s = prune_rowgroup_ids(m, col, payload, payload, True,
-                                       logical_type=lt)
+            s = _pred_keep_ids(m, col, kind, payload, lt)
             if s is None:
                 sizes[col] = float("inf")
                 if kind == "null":

