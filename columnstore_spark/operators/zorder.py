@@ -45,19 +45,34 @@ __all__ = ["compute_bounds", "zorder_column", "zorder_rowgroup_expr",
 _MAX_DIMS = 4
 
 
+_NUMERIC_AXIS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.BooleanType, T.DecimalType)
+
+
 def _axis(df: DataFrame, col: str) -> Column:
     """The column projected into the shared double axis domain:
     timestamps -> epoch microseconds (TIMESTAMP and TIMESTAMP_NTZ —
     neither casts to double directly in Spark 4), dates -> epoch days,
     everything numeric/bool -> plain double cast. The SAME expression
     feeds `compute_bounds` and `zorder_column`, so bounds and values
-    always land in one domain."""
+    always land in one domain.
+
+    Non-orderable-as-number dtypes (strings, binary, nested) raise:
+    `cast('double')` would NULL every value and silently collapse the
+    whole store into grid cell 0 — a single-task straggler at exactly
+    the scale this layout exists for. Cluster on a numeric surrogate
+    (e.g. xxhash64(conv_id) has no locality — prefer a real dimension).
+    """
     dtype = dict(zip(df.columns, [f.dataType for f in df.schema.fields]),
                  ).get(col)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
     if isinstance(dtype, T.DateType):
         return F.unix_date(F.col(col)).cast("double")
+    if dtype is not None and not isinstance(dtype, _NUMERIC_AXIS):
+        raise TypeError(
+            f"zorder axis {col!r} has non-numeric type {dtype}; "
+            "cluster columns must be numeric/temporal/boolean")
     return F.col(col).cast("double")
 
 
@@ -67,9 +82,12 @@ def compute_bounds(df: DataFrame, cols: list[str] | tuple[str, ...],
     (see `_axis`). Map-side partial agg; rows never collect."""
     aggs = []
     for c in cols:
-        # NaN -> null so min/max skip it (Spark sorts NaN greatest —
-        # one NaN row would otherwise pin hi=NaN and flatten the axis)
-        v = F.nanvl(_axis(df, c), F.lit(None).cast("double"))
+        # non-finite -> null so min/max skip it (Spark sorts NaN
+        # greatest, and one NaN or ±inf row would otherwise pin a
+        # bound and flatten the whole axis to a single cell)
+        v = _axis(df, c)
+        v = F.when(v.between(F.lit(-1.7976931348623157e308),
+                             F.lit(1.7976931348623157e308)), v)
         aggs += [F.min(v).alias(f"__lo_{c}"), F.max(v).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
     out = {}
@@ -88,7 +106,12 @@ def _quantize(v: Column, lo: float, hi: float, bits: int) -> Column:
     else:
         scaled = v * F.lit(0.0)  # degenerate axis (keeps null as null)
     scaled = F.nanvl(scaled, F.lit(0.0))
-    q = F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(qmax))
+    # clamp in the DOUBLE domain before the long cast: an
+    # out-of-range value (inf, or a far-out-of-bounds probe) would
+    # throw under ANSI cast semantics; clamped-then-truncated equals
+    # morton_ref's float-clamp-then-int exactly
+    q = F.least(F.greatest(scaled, F.lit(0.0)),
+                F.lit(float(qmax))).cast("long")
     return F.coalesce(q, F.lit(0))  # nulls cluster at the grid origin
 
 
@@ -141,7 +164,15 @@ def zorder_rowgroup_expr(df: DataFrame,
     the cell's tight bounding box, so pruning selectivity is
     unchanged — only the per-task working set shrinks. At 10^12 turns
     this is what bounds a dense cell to rowgroup capacity without
-    giving up the deterministic, resume-stable assignment."""
+    giving up the deterministic, resume-stable assignment.
+
+    Granularity contract: the grid has 2^ceil(log2(num_rowgroups))
+    cells — num_rowgroups rounds UP to a power of two (prefix buckets
+    must be whole bit ranges), so a non-power-of-two request yields up
+    to 2x the rowgroups at half the fill. Callers sizing groups as
+    ceil(rows/capacity) (rebuild does) get capacity-bounded — never
+    capacity-exceeding — cells; pass a power of two when exact counts
+    matter."""
     if num_rowgroups < 1:
         raise ValueError("num_rowgroups must be >= 1")
     if cell_split < 1:
@@ -159,6 +190,22 @@ def zorder_rowgroup_expr(df: DataFrame,
         salt = F.xxhash64(*[F.col(c) for c in bounds])
     return cell * F.lit(int(cell_split)) + F.pmod(salt,
                                                   F.lit(int(cell_split)))
+
+
+def zorder_layout(df: DataFrame, bounds: dict[str, tuple[float, float]],
+                  num_rowgroups: int, bits: int = 16,
+                  cell_split: int = 1, salt: Column | None = None,
+                  tail_order: tuple = ("conv_id", "turn_idx"),
+                  ) -> tuple[Column, tuple]:
+    """The (rowgroup_expr, order) pair for a z-clustered encode — ONE
+    recipe shared by the store facade and streaming ingest so the two
+    layouts can never drift: grid-prefix assignment plus a
+    curve-position-first within-rowgroup sort (tightens runs on the
+    clustered columns) falling back to the stable transcript key."""
+    rg = zorder_rowgroup_expr(df, bounds, num_rowgroups, bits,
+                              cell_split=cell_split, salt=salt)
+    order = (zorder_column(df, bounds, bits), *tail_order)
+    return rg, order
 
 
 def morton_ref(values: dict[str, float],

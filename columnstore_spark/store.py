@@ -313,6 +313,23 @@ class TranscriptColumnStore:
         # this many sub-rowgroups by conv_id hash (bounds stay per-cell
         # tight, so pruning selectivity is unchanged)
         self.cluster_split = int(cluster_split)
+        # config errors surface HERE, not at close()-time deep inside
+        # encode after data is already staged
+        if self.cluster_by:
+            if self.cluster_bits * len(self.cluster_by) > 63:
+                raise ValueError(
+                    f"cluster_bits={self.cluster_bits} x "
+                    f"{len(self.cluster_by)} dims exceeds 63 curve bits "
+                    f"(use cluster_bits<="
+                    f"{63 // len(self.cluster_by)})")
+            if self.cluster_bounds is not None and \
+                    set(self.cluster_bounds) != set(self.cluster_by):
+                raise ValueError(
+                    "cluster_bounds keys must match cluster_by exactly "
+                    f"(bounds {sorted(self.cluster_bounds)} vs "
+                    f"cluster_by {sorted(self.cluster_by)})")
+            if self.cluster_split < 1:
+                raise ValueError("cluster_split must be >= 1")
         self._format = format
         # driver-side metadata memos, invalidated by _meta_token
         self._meta_cache: dict[str, tuple] = {}
@@ -500,29 +517,77 @@ class TranscriptColumnStore:
             compacted += 1
         return compacted
 
-    def _cluster_exprs(self, df: DataFrame, num_rowgroups: int | None = None):
+    def _cluster_exprs(self, df: DataFrame, num_rowgroups: int | None = None,
+                       manifest_bounds: bool = False):
         """(rowgroup_expr, order) for `cluster_by` Z-order layout, or
         (None, None) -> default conv-hash layout. Falls back to the
         default when a cluster column is missing from the frame (a
-        post-drop_column ingest batch under schema evolution)."""
+        post-drop_column ingest batch under schema evolution).
+
+        `manifest_bounds=True` (rebuild) tries the metadata-only
+        bounds rollup first — `df` there is the full decoded store, so
+        a compute_bounds pass would double rebuild's read volume."""
         if not self.cluster_by or any(c not in df.columns
                                       for c in self.cluster_by):
             return None, None
-        from .operators.zorder import (compute_bounds, zorder_column,
-                                       zorder_rowgroup_expr)
-        bounds = self.cluster_bounds or compute_bounds(df, self.cluster_by)
+        from .operators.zorder import compute_bounds, zorder_layout
+        bounds = self.cluster_bounds
+        if bounds is None and manifest_bounds:
+            bounds = self._bounds_from_manifest(self.cluster_by)
+        if bounds is None:
+            bounds = compute_bounds(df, self.cluster_by)
+        # dimension order on the curve = dict order: make cluster_by
+        # authoritative regardless of how the bounds dict was written
+        bounds = {c: bounds[c] for c in self.cluster_by}
         salt = (F.xxhash64("conv_id") if self.cluster_split > 1
                 and "conv_id" in df.columns else None)
-        rg = zorder_rowgroup_expr(df, bounds,
-                                  num_rowgroups or self.num_rowgroups,
-                                  self.cluster_bits,
-                                  cell_split=self.cluster_split,
-                                  salt=salt)
-        # within-rowgroup sort: curve position first (tightens runs on
-        # the clustered columns), then the stable transcript key
-        order = (zorder_column(df, bounds, self.cluster_bits),
-                 "conv_id", "turn_idx")
-        return rg, order
+        return zorder_layout(df, bounds,
+                             num_rowgroups or self.num_rowgroups,
+                             self.cluster_bits,
+                             cell_split=self.cluster_split, salt=salt)
+
+    # logicals whose manifest min_num/max_num already sit in the zorder
+    # axis domain (timestamp_us micros == unix_micros, date32 days ==
+    # unix_date, ints/bool verbatim). Decimals are EXCLUDED: min_num is
+    # the unscaled integer but the axis is the scaled value.
+    _AXIS_NUM_LOGICALS = frozenset({
+        "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+        "bool", "timestamp_us", "date32"})
+
+    def _bounds_from_manifest(self, cols) -> dict | None:
+        """Global per-column bounds for the rebuild grid from the
+        manifest's typed stats alone — no data pass. None when any
+        column lacks sound axis-domain bounds (then the caller falls
+        back to compute_bounds over the rows). Pending delta rows are
+        not in the manifest; their values clamp to edge cells
+        (layout-only, never a correctness hazard)."""
+        m = self.warehouse.live_manifest(self.spark)
+        if m is None:
+            return None
+        rows = (m.where(F.col("column").isin(list(cols)))
+                .groupBy("column")
+                .agg(F.first("logical_type").alias("lt"),
+                     F.min("min_num").alias("lo_n"),
+                     F.max("max_num").alias("hi_n"),
+                     F.min("min_flt").alias("lo_f"),
+                     F.max("max_flt").alias("hi_f"),
+                     F.sum(F.when(F.col("min_num").isNull()
+                                  & F.col("min_flt").isNull(), 1)
+                           .otherwise(0)).alias("untyped"))
+                .collect())
+        got = {}
+        for r in rows:
+            if r["untyped"]:
+                return None  # some segment carries no typed bounds
+            if r["lt"] in self._AXIS_NUM_LOGICALS and \
+                    r["lo_n"] is not None:
+                got[r["column"]] = (float(r["lo_n"]), float(r["hi_n"]))
+            elif r["lt"] in ("float32", "float64") and \
+                    r["lo_f"] is not None:
+                got[r["column"]] = (float(r["lo_f"]), float(r["hi_f"]))
+            else:
+                return None
+        return got if set(got) == set(cols) else None
 
     def compact(self, min_fill: float = 0.5) -> dict:
         """Merge under-capacity solid rowgroups into capacity-sized
@@ -659,6 +724,18 @@ class TranscriptColumnStore:
         if not predicates:
             raise ValueError("explain_where needs at least one predicate")
         m = self._manifest_or_raise()
+        if self._needs_fallback(m, *predicates.keys()):
+            # pending schema evolution: query_where routes through the
+            # decode-everything fallback, so the honest truth table is
+            # "all kept, nothing prunable" — NOT manifest keep-sets
+            # that would claim rowgroups the real query still decodes
+            base = (m.select("rowgroup_id", "n_rows").distinct()
+                     .orderBy("rowgroup_id"))
+            null_b = F.lit(None).cast("boolean")
+            return base.select(
+                "rowgroup_id", "n_rows",
+                *[null_b.alias(f"keep_{c}") for c in predicates],
+                F.lit(True).alias("kept"))
         lts = self._logical_types(m, predicates.keys())
         norm = [_norm_one_pred(c, p, lts.get(c) or "")
                 for c, p in predicates.items()]
@@ -993,8 +1070,11 @@ class TranscriptColumnStore:
             num_rowgroups = max(1, -(-total // self.rows_per_segment))
         staged = Warehouse(build_root, format=self._format)
         # rebuild may size groups from the row count — derive the grid
-        # at that granularity
-        rg_expr, order = self._cluster_exprs(all_rows, num_rowgroups)
+        # at that granularity; bounds come metadata-only from the
+        # manifest when possible (all_rows is the full decoded store —
+        # an extra aggregate pass over it would double rebuild's reads)
+        rg_expr, order = self._cluster_exprs(all_rows, num_rowgroups,
+                                             manifest_bounds=True)
         staged.encode_resumable(
             all_rows, num_rowgroups=num_rowgroups,
             rows_per_segment=self.rows_per_segment, mode=self.mode,

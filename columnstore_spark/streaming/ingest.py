@@ -66,10 +66,21 @@ def encode_stream(spark: SparkSession, input_path: str, warehouse_root: str,
     production ahead of time; values outside them clamp to edge cells
     (layout-only, never a correctness hazard).
     """
-    if cluster_by and not cluster_bounds:
-        raise ValueError("streaming cluster_by requires explicit "
-                         "cluster_bounds (one fixed grid across "
-                         "micro-batches)")
+    if cluster_by:
+        if not cluster_bounds:
+            raise ValueError("streaming cluster_by requires explicit "
+                             "cluster_bounds (one fixed grid across "
+                             "micro-batches)")
+        if set(cluster_bounds) != set(cluster_by):
+            raise ValueError(
+                "cluster_bounds keys must match cluster_by exactly "
+                f"(bounds {sorted(cluster_bounds)} vs "
+                f"cluster_by {sorted(cluster_by)})")
+        if cluster_bits * len(cluster_by) > 63:
+            raise ValueError(
+                f"cluster_bits={cluster_bits} x {len(cluster_by)} dims "
+                f"exceeds 63 curve bits (use cluster_bits<="
+                f"{63 // len(cluster_by)})")
     # a batch's ids are `bucket * 2^20 + block` (default_rowgroup_expr)
     # below its `batch_id << 40` offset — num_rowgroups must keep them
     # inside the 2^40 namespace or batch 0 bleeds into batch 1 and the
@@ -85,13 +96,11 @@ def encode_stream(spark: SparkSession, input_path: str, warehouse_root: str,
         # batch = closed row groups; encode is the delta->solid step
         rg = order = None
         if cluster_by:
-            from ..operators.zorder import (zorder_column,
-                                            zorder_rowgroup_expr)
-            rg = zorder_rowgroup_expr(batch_df, cluster_bounds,
-                                      num_rowgroups, cluster_bits)
-            order = (zorder_column(batch_df, cluster_bounds,
-                                   cluster_bits),
-                     "conv_id", "turn_idx")
+            from ..operators.zorder import zorder_layout
+            # dimension order on the curve = cluster_by order
+            rg, order = zorder_layout(
+                batch_df, {c: cluster_bounds[c] for c in cluster_by},
+                num_rowgroups, cluster_bits)
         wh.encode_resumable(
             batch_df, num_rowgroups=num_rowgroups,
             rows_per_segment=rows_per_segment, mode=mode,

@@ -185,6 +185,21 @@ def test_explain_where_truth_table(spark, tmp_path, t):
         assert r["kept"] == (r["keep_role"] is not False)
     with pytest.raises(ValueError):
         store.explain_where({})
+    # pending schema evolution on a PROBED column: query_where decodes
+    # through the null-filling fallback, so the truth table must say
+    # "all kept", not report manifest keep-sets the real query ignores
+    store.add_column("lang", "string")
+    ex3 = store.explain_where({"lang": None, "role": "tool"}).collect()
+    assert all(r["kept"] for r in ex3)
+    assert all(r["keep_lang"] is None and r["keep_role"] is None
+               for r in ex3)
+    # fully-covered probes keep the exact manifest truth table
+    ex4 = store.explain_where(preds).collect()
+    assert [(r["rowgroup_id"], r["kept"]) for r in ex4] == \
+           [(r["rowgroup_id"], r["kept"]) for r in ex]
+    # unknown column raises like query_where does
+    with pytest.raises(ValueError, match="unknown column"):
+        store.explain_where({"nope": 1})
 
 
 def test_query_where_empty_intersection_keeps_schema(spark, tmp_path, t):

@@ -81,6 +81,46 @@ def test_zorder_column_validates_shape(spark):
         zorder_rowgroup_expr(df, {"a": (0, 1)}, 1 << 40, bits=8)
 
 
+def test_zorder_rejects_non_numeric_axis(spark):
+    """A string axis would cast('double') to NULL on every row and
+    collapse the store into grid cell 0 — reject loudly instead."""
+    df = spark.createDataFrame([("c1", 1)], "conv_id string, y long")
+    with pytest.raises(TypeError, match="non-numeric"):
+        compute_bounds(df, ["conv_id"])
+    with pytest.raises(TypeError, match="non-numeric"):
+        zorder_column(df, {"conv_id": (0, 1)})
+
+
+def test_compute_bounds_skips_inf(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf"),), (float("-inf"),), (9.0,)], "x double")
+    assert compute_bounds(df, ["x"]) == {"x": (1.0, 9.0)}
+
+
+def test_store_cluster_config_validated_at_init(spark, tmp_path):
+    from columnstore_spark.store import TranscriptColumnStore
+    with pytest.raises(ValueError, match="curve bits"):
+        TranscriptColumnStore(spark, str(tmp_path / "a"),
+                              cluster_by=("a", "b", "c", "d"))
+    with pytest.raises(ValueError, match="keys must match"):
+        TranscriptColumnStore(spark, str(tmp_path / "b"),
+                              cluster_by=("turn_idx", "ts"),
+                              cluster_bounds={"turn_idx": (0, 1)})
+    with pytest.raises(ValueError, match="cluster_split"):
+        TranscriptColumnStore(spark, str(tmp_path / "c"),
+                              cluster_by=("turn_idx",),
+                              cluster_split=0)
+
+
+def test_stream_cluster_config_validated(spark, tmp_path):
+    from columnstore_spark.streaming.ingest import encode_stream
+    with pytest.raises(ValueError, match="keys must match"):
+        encode_stream(spark, str(tmp_path / "in"), str(tmp_path / "w"),
+                      str(tmp_path / "c"),
+                      cluster_by=("turn_idx", "ts"),
+                      cluster_bounds={"ts": (0, 1)})
+
+
 def _kept(segs, lo_t, hi_t, ts_lo, ts_hi):
     pruned = prune_rowgroups_by_range(segs, "turn_idx", lo_t, hi_t,
                                       logical_type="int32")
