@@ -757,6 +757,54 @@ class TranscriptColumnStore:
         cols.append(kept.alias("kept"))
         return base.select(*cols)
 
+    def explain_any(self, predicates) -> DataFrame:
+        """EXPLAIN for a `query_any` disjunction: per-branch keep
+        verdicts plus the combined ``kept`` (the keep-set UNION —
+        a rowgroup decodes when ANY branch admits it). One unprunable
+        branch (NULL verdict) makes every rowgroup kept — under OR
+        that branch alone could match anywhere, exactly the
+        conservative no-op `query_any` takes. Accepts the same probe
+        shapes as `query_any` (dict, or (column, probe) pairs for
+        several probes on one column)."""
+        items = (list(predicates.items())
+                 if isinstance(predicates, dict) else list(predicates))
+        if not items:
+            raise ValueError("explain_any needs at least one predicate")
+        m = self._manifest_or_raise()
+        base = (m.select("rowgroup_id", "n_rows").distinct()
+                 .orderBy("rowgroup_id"))
+        labels = []
+        for c, _p in items:
+            lbl = f"keep_{c}"
+            while lbl in labels:
+                lbl += "_"
+            labels.append(lbl)
+        null_b = F.lit(None).cast("boolean")
+        if self._needs_fallback(m, *{c for c, _p in items}):
+            return base.select(
+                "rowgroup_id", "n_rows",
+                *[null_b.alias(lbl) for lbl in labels],
+                F.lit(True).alias("kept"))
+        lts = self._logical_types(m, {c for c, _p in items})
+        norm = [_norm_one_pred(c, p, lts.get(c) or "")
+                for c, p in items]
+        cols = [F.col("rowgroup_id"), F.col("n_rows")]
+        kept = F.lit(False)
+        any_unprunable = False
+        for (col, kind, payload, lt), lbl in zip(norm, labels):
+            s = _pred_keep_ids(m, col, kind, payload, lt)
+            if s is None:
+                any_unprunable = True
+                verdict = null_b
+            else:
+                verdict = (F.col("rowgroup_id").isin(sorted(set(s)))
+                           if s else F.lit(False))
+                kept = kept | verdict
+            cols.append(verdict.alias(lbl))
+        cols.append((F.lit(True) if any_unprunable else kept)
+                    .alias("kept"))
+        return base.select(*cols)
+
     def delete_keys(self, keys: DataFrame, on: str = "conv_id",
                     key_col: str | None = None) -> dict:
         """Distributed row-level delete by key set — the erasure

@@ -202,6 +202,28 @@ def test_explain_where_truth_table(spark, tmp_path, t):
         store.explain_where({"nope": 1})
 
 
+def test_explain_any_truth_table(spark, tmp_path, t):
+    """explain_any: kept = union of branch keep-sets; one unprunable
+    branch -> all kept (the conservative no-op query_any takes)."""
+    store = TranscriptColumnStore(spark, str(tmp_path / "store"),
+                                  num_rowgroups=4)
+    store.add_range(t)
+    store.close()
+    ex = store.explain_any({"role": "tool", "turn_idx": (2, 9)}).collect()
+    for r in ex:
+        assert r["kept"] == bool(r["keep_role"] or r["keep_turn_idx"]), r
+    # duplicate-column pair list gets distinct verdict labels
+    ex2 = store.explain_any([("role", "tool"), ("role", "user")])
+    assert "keep_role" in ex2.columns and "keep_role_" in ex2.columns
+    # unprunable branch (IN-list past the prune cap) -> everything kept
+    ex3 = store.explain_any({"turn_idx": list(range(300)),
+                             "role": "tool"}).collect()
+    assert all(r["kept"] for r in ex3)
+    assert all(r["keep_turn_idx"] is None for r in ex3)
+    with pytest.raises(ValueError):
+        store.explain_any([])
+
+
 def test_query_where_empty_intersection_keeps_schema(spark, tmp_path, t):
     store = TranscriptColumnStore(spark, str(tmp_path / "store"),
                                   num_rowgroups=4)

@@ -27,13 +27,14 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_morton_parity_randomized(spark):
     rng = random.Random(42)
     rows = [(rng.uniform(-1e4, 1e4), rng.randint(-500, 500),
-             rng.uniform(0, 1)) for _ in range(400)]
-    rows += [(float("nan"), 0, 0.5), (None, None, None),
-             (float("inf"), 500, 1.0), (float("-inf"), -500, 0.0),
-             (12345.6, 7, 2.0)]  # out-of-bounds value clamps
-    df = spark.createDataFrame(rows, "x double, y long, w double")
+             rng.uniform(0, 1), rng.randint(0, 10**9))
+            for _ in range(400)]
+    rows += [(float("nan"), 0, 0.5, 1), (None, None, None, None),
+             (float("inf"), 500, 1.0, 0), (float("-inf"), -500, 0.0, 2),
+             (12345.6, 7, 2.0, 10**9)]  # out-of-bounds value clamps
+    df = spark.createDataFrame(rows, "x double, y long, w double, v long")
     for cols, bits in ((["x", "y"], 16), (["x", "y", "w"], 12),
-                       (["y"], 20)):
+                       (["x", "y", "w", "v"], 15), (["y"], 20)):
         bounds = compute_bounds(df, cols)
         got = df.withColumn("z", zorder_column(df, bounds, bits)).collect()
         for r in got:
