@@ -41,11 +41,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.pruning import _ASCII_RE, _with_typed_bounds
+from ..plans.pruning import (_PLAIN_INT_LOGICALS, _ASCII_RE,
+                             _with_typed_bounds)
 
-_INT_FAMILY = ("int8", "int16", "int32", "int64", "uint8", "uint16",
-               "uint32", "uint64", "bool", "timestamp_s", "timestamp_ms",
-               "timestamp_us", "timestamp_ns", "date32")
+# canonical int family (plans/pruning.py owns the base list) plus the
+# temporals whose stored form is int64 — derived, not re-listed, so a
+# new logical can't silently miss aggregation support
+_INT_FAMILY = tuple(_PLAIN_INT_LOGICALS) + (
+    "timestamp_s", "timestamp_ms", "timestamp_us", "timestamp_ns",
+    "date32")
 
 _SUM_DEC = "decimal(38,0)"
 
@@ -65,10 +69,27 @@ def aggregate_segments(segments: DataFrame,
     column: (col_name, logical_type, n_segments, n_rows, n_values,
     n_nulls, min_long, max_long, min_dbl, max_dbl, min_str, max_str,
     sum_dec) with the domain/NULL semantics in the module docstring.
+
+    Schema-evolution exactness: a column added after some rowgroups
+    were committed has no segment rows there, yet decode surfaces its
+    rows as NULL. Counts are therefore normalized against the STORE
+    row total (sum of per-rowgroup n_rows over all columns): n_rows
+    reports the store total and the gap counts into n_nulls — the
+    numbers a full decode would produce. MIN/MAX/SUM ignore NULLs, so
+    they need no adjustment. Fully-covered columns are untouched
+    (their own total equals the store total).
     """
-    m = _with_typed_bounds(segments)
+    full = _with_typed_bounds(segments)
+    m = full
     if columns is not None:
         m = m.where(F.col("column").isin(list(columns)))
+    # store row total from metadata alone — per-rowgroup n_rows is
+    # column-independent, so max() per rowgroup then sum is exact even
+    # when no single column covers every rowgroup
+    store_rows = (full.groupBy("rowgroup_id")
+                  .agg(F.max("n_rows").alias("_rg_rows"))
+                  .agg(F.coalesce(F.sum("_rg_rows"),
+                                  F.lit(0)).alias("_store_rows")))
 
     sum_cast = F.col("sum_repr").cast(_SUM_DEC)
     non_ascii = lambda c: ~F.col(c).rlike(_ASCII_RE)  # noqa: E731
@@ -97,9 +118,12 @@ def aggregate_segments(segments: DataFrame,
 
     lt = F.col("logical_type")
     known = lambda miss, c: F.when(F.col(miss) == 0, c)  # noqa: E731
+    agg = agg.crossJoin(F.broadcast(store_rows))
     return agg.select(
-        "col_name", "logical_type", "n_segments", "n_rows", "n_values",
-        "n_nulls",
+        "col_name", "logical_type", "n_segments",
+        F.col("_store_rows").alias("n_rows"), "n_values",
+        (F.col("n_nulls")
+         + (F.col("_store_rows") - F.col("n_rows"))).alias("n_nulls"),
         known("_miss_num", F.col("_min_num")).alias("min_long"),
         known("_miss_num", F.col("_max_num")).alias("max_long"),
         known("_miss_flt", F.col("_min_flt")).alias("min_dbl"),
@@ -130,6 +154,8 @@ def _distinct_stage(segments: DataFrame, column: str,
 
     sub = segments.where(F.col("column") == column)
     if value_type is None:
+        # driver-job fallback for direct operator callers; the facade
+        # passes value_type resolved off the manifest metadata
         row = sub.select("logical_type").first()
         if row is None:
             raise ValueError(f"no segments for column {column!r}")
@@ -401,6 +427,10 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
         T.StructField("cnt", T.LongType(), False),
         T.StructField("n_agg", T.LongType(), False),
         T.StructField("sum_agg", sum_type, True),
+        # True when this partial's int64 sum may have wrapped (value
+        # bound x count reaches 2^62) — the final agg then reports
+        # NULL for the group: unknown beats silently-wrong
+        T.StructField("sum_unknown", T.BooleanType(), False),
         T.StructField("min_agg", agg_type, True),
         T.StructField("max_agg", agg_type, True),
     ])
@@ -472,11 +502,21 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
         sums = np.zeros(ng, dtype=vals.dtype)
         mins = np.zeros(ng, dtype=vals.dtype)
         maxs = np.zeros(ng, dtype=vals.dtype)
+        sum_unknown = np.zeros(ng, dtype=bool)
         if gv.size:
             order = np.argsort(gv, kind="stable")
             sg, sv = gv[order], vv[order]
             b = np.flatnonzero(np.diff(sg, prepend=-1))
             sums[sg[b]] = np.add.reduceat(sv, b)
+            if np.issubdtype(vals.dtype, np.integer):
+                # int64 reduceat wraps silently; flag any group whose
+                # worst-case |sum| (max|v| x count, float64 upper
+                # bound with a 2x margin) reaches int64 range — the
+                # final agg nulls those groups (unknown beats wrong)
+                maxabs = np.zeros(ng)
+                maxabs[sg[b]] = np.maximum.reduceat(
+                    np.abs(sv.astype(np.float64)), b)
+                sum_unknown = maxabs * n_agg >= float(1 << 62)
             # Spark orders NaN above every double: MIN skips NaN
             # (fmin; an all-NaN group still yields NaN) while MAX
             # returns NaN when the group holds one (maximum
@@ -501,8 +541,10 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
             # wrong (min/max/cnt are the meaningful temporal aggs)
             out["sum_agg"] = pa.nulls(ng, type=pa_schema.field(
                 "sum_agg").type)
+            sum_unknown = np.ones(ng, dtype=bool)
         else:
             out["sum_agg"] = pa.array(sums, mask=~has_agg)
+        out["sum_unknown"] = pa.array(sum_unknown)
         out["min_agg"] = _from_arith(mins, has_agg, pa_agg_t,
                                      stored=dec.type)
         out["max_agg"] = _from_arith(maxs, has_agg, pa_agg_t,
@@ -511,9 +553,19 @@ def group_agg(segments: DataFrame, group_col, agg_col: str,
 
     sub = segments.where(F.col("column").isin(sorted(need)))
     parts = _rowgroup_stage(sub, partial_schema, num_partitions, group_fn)
+    if isinstance(sum_type, T.LongType):
+        # exact cross-rowgroup combine: partials are wrap-free (the
+        # per-rowgroup guard) but their SUM could still exceed int64 —
+        # sum in DECIMAL(38,0) and try_cast back, so out-of-range goes
+        # NULL instead of wrapping (or throwing under ANSI)
+        total = F.sum(F.col("sum_agg").cast(_SUM_DEC)).try_cast("long")
+    else:
+        total = F.sum("sum_agg")
+    sum_out = (F.when(F.max(F.col("sum_unknown").cast("int")) == 1,
+                      F.lit(None)).otherwise(total)).alias("sum_agg")
     return (parts.groupBy(*out_names)
             .agg(F.sum("cnt").alias("cnt"),
                  F.sum("n_agg").alias("n_agg"),
-                 F.sum("sum_agg").alias("sum_agg"),
+                 sum_out,
                  F.min("min_agg").alias("min_agg"),
                  F.max("max_agg").alias("max_agg")))

@@ -34,10 +34,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.pruning import _REPR_CAP, _ASCII_RE, _with_typed_bounds
+from ..plans.pruning import (_PLAIN_INT_LOGICALS, _REPR_CAP, _ASCII_RE,
+                             _with_typed_bounds)
 
-_PLAIN_INTS = {"int8", "int16", "int32", "int64",
-               "uint8", "uint16", "uint32", "bool"}
+# derived from the canonical family (plans/pruning.py) so a new
+# logical can't silently miss semijoin pruning; uint64 is excluded —
+# values above 2^63 wrap in the stored int64 view, so key.cast("long")
+# bounds tests are unsound there
+_PLAIN_INTS = frozenset(_PLAIN_INT_LOGICALS) - {"uint64"}
 
 _HASH_SCHEMA = "w1 long, m1 long, w2 long, m2 long"
 
@@ -122,6 +126,13 @@ def _keys_bounds_cond(logical: str | None, key: Column) -> Column | None:
                        F.col("n_nulls") < F.col("n_rows"))
                 .when(~ascii_ok, F.lit(True))
                 .otherwise(in_bounds))
+    if logical == "binary":
+        # no byte-order bounds are recorded for binary, but the column
+        # IS bloomable: a keep-all condition (any non-null row) feeds
+        # the bloom equi-join stage, which does the real pruning for
+        # point keys (canon_bytes hashes raw bytes, and binary==binary
+        # equality has no coercion hazards)
+        return F.col("n_nulls") < F.col("n_rows")
     if logical in ("float32", "float64"):
         k = key.cast("double")
         # NaN keys: Spark orders NaN ABOVE +inf, so `max_flt >= NaN`
@@ -185,6 +196,13 @@ def keep_ids_for_keys(manifest: DataFrame, column: str, keys: DataFrame,
         # byte-order min/max bound nothing — pruning on them would
         # silently drop matching rowgroups
         return None
+    if logical_type == "binary":
+        if kind != "binary":
+            return None
+        if not (use_bloom and "bloom" in manifest.columns):
+            # binary has a keep-all bounds cond only so the bloom
+            # stage can prune; without blooms there is nothing to do
+            return None
     # internal alias: a key column legitimately named like a manifest
     # stat column (n_rows, min_repr, ...) would otherwise be ambiguous
     # after the bounds join

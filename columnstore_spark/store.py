@@ -1552,7 +1552,8 @@ class TranscriptColumnStore:
             self._guard_materialized(self._manifest_or_raise(),
                                      [column], "group_count")
         return group_count(
-            self.warehouse.committed_segments(self.spark), column)
+            self.warehouse.committed_segments(self.spark), column,
+            value_type=self._value_type(column))
 
     def group_agg(self, group_col, agg_col: str,
                   where: tuple[str, object] | None = None) -> DataFrame:

@@ -126,3 +126,47 @@ def test_stat_named_key_column(spark, store, transcripts):
     assert got == _expected(transcripts,
                             keys.withColumnRenamed("n_rows", "k"),
                             "conv_id")
+
+
+def test_semi_join_binary_keys_prune_via_bloom(spark, tmp_path):
+    """Binary key columns have no byte-order bounds, but they ARE
+    bloomable: a keep-all bounds condition feeds the bloom equi-join,
+    which prunes point keys (round-3 review finding — previously a
+    full-store decode)."""
+    from pyspark.sql import types as T
+
+    from columnstore_spark.operators import encode
+    from columnstore_spark.operators.semijoin import semi_join_segments
+
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("b", T.BinaryType(), False),
+    ])
+    rows = [(f"c{i:04d}", bytes([i % 251, (i * 7) % 251, i % 13]))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, sch)
+    segs = encode(df, rowgroup_expr=F.pmod(F.xxhash64("conv_id"),
+                                           F.lit(8)),
+                  order=("conv_id",), bloom_columns=("b",)).cache()
+    m = segs.drop("payload")
+    keys = spark.createDataFrame([(bytes([5, 35, 5]),)], "k binary")
+    ids = keep_ids_for_keys(m, "b", keys, "binary")
+    assert ids is not None                   # bloom path engages
+    kept = ids.count()
+    total = segs.select("rowgroup_id").distinct().count()
+    assert 0 < kept <= max(1, total // 2)    # real pruning
+    # exactness: semi-join result equals Spark's own
+    from columnstore_spark.operators import decode
+    pruned = semi_join_segments(segs, m, "b", keys, "binary")
+    got = (decode(pruned, schema=df.schema)
+           .join(keys, F.col("b") == F.col("k"), "leftsemi"))
+    exp = df.where(df["b"] == bytes([5, 35, 5]))
+    assert sorted(map(tuple, got.collect())) == \
+           sorted(map(tuple, exp.collect()))
+    # no blooms -> nothing to prune on, keep-all contract
+    assert keep_ids_for_keys(m.drop("bloom"), "b", keys,
+                             "binary") is None
+    # mismatched key side type -> no pruning
+    skeys = spark.createDataFrame([("x",)], "k string")
+    assert keep_ids_for_keys(m, "b", skeys, "binary") is None
+    segs.unpersist()
