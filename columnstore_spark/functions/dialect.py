@@ -85,13 +85,23 @@ class Dialect:
             f"regexp_split_to_array(lower(trim({s})), '[^a-z0-9]+')",
             "x -> x != ''")
 
-    def ws_token_count(self, s: str) -> str:
-        """Whitespace-token count of a string expression — the ONE
-        spelling token_stats and pack_sequences share (a tokenizer
-        tweak must move both or their counts silently diverge)."""
+    def ws_tokens(self, s: str) -> str:
+        """Whitespace-token array of a string expression — the ONE
+        spelling token_stats, pack_sequences, and quality_filter share
+        (a tokenizer tweak must move all of them or their counts
+        silently diverge)."""
         arr = (f"split(trim({s}), ' +')" if self.spark
                else f"regexp_split_to_array(trim({s}), ' +')")
-        return self.size(self.filter(arr, "x -> x != ''"))
+        return self.filter(arr, "x -> x != ''")
+
+    def ws_token_count(self, s: str) -> str:
+        """Whitespace-token count of a string expression."""
+        return self.size(self.ws_tokens(s))
+
+    def re_contains(self, x: str, pat: str) -> str:
+        """Boolean: does string expression `x` contain a match of
+        `pat`? (Engines spell the predicate differently.)"""
+        raise NotImplementedError
 
 
     def rlit(self, pattern: str) -> str:
@@ -154,6 +164,8 @@ class SparkDialect(Dialect):
         return "'" + pattern.replace("\\", "\\\\") + "'"
     def regexp_count(self, s, pattern):
         return f"size(regexp_extract_all({s}, {self.rlit(pattern)}, 0))"
+    def re_contains(self, x, pat):
+        return f"({x} RLIKE {self.rlit(pat)})"
     def to_utf8(self, s): return f"encode({s}, 'utf-8')"
     def byte_length(self, s): return f"length(encode({s}, 'utf-8'))"
     def idiv(self, a, b): return f"(({a}) DIV ({b}))"
@@ -206,6 +218,8 @@ class DuckDialect(Dialect):
         return "'" + pattern + "'"
     def regexp_count(self, s, pattern):
         return f"len(regexp_extract_all({s}, {self.rlit(pattern)}))"
+    def re_contains(self, x, pat):
+        return f"regexp_matches({x}, {self.rlit(pat)})"
     def to_utf8(self, s): return f"encode({s})"
     def byte_length(self, s): return f"octet_length(encode({s}))"
     def idiv(self, a, b): return f"(({a}) // ({b}))"

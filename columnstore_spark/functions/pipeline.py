@@ -176,6 +176,97 @@ FROM {table}
 """
 
 
+# Gopher-style heuristic quality rules (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A MassiveWeb filters — public heuristics): bounds on word
+# count and mean word length, a symbol-to-word ratio cap, a minimum
+# alphabetic-word fraction, and a required-stopword floor. Word-count
+# and mean-word-length bounds are the published values; the stopword
+# floor is 1 (Gopher uses 2) because the synthetic corpus carries only
+# one list word — the rule still discriminates, which is what the
+# oracle needs to prove.
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 50, 100_000
+_GQ_MIN_MWL, _GQ_MAX_MWL = 3.0, 10.0
+_GQ_MAX_SYMBOL_RATIO = 0.1
+_GQ_SYMBOL_RE = "#|[.][.][.]"  # '#' and ellipsis, backslash-free
+_GQ_MIN_ALPHA_FRAC = 0.8
+_GQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GQ_MIN_STOP_KINDS = 1
+
+
+def quality_filter_sql(d: Dialect, table: str = "documents") -> str:
+    """Gopher-rule document quality filter — the heuristic gate a
+    training-data pipeline runs between redaction and dedup. Emits
+    the per-rule feature values, one 0/1 verdict per rule, and the
+    conjunctive keep bit, so downstream mixes can re-weight individual
+    rules without recomputing features.
+
+    Scale: map-only — every feature is a per-row expression over the
+    whitespace-token array (the SAME dialect spelling token_stats and
+    pack_sequences count with), no shuffle, trivially parallel; at
+    100 TB this pipelines with the scan."""
+    words = d.ws_tokens("text")
+    sum_len = d.list_sum(d.transform("words", "x -> length(x)"))
+    n_alpha = d.size(d.filter(
+        "words", f"x -> {d.re_contains('x', '[A-Za-z]')}"))
+    n_stop = d.size(d.intersect(
+        d.distinct(d.transform("words", "x -> lower(x)")),
+        d.str_lit_array(_GQ_STOPWORDS)))
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, {words} AS words FROM {table}
+),
+feat AS (
+  SELECT doc_id,
+         {d.size('words')} AS n_words,
+         COALESCE({sum_len}, 0) AS sum_len,
+         {n_alpha} AS n_alpha,
+         {n_stop} AS n_stop_kinds,
+         {d.regexp_count('text', _GQ_SYMBOL_RE)} AS n_symbols
+  FROM w
+),
+rules AS (
+  SELECT doc_id, n_words, n_stop_kinds,
+         round(sum_len / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+           AS mean_word_len,
+         round(n_symbols / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+           AS symbol_ratio,
+         round(n_alpha / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+           AS alpha_frac
+  FROM feat
+),
+verdicts AS (
+  SELECT *,
+    CASE WHEN n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}
+         THEN 1 ELSE 0 END AS ok_word_count,
+    CASE WHEN mean_word_len >= {_GQ_MIN_MWL}
+          AND mean_word_len <= {_GQ_MAX_MWL} THEN 1 ELSE 0 END
+      AS ok_word_len,
+    CASE WHEN symbol_ratio <= {_GQ_MAX_SYMBOL_RATIO} THEN 1 ELSE 0 END
+      AS ok_symbols,
+    CASE WHEN alpha_frac >= {_GQ_MIN_ALPHA_FRAC} THEN 1 ELSE 0 END
+      AS ok_alpha,
+    CASE WHEN n_stop_kinds >= {_GQ_MIN_STOP_KINDS} THEN 1 ELSE 0 END
+      AS ok_stopwords
+  FROM rules
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(mean_word_len AS DOUBLE) AS mean_word_len,
+       CAST(symbol_ratio AS DOUBLE) AS symbol_ratio,
+       CAST(alpha_frac AS DOUBLE) AS alpha_frac,
+       CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+       CAST(ok_word_count AS INT) AS ok_word_count,
+       CAST(ok_word_len AS INT) AS ok_word_len,
+       CAST(ok_symbols AS INT) AS ok_symbols,
+       CAST(ok_alpha AS INT) AS ok_alpha,
+       CAST(ok_stopwords AS INT) AS ok_stopwords,
+       CAST(ok_word_count * ok_word_len * ok_symbols * ok_alpha
+            * ok_stopwords AS INT) AS keep
+FROM verdicts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampling & sequence packing
 # ---------------------------------------------------------------------------
@@ -728,16 +819,86 @@ def ngram_jaccard_sql(d: Dialect, table: str = "documents",
     side); the Spark runner materializes ngram_shingles_sql first and
     runs ngram_jaccard_over on it.
     """
+    return _with_shingles(d, table, ngram_jaccard_over(d, "sh", threshold))
+
+
+def _with_shingles(d: Dialect, table: str, over: str) -> str:
+    """Fold ngram_shingles_sql into a leading `sh` CTE ahead of an
+    over-form query that references `sh`: "WITH a AS (...) SELECT ..."
+    becomes "WITH a AS (...), sh AS (SELECT ...), <over's CTEs> ..."
+    — split at the top-level SELECT that ends the shingle CTE list."""
     shingles = ngram_shingles_sql(d, table)
     assert shingles.startswith("\nWITH ")
     inner = shingles[len("\nWITH "):]
-    # fold "WITH a AS (...) SELECT ..." into "WITH a AS (...), sh AS
-    # (SELECT ...)" — split at the top-level SELECT that ends the CTE list
     head, _, tail = inner.rpartition("\nSELECT ")
-    over = ngram_jaccard_over(d, "sh", threshold)
     assert over.startswith("\nWITH ")
     return (f"\nWITH {head},\nsh AS (\n  SELECT {tail.rstrip()}\n),\n"
             f"{over[len('WITH '):].lstrip()}")
+
+
+# Eval-set decontamination: the held-out fraction (hash-deterministic,
+# like sample_hash) stands in for a benchmark suite; a training doc is
+# contaminated when >= threshold of its word-3-gram shingles appear
+# anywhere in the eval set (13-gram overlap against benchmarks is the
+# published GPT-3/Gopher decontamination shape — 3-grams here because
+# the test corpus is 10-99-word synthetic docs).
+_DECON_EVAL_PERMILLE = 100
+_DECON_THRESHOLD = 0.5
+
+
+def decontaminate_over(d: Dialect, sh: str = "sh",
+                       eval_permille: int = _DECON_EVAL_PERMILLE,
+                       threshold: float = _DECON_THRESHOLD) -> str:
+    """Train/eval n-gram-overlap contamination report over a
+    materialized `sh` (doc_id, shingles) table.
+
+    Scale shape: the eval membership bit is a pure hash of doc_id
+    (map-only); `ev` — the DISTINCT benchmark shingle set — is tiny
+    relative to the corpus (benchmarks are MBs at any corpus size), so
+    the hit join is broadcast-shaped; the per-doc overlap count is a
+    groupBy with map-side partial agg. Nothing scales worse than the
+    shingle build itself. Docs with < 3 tokens have no shingles and are
+    absent (unjudgeable at this gram size)."""
+    u = f"{d.ph(_salted(d, 'dc', 'doc_id'))} % 1000"
+    ev_from = "(SELECT doc_id, shingles FROM flags WHERE is_eval = 1) fe"
+    tr_from = "(SELECT doc_id, shingles FROM flags WHERE is_eval = 0) ft"
+    frac = (f"COALESCE(n_overlap, 0) "
+            f"/ CAST({d.size('f.shingles')} AS DOUBLE)")
+    return f"""
+WITH flags AS (
+  SELECT doc_id, shingles,
+         CASE WHEN {u} < {eval_permille} THEN 1 ELSE 0 END AS is_eval
+  FROM {sh}
+),
+ev AS (
+  SELECT DISTINCT h
+  FROM ({d.explode_select('doc_id', 'shingles', 'h', ev_from)}) x
+),
+tr AS (
+  {d.explode_select('doc_id', 'shingles', 'h', tr_from)}
+),
+hits AS (
+  SELECT tr.doc_id, count(*) AS n_overlap
+  FROM tr JOIN ev ON tr.h = ev.h
+  GROUP BY tr.doc_id
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       CAST({d.size('f.shingles')} AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(round({frac}, 4) AS DOUBLE) AS contamination,
+       CAST(CASE WHEN {frac} >= {threshold} THEN 1 ELSE 0 END AS INT)
+         AS flagged
+FROM flags f LEFT JOIN hits ON f.doc_id = hits.doc_id
+WHERE f.is_eval = 0
+"""
+
+
+def decontaminate_sql(d: Dialect, table: str = "documents") -> str:
+    """Combined single-statement spine (the DuckDB oracle side); the
+    Spark runner materializes ngram_shingles_sql once and runs
+    decontaminate_over on it (Catalyst re-inlines CTEs per branch —
+    `flags` is referenced by both the eval and train sides)."""
+    return _with_shingles(d, table, decontaminate_over(d, "sh"))
 
 
 _SIM_BITS = 48  # stay clear of BIGINT sign issues in both engines
@@ -993,6 +1154,63 @@ LIMIT {k}
 """
 
 
+def ann_sq8_sql(d: Dialect, table: str = "embeddings",
+                query_vec_id: int = 0, k: int = 10,
+                oversample: int = 3) -> str:
+    """Scalar-quantized (int8) ANN with exact re-rank — the
+    memory-bound scale path: each vector stores one scale plus dim
+    int8 codes (4x smaller than float32, 8x than float64), candidate
+    scoring runs entirely on the codes, and only the top
+    k*oversample candidates touch the full-precision vectors.
+
+    Quantization: per-vector symmetric max-abs — code_i =
+    floor(v_i / s * 127 + 0.5) with s = max|v| (floor(x+0.5), not
+    round(): engines disagree on round-half semantics, floor doesn't).
+    Approximate cosine needs NO dequantization: the per-vector scales
+    cancel, so it is int_dot(a,b)/(|a||b|) over the codes — doubles
+    holding integers (bounded by 127^2*dim << 2^53), every sum order
+    gives the identical bits, so the two engines agree exactly.
+
+    Scale shape: the codes table is the only full-corpus pass
+    (map-only after a 1-row broadcast of the query's codes); the
+    re-rank reads k*oversample full vectors. At 100 TB the codes are
+    what lives hot; this is the standard SQ8 layout (FAISS
+    ScalarQuantizer, public) re-expressed relationally."""
+    absmax = d.amax(d.transform("e", "v -> abs(v)"))
+    quant = d.transform("e", "v -> CAST(floor(v / s * 127 + 0.5) AS DOUBLE)")
+    qdot = d.dot("c.z", "q.z")
+    qnorm = (f"greatest(sqrt({d.dot('c.z', 'c.z')}) "
+             f"* sqrt({d.dot('q.z', 'q.z')}), 1e-12)")
+    cos = d.cosine("c.e", "q.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
+),
+scaled AS (
+  SELECT vec_id, label, e, greatest({absmax}, 1e-12) AS s FROM emb
+),
+codes AS (
+  SELECT vec_id, label, e, {quant} AS z FROM scaled
+),
+q AS (SELECT e, z FROM codes WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT c.vec_id, c.label, c.e,
+         round({qdot} / {qnorm}, 4) AS approx_cosine
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id != {query_vec_id}
+  ORDER BY approx_cosine DESC, c.vec_id
+  LIMIT {k * oversample}
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(round({cos}, 4) AS DOUBLE) AS cosine,
+       CAST(c.approx_cosine AS DOUBLE) AS approx_cosine,
+       CAST(c.label AS INT) AS label
+FROM cand c CROSS JOIN q
+ORDER BY round({cos}, 4) DESC, c.vec_id
+LIMIT {k}
+"""
+
+
 def ann_ivf_sql(d: Dialect, dim: int, table: str = "embeddings",
                 query_vec_id: int = 0, k: int = 10,
                 n_cells: int = 8, nprobe: int = 2,
@@ -1224,6 +1442,10 @@ def spark_pipeline_df(spark, name: str, dim: int):
         return spark.sql(embedding_lsh_pairs_over(SPARK, v))
     if name == "dedup_clusters":
         return dedup_clusters_df(spark, dim)
+    if name == "decontaminate":
+        v = _materialize(spark, name, ngram_shingles_sql(SPARK),
+                         "__cs_decon_shingles")
+        return spark.sql(decontaminate_over(SPARK, v))
     if name == "dedup_ngram_jaccard":
         v = _materialize(spark, name, ngram_shingles_sql(SPARK),
                          "__cs_ngram_shingles")
@@ -1243,6 +1465,8 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "text_metrics": text_metrics_sql,
         "token_stats": token_stats_sql,
         "text_redact": text_redact_sql,
+        "quality_filter": quality_filter_sql,
+        "decontaminate": decontaminate_sql,
         "sample_hash": sample_hash_sql,
         "sample_stratified": sample_stratified_sql,
         "pack_sequences": pack_sequences_sql,
@@ -1254,6 +1478,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "dedup_embedding_lsh": lambda d: embedding_lsh_pairs_sql(d, dim),
         "ann_cosine_topk": ann_brute_sql,
         "ann_lsh": lambda d: ann_lsh_sql(d, dim),
+        "ann_sq8": ann_sq8_sql,
         "ann_ivf": lambda d: ann_ivf_sql(d, dim),
         "media_meta": media_meta_sql,
     }

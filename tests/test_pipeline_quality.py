@@ -1,0 +1,140 @@
+"""Semantic tests for the round-3 pipeline additions: the Gopher-rule
+quality filter, eval-set decontamination, and int8 scalar-quantized
+ANN. Engine parity is covered by test_oracle_parity/test_pipeline_edges;
+these check the OPERATOR semantics against independent reimplementations
+and planted inputs."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from columnstore_spark.functions.pipeline import (
+    _GQ_MIN_ALPHA_FRAC,
+    _GQ_MIN_STOP_KINDS,
+    _GQ_MIN_WORDS,
+    _GQ_STOPWORDS,
+    all_pipeline_sql,
+    spark_pipeline_df,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql, docs=None):
+    con = duckdb.connect()
+    if docs is None:
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    else:
+        vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+        con.sql("create table documents as select * from "
+                f"(values {vals}) v(doc_id, text)")
+    return con.sql(sql).df()
+
+
+# --------------------------------------------------------------------------
+# quality_filter: independent Python reimplementation of every rule
+# --------------------------------------------------------------------------
+
+QF_DOCS = [
+    (0, "the " + "alpha beta gamma " * 20),           # long, has 'the'
+    (1, "short doc the end"),                          # < 50 words
+    (2, ("xx " * 60).strip()),                         # no stopword
+    (3, ""),                                           # empty
+    (4, "the " + "ab " * 60),                          # short mean word len
+]
+
+
+def test_quality_filter_matches_python_rules():
+    df = _duck(all_pipeline_sql(64)["quality_filter"]["duck"], QF_DOCS)
+    rows = {int(r.doc_id): r for r in df.itertuples()}
+    for doc_id, text in QF_DOCS:
+        words = [w for w in text.strip().split(" ") if w]
+        r = rows[doc_id]
+        assert r.n_words == len(words)
+        mwl = round(sum(len(w) for w in words) / max(len(words), 1), 4)
+        assert r.mean_word_len == pytest.approx(mwl)
+        alpha = sum(1 for w in words if any(c.isalpha() and c.isascii()
+                                            for c in w))
+        assert r.alpha_frac == pytest.approx(
+            round(alpha / max(len(words), 1), 4))
+        kinds = len({w.lower() for w in words} & set(_GQ_STOPWORDS))
+        assert r.n_stop_kinds == kinds
+        assert r.ok_word_count == int(len(words) >= _GQ_MIN_WORDS)
+        assert r.ok_stopwords == int(kinds >= _GQ_MIN_STOP_KINDS)
+        assert r.ok_alpha == int(
+            round(alpha / max(len(words), 1), 4) >= _GQ_MIN_ALPHA_FRAC)
+        assert r.keep == (r.ok_word_count * r.ok_word_len * r.ok_symbols
+                          * r.ok_alpha * r.ok_stopwords)
+    # the crafted corpus exercises both verdicts
+    assert {rows[0].keep, rows[1].keep} == {1, 0}
+    assert rows[2].ok_stopwords == 0 and rows[4].ok_word_len == 0
+
+
+def test_quality_filter_discriminates_on_testdata():
+    df = _duck(all_pipeline_sql(64)["quality_filter"]["duck"])
+    assert set(df["keep"].unique()) == {0, 1}
+    # every rule verdict is boolean and keep is their conjunction
+    prod = (df.ok_word_count * df.ok_word_len * df.ok_symbols
+            * df.ok_alpha * df.ok_stopwords)
+    assert (df["keep"] == prod).all()
+
+
+# --------------------------------------------------------------------------
+# decontaminate: planted duplicates across the train/eval split
+# --------------------------------------------------------------------------
+
+def test_decontaminate_planted_duplicates():
+    """50 verbatim copies of one text: the hash split puts some in eval
+    with near-certainty, so every TRAIN copy must come back with
+    contamination 1.0 and flagged; unique filler docs stay clean."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(i, dup) for i in range(50)]
+    docs += [(100 + i, f"unique{i} filler{i} words{i} body{i} tail{i}")
+             for i in range(20)]
+    df = _duck(all_pipeline_sql(64)["decontaminate"]["duck"], docs)
+    out_ids = set(df["doc_id"].astype(int))
+    eval_ids = {i for i, _ in docs} - out_ids  # all docs have >=3 tokens
+    dup_eval = {i for i in eval_ids if i < 50}
+    assert dup_eval, "hash split left no duplicate in eval (seed broke)"
+    dup_train = df[df["doc_id"] < 50]
+    assert (dup_train["contamination"] == 1.0).all()
+    assert (dup_train["flagged"] == 1).all()
+    filler = df[df["doc_id"] >= 100]
+    assert (filler["flagged"] == 0).all()
+    assert (filler["contamination"] == 0.0).all()
+
+
+def test_decontaminate_invariants_testdata(spark):
+    from columnstore_spark.sources.transcripts import register_testdata
+    register_testdata(spark, SF, ("documents", "embeddings"))
+    df = spark_pipeline_df(spark, "decontaminate", 64).toPandas()
+    assert (df["n_overlap"] <= df["n_shingles"]).all()
+    assert (df["n_shingles"] > 0).all()
+    flag = df["contamination"] >= 0.5
+    assert (df["flagged"] == flag.astype(int)).all()
+    # the testdata corpus contains exact duplicates straddling the
+    # split -> at least one fully-contaminated train doc
+    assert (df["contamination"] == 1.0).any()
+
+
+# --------------------------------------------------------------------------
+# ann_sq8: quantized candidate recall vs the exact brute-force ranking
+# --------------------------------------------------------------------------
+
+def test_ann_sq8_recall_vs_brute():
+    sqls = all_pipeline_sql(64)
+    sq8 = _duck(sqls["ann_sq8"]["duck"])
+    brute = _duck(sqls["ann_cosine_topk"]["duck"])
+    assert len(sq8) == 10
+    # int8 quantization at dim=64 is tight: approx tracks exact closely
+    assert (np.abs(sq8["approx_cosine"] - sq8["cosine"]) <= 0.05).all()
+    # the exact top-1 survives the quantized candidate stage
+    assert brute.iloc[0]["vec_id"] in set(sq8["vec_id"])
+    assert sq8.iloc[0]["vec_id"] == brute.iloc[0]["vec_id"]
+    # re-ranked output is ordered by exact cosine
+    assert (sq8["cosine"].values[:-1] >= sq8["cosine"].values[1:]).all()
+    # recall@10 of the oversampled-then-reranked set vs exact top-10
+    recall = len(set(sq8["vec_id"]) & set(brute["vec_id"])) / 10
+    assert recall >= 0.8
