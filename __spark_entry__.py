@@ -601,6 +601,28 @@ def _q_group_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role", "tool", "cnt", "n_agg", "sum_agg", "min_agg", "max_agg")
 
 
+_QUANTILE_QS = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+
+def _q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles in the encoded domain
+    (`operators/aggregate.quantiles`): the global histogram is the
+    union of per-segment dictionaries — dict run lengths ARE the
+    counts, no row ever expands — so the quantile sort runs over
+    DISTINCT values, not table rows. Covers an int column and a
+    timestamp column (reported in epoch micros, the stored domain)."""
+    from columnstore_spark.operators.aggregate import quantiles
+    t = load_transcripts(spark, sf_dir)
+    segs = encode(t, rowgroup_expr=_rg_expr())
+    tu = quantiles(segs, "turn_idx", _QUANTILE_QS).select(
+        F.lit("turn_idx").alias("col_name"), "q",
+        F.col("value").cast("long").alias("value"))
+    ts = quantiles(segs, "ts", _QUANTILE_QS).select(
+        F.lit("ts").alias("col_name"), "q",
+        F.unix_micros(F.col("value")).alias("value"))
+    return tu.unionAll(ts)
+
+
 def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact predicate COUNT from probe-range lengths alone
     (`operators/aggregate.count_matching`): no gather, no other
@@ -871,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": _q_group_agg,
         "group_agg_where": _q_group_agg_where,
         "group_agg_multi": _q_group_agg_multi,
+        "quantile_pushdown": _q_quantile,
         "topk_ts": _q_topk,
         "count_where": _q_count_where,
         "compression_summary": _q_compression_summary,
@@ -952,6 +975,29 @@ def _agg_pushdown_oracle() -> str:
             f"{lo} AS min_str, {hi} AS max_str FROM t")
     selects = "\nUNION ALL\n".join(rows)
     return f"WITH t AS ({TRANSCRIPTS_SQL})\n{selects}"
+
+
+def _quantile_oracle() -> str:
+    """Type-1 quantile recomputed manually from the raw rows — the
+    same order-statistic definition the encoded-domain operator uses
+    (smallest value with cumulative count >= ceil(q*n), q=0 -> min),
+    written out so BOTH engines run identical arithmetic (DuckDB's
+    quantile_disc interpolates differently)."""
+    qlist = ", ".join(f"({q})" for q in _QUANTILE_QS)
+    parts = []
+    for col, vexpr in (("turn_idx", "CAST(turn_idx AS BIGINT)"),
+                       ("ts", "epoch_us(ts)")):
+        parts.append(f"""
+SELECT '{col}' AS col_name, q, CAST(min(v) AS BIGINT) AS value
+FROM (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+  FROM (SELECT {vexpr} AS v, count(*) AS c FROM t
+        WHERE {col} IS NOT NULL GROUP BY 1) h
+) c CROSS JOIN (VALUES {qlist}) qs(q)
+WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+GROUP BY q""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH t AS ({TRANSCRIPTS_SQL})\n{body}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1065,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
             f"{t} SELECT conv_id, turn_idx, role FROM t "
             f"WHERE conv_id LIKE '{_PREFIX}%'",
         "agg_pushdown": _agg_pushdown_oracle(),
+        "quantile_pushdown": _quantile_oracle(),
         "group_count":
             f"{t} SELECT 'role' AS col_name, role AS value, "
             "count(*) AS cnt FROM t GROUP BY role "

@@ -235,6 +235,47 @@ def count_distinct(segments: DataFrame, column: str,
             .agg(F.count_distinct(F.col("value")).alias("n_distinct")))
 
 
+def quantiles(segments: DataFrame, column: str, qs: list[float],
+              value_type: T.DataType | None = None) -> DataFrame:
+    """EXACT type-1 quantiles (order statistics) of `column` in the
+    encoded domain -> (q: double, value) rows, one per requested q.
+
+    Q(q) = the smallest value whose cumulative non-null count reaches
+    ceil(q * n) (q=0 -> the minimum) — the classic type-1 definition,
+    reproducible in ANSI SQL, unlike approx_percentile. NULLs are
+    excluded, SQL-style; an all-null or empty column yields no rows.
+
+    Scale shape: the input is the per-segment (value, cnt) dictionary
+    stage (`_distinct_stage` — NDV+1 rows per segment, dict run
+    lengths ARE the counts), pre-combined per value with map-side
+    partial agg, so the global histogram carries DISTINCT values, not
+    rows. The cumulative window then sorts NDV rows on one task —
+    metadata-scale for the dictionary-friendly columns this targets
+    (a 10^12-row store with a 10^5-value column sorts 10^5 rows); for
+    truly high-NDV columns the histogram is still bounded by NDV, the
+    same bound `distinct` carries. Quantile targets broadcast."""
+    for q in qs:
+        if not (0.0 <= float(q) <= 1.0):
+            raise ValueError(f"quantile {q!r} outside [0, 1]")
+    from pyspark.sql import Window
+    hist = (_distinct_stage(segments, column, value_type)
+            .where(F.col("value").isNotNull())
+            .groupBy("value").agg(F.sum("cnt").alias("cnt")))
+    w_cum = (Window.orderBy("value")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy()
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
+               .withColumn("n", F.sum("cnt").over(w_all)))
+    spark = segments.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.greatest(F.ceil(F.col("q") * F.col("n")).cast("long"),
+                      F.lit(1).cast("long"))
+    return (cum.join(F.broadcast(qdf), F.col("cum") >= rank)
+               .groupBy("q").agg(F.min("value").alias("value")))
+
+
 def count_matching(segments: DataFrame, column: str, value) -> DataFrame:
     """COUNT(*) WHERE `column` = `value`, answered from probe ranges
     alone: each segment of the probed column runs `query_value`

@@ -1688,6 +1688,22 @@ class TranscriptColumnStore:
             self.warehouse.committed_segments(self.spark), column,
             value_type=self._value_type(column))
 
+    def quantile(self, column: str, qs: list[float]) -> DataFrame:
+        """EXACT type-1 quantiles of `column` -> (q, value) rows,
+        computed in the encoded domain (`operators/aggregate.quantiles`):
+        the global histogram is the union of per-segment dictionaries
+        (dict run lengths ARE the counts — no row ever expands), so
+        the sort is over DISTINCT values, not table rows. NULLs
+        excluded, SQL-style; deterministic (order statistics, not
+        approx_percentile)."""
+        from .operators.aggregate import quantiles
+        if self._schema_log():
+            self._guard_materialized(self._manifest_or_raise(),
+                                     [column], "quantile")
+        return quantiles(
+            self.warehouse.committed_segments(self.spark), column, qs,
+            value_type=self._value_type(column))
+
     def _value_type(self, column: str):
         """Spark type of `column` from the manifest's logical_type —
         a kilobyte metadata read; raises on an unknown column (a typo

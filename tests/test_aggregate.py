@@ -705,3 +705,60 @@ def test_aggregate_segments_exact_under_evolution(spark, tmp_path):
     assert out["score"]["n_values"] == 10
     assert out["score"]["sum_dec"] == Decimal(sum(i * 10
                                                   for i in range(10)))
+
+
+# ---------------------------------------------------------------------------
+# quantiles: exact order statistics in the encoded domain
+# ---------------------------------------------------------------------------
+
+
+def _type1_quantile(vals, q):
+    vals = sorted(v for v in vals if v is not None)
+    if not vals:
+        return None
+    import math
+    rank = max(math.ceil(q * len(vals)), 1)
+    return vals[rank - 1]
+
+
+def test_quantiles_match_order_statistics(spark):
+    from columnstore_spark.operators.aggregate import quantiles
+    rows = [(f"c{i:03d}", (i * 13) % 97 if i % 5 else None)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {r["q"]: r["value"]
+           for r in quantiles(segs, "v", qs).collect()}
+    vals = [v for _, v in rows]
+    assert set(got) == set(qs)
+    for q in qs:
+        assert got[q] == _type1_quantile(vals, q), q
+
+
+def test_quantiles_all_null_and_validation(spark):
+    from columnstore_spark.operators.aggregate import quantiles
+    rows = [(f"c{i:03d}", None) for i in range(10)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    assert quantiles(segs, "v", [0.5]).count() == 0
+    with pytest.raises(ValueError, match="outside"):
+        quantiles(segs, "v", [1.5])
+
+
+def test_quantile_facade_multirowgroup(spark, tmp_path):
+    """store.quantile on a multi-rowgroup store equals Spark's own
+    order-statistic computation over the decoded rows."""
+    from columnstore_spark.sources.transcripts import load_transcripts
+    from columnstore_spark.store import TranscriptColumnStore
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    store = TranscriptColumnStore(spark, str(tmp_path / "qstore"),
+                                  num_rowgroups=8)
+    store.add_range(t)
+    store.close()
+    qs = [0.1, 0.5, 0.99]
+    got = {r["q"]: r["value"]
+           for r in store.quantile("turn_idx", qs).collect()}
+    vals = [r["turn_idx"] for r in t.select("turn_idx").collect()]
+    for q in qs:
+        assert got[q] == _type1_quantile(vals, q), q
