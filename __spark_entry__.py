@@ -983,7 +983,10 @@ def _quantile_oracle() -> str:
     (smallest value with cumulative count >= ceil(q*n), q=0 -> min),
     written out so BOTH engines run identical arithmetic (DuckDB's
     quantile_disc interpolates differently)."""
-    qlist = ", ".join(f"({q})" for q in _QUANTILE_QS)
+    # CAST to DOUBLE: DuckDB types a (0.99) literal as DECIMAL(3,2),
+    # whose exact ceil(q*n) can differ from Spark's double-rounded one
+    # at unlucky n — both engines must run the same float arithmetic
+    qlist = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
     parts = []
     for col, vexpr in (("turn_idx", "CAST(turn_idx AS BIGINT)"),
                        ("ts", "epoch_us(ts)")):

@@ -335,6 +335,20 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_topk"] = _best(q_topk)
 
+        # q_quantile — exact type-1 quantiles off the per-segment
+        # dictionary histogram: the cumulative window sorts DISTINCT
+        # values (NDV rows), never table rows
+        from pyspark.sql import types as T
+
+        from columnstore_spark.operators.aggregate import quantiles
+
+        def q_quantile():
+            _noop(quantiles(segs_on_disk, "turn_idx",
+                            [0.1, 0.5, 0.9, 0.99],
+                            value_type=T.IntegerType()))
+
+        timings["q_quantile"] = _best(q_quantile)
+
         # q_compression_summary — per-column codec/bytes rollup
         timings["q_compression_summary"] = _best(
             lambda: _noop(manifest_of(segs_on_disk).groupBy("column")
@@ -352,7 +366,7 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
                   .select("embedding").head()["embedding"])
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "dedup_embedding_lsh", "dedup_ngram_jaccard",
-                     "dedup_clusters",
+                     "dedup_clusters", "decontaminate",
                      "ann_cosine_topk", "ann_ivf",
                      "text_metrics", "pack_sequences"):
             timings[f"q_{name}"] = _best(

@@ -230,3 +230,43 @@ def test_pack_sequences_single_lane_exchange(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_decontaminate_plan_shape(spark):
+    """The contamination hit join must be an equi hash join on the
+    shingle hash (never all-pairs), with the shingle build materialized
+    ONCE — `flags` feeds both the eval and train branches, and Catalyst
+    would otherwise re-inline the explode+window build into each."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    df = spark_pipeline_df(spark, "decontaminate", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_quality_filter_is_map_only(spark):
+    """Every Gopher-rule feature is a per-row expression: the plan
+    must carry no Exchange at all."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    df = spark_pipeline_df(spark, "quality_filter", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ann_sq8_single_corpus_pass(spark):
+    """The quantized candidate stage is one corpus scan against a
+    1-row broadcast query (the same accepted shape as ann_brute);
+    the exact re-rank touches only k*oversample rows."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    df = spark_pipeline_df(spark, "ann_sq8", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
