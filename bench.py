@@ -367,8 +367,9 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "dedup_embedding_lsh", "dedup_ngram_jaccard",
                      "dedup_clusters", "decontaminate",
-                     "ann_cosine_topk", "ann_ivf",
-                     "text_metrics", "pack_sequences"):
+                     "ann_cosine_topk", "ann_ivf", "ann_sq8",
+                     "text_metrics", "quality_filter",
+                     "pack_sequences"):
             timings[f"q_{name}"] = _best(
                 lambda n=name: _noop(spark_pipeline_df(spark, n, dim)))
 

@@ -227,15 +227,18 @@ feat AS (
 ),
 rules AS (
   SELECT doc_id, n_words, n_stop_kinds,
-         round(sum_len / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+         sum_len / CAST(greatest(n_words, 1) AS DOUBLE)
            AS mean_word_len,
-         round(n_symbols / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+         n_symbols / CAST(greatest(n_words, 1) AS DOUBLE)
            AS symbol_ratio,
-         round(n_alpha / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+         n_alpha / CAST(greatest(n_words, 1) AS DOUBLE)
            AS alpha_frac
   FROM feat
 ),
 verdicts AS (
+  -- verdicts gate on the RAW ratios (rounding first would invert
+  -- boundary cases, e.g. alpha_frac 0.79996 rounding up past the
+  -- 0.8 floor); the reported columns round for display/hash only
   SELECT *,
     CASE WHEN n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}
          THEN 1 ELSE 0 END AS ok_word_count,
@@ -252,9 +255,9 @@ verdicts AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       CAST(mean_word_len AS DOUBLE) AS mean_word_len,
-       CAST(symbol_ratio AS DOUBLE) AS symbol_ratio,
-       CAST(alpha_frac AS DOUBLE) AS alpha_frac,
+       CAST(round(mean_word_len, 4) AS DOUBLE) AS mean_word_len,
+       CAST(round(symbol_ratio, 4) AS DOUBLE) AS symbol_ratio,
+       CAST(round(alpha_frac, 4) AS DOUBLE) AS alpha_frac,
        CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
        CAST(ok_word_count AS INT) AS ok_word_count,
        CAST(ok_word_len AS INT) AS ok_word_len,
@@ -862,8 +865,11 @@ def decontaminate_over(d: Dialect, sh: str = "sh",
     u = f"{d.ph(_salted(d, 'dc', 'doc_id'))} % 1000"
     ev_from = "(SELECT doc_id, shingles FROM flags WHERE is_eval = 1) fe"
     tr_from = "(SELECT doc_id, shingles FROM flags WHERE is_eval = 0) ft"
-    frac = (f"COALESCE(n_overlap, 0) "
-            f"/ CAST({d.size('f.shingles')} AS DOUBLE)")
+    # flag gates on the SAME rounded value the contamination column
+    # reports — a raw-fraction gate could contradict the rounded
+    # report at the boundary (0.49995 reads as 0.5 but unflagged)
+    frac = (f"round(COALESCE(n_overlap, 0) "
+            f"/ CAST({d.size('f.shingles')} AS DOUBLE), 4)")
     return f"""
 WITH flags AS (
   SELECT doc_id, shingles,
@@ -885,7 +891,7 @@ hits AS (
 SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
        CAST({d.size('f.shingles')} AS BIGINT) AS n_shingles,
        CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
-       CAST(round({frac}, 4) AS DOUBLE) AS contamination,
+       CAST({frac} AS DOUBLE) AS contamination,
        CAST(CASE WHEN {frac} >= {threshold} THEN 1 ELSE 0 END AS INT)
          AS flagged
 FROM flags f LEFT JOIN hits ON f.doc_id = hits.doc_id

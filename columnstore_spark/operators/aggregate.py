@@ -238,7 +238,8 @@ def count_distinct(segments: DataFrame, column: str,
 def quantiles(segments: DataFrame, column: str, qs: list[float],
               value_type: T.DataType | None = None) -> DataFrame:
     """EXACT type-1 quantiles (order statistics) of `column` in the
-    encoded domain -> (q: double, value) rows, one per requested q.
+    encoded domain -> (q: double, value) rows, one per DISTINCT
+    requested q (the result is keyed by the q column).
 
     Q(q) = the smallest value whose cumulative non-null count reaches
     ceil(q * n) (q=0 -> the minimum) — the classic type-1 definition,
@@ -257,6 +258,10 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
     for q in qs:
         if not (0.0 <= float(q) <= 1.0):
             raise ValueError(f"quantile {q!r} outside [0, 1]")
+    # one output row per DISTINCT q (the result is keyed by the q
+    # column; silently returning fewer rows than len(qs) for a
+    # duplicated input would trip positional-zip callers)
+    qs = sorted({float(q) for q in qs})
     from pyspark.sql import Window
     hist = (_distinct_stage(segments, column, value_type)
             .where(F.col("value").isNotNull())

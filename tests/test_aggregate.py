@@ -762,3 +762,13 @@ def test_quantile_facade_multirowgroup(spark, tmp_path):
     vals = [r["turn_idx"] for r in t.select("turn_idx").collect()]
     for q in qs:
         assert got[q] == _type1_quantile(vals, q), q
+
+
+def test_quantiles_duplicate_qs_one_row_per_distinct(spark):
+    from columnstore_spark.operators.aggregate import quantiles
+    rows = [(f"c{i:03d}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    segs = encode(df, rowgroup_expr=_rg(), order=("conv_id",))
+    out = quantiles(segs, "v", [0.5, 0.5, 0.99]).collect()
+    assert len(out) == 2
+    assert {r["q"] for r in out} == {0.5, 0.99}
