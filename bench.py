@@ -367,6 +367,7 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "dedup_embedding_lsh", "dedup_ngram_jaccard",
                      "dedup_clusters", "decontaminate",
+                     "dedup_substring",
                      "ann_cosine_topk", "ann_ivf", "ann_sq8",
                      "text_metrics", "quality_filter",
                      "pack_sequences"):

@@ -839,6 +839,118 @@ def _with_shingles(d: Dialect, table: str, over: str) -> str:
             f"{over[len('WITH '):].lstrip()}")
 
 
+# Exact-substring dedup via winnowing (Schleimer et al. SIGMOD'03 —
+# the MOSS algorithm; exact substring overlap is the dedup criterion
+# in Lee et al. 2022 "Deduplicating Training Data Makes Language
+# Models Better"). Detection guarantee: any substring shared verbatim
+# by two docs of length >= SUB_K + SUB_W - 1 chars contains a full
+# window of identical char-k-grams, and winnowing selects the same
+# gram from an identical window in both docs (min by (hash, leftmost)
+# — relative order inside the window is what ties break on, so the
+# choice is alignment-invariant). Candidates join on the GRAM TEXT,
+# not its hash, so every reported pair truly shares a k-char run —
+# false positives are impossible by construction.
+_SUB_K = 24        # gram length (chars)
+_SUB_W = 8         # winnow window (grams); guarantee length = 31
+_SUB_MAX_DF = 64   # boilerplate guard: grams in > max_df docs dropped
+_SUB_POS_RADIX = 1 << 25   # position fits under the hash in int64
+
+
+def substring_grams_sql(d: Dialect, table: str = "documents",
+                        k: int = _SUB_K, w: int = _SUB_W) -> str:
+    """(doc_id, p, gram) — each document's winnow-SELECTED char-k-grams
+    (~1/w of all positions), separated so Spark can materialize it
+    once (the pair stage references it three times: the df filter and
+    both sides of the self-join).
+
+    The windowed min runs over combined = h20 * 2^25 + p: the 20-bit
+    hash ranks, the absolute position breaks ties leftmost — inside an
+    identical window the position order equals the relative order, so
+    both docs select the same gram. Positions are capped at 2^25 chars
+    per doc (chunk longer docs upstream)."""
+    gram = f"substr(text, CAST(p AS INT), {k})"
+    h20 = f"({d.ph('gram')} % 1048576)"
+    return f"""
+WITH pos AS (
+  {d.explode_select('doc_id, text',
+                    d.seq('1', f'length(text) - {k - 1}'), 'p',
+                    f'(SELECT doc_id, text FROM {table} '
+                    f'WHERE length(text) >= {k}) dk')}
+),
+g AS (
+  SELECT doc_id, p, {gram} AS gram FROM pos
+),
+hashed AS (
+  SELECT doc_id, p, gram,
+         {h20} * {_SUB_POS_RADIX} + p AS combined
+  FROM g
+),
+winnowed AS (
+  SELECT doc_id,
+         min(combined) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW
+                             AND {w - 1} FOLLOWING) AS sel_combined
+  FROM hashed
+),
+sel_pos AS (
+  SELECT DISTINCT doc_id,
+         sel_combined % {_SUB_POS_RADIX} AS p
+  FROM winnowed
+)
+SELECT s.doc_id, s.p, g.gram
+FROM sel_pos s JOIN g ON g.doc_id = s.doc_id AND g.p = s.p
+"""
+
+
+def dedup_substring_over(d: Dialect, sel: str = "selg",
+                         max_df: int = _SUB_MAX_DF) -> str:
+    """Pair stage over a materialized (doc_id, p, gram) selection:
+    drop boilerplate grams (> max_df docs — the hot-key guard, same
+    role as the prefix filter's rarest-first ordering), equi-join on
+    the gram text, count distinct shared grams per pair.
+
+    Scale shape: the join key is the selected gram (~1/w of corpus
+    positions survive selection); hot grams are capped by max_df so a
+    boilerplate string cannot go quadratic; the pair aggregate is a
+    groupBy with map-side partials."""
+    return f"""
+WITH df AS (
+  SELECT gram, count(DISTINCT doc_id) AS n_docs
+  FROM {sel} GROUP BY gram
+),
+kept AS (
+  SELECT s.doc_id, s.gram
+  FROM {sel} s JOIN df ON s.gram = df.gram
+  WHERE df.n_docs <= {max_df}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(DISTINCT a.gram) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs
+"""
+
+
+def dedup_substring_sql(d: Dialect, table: str = "documents") -> str:
+    """Combined single-statement spine (the DuckDB oracle side); the
+    Spark runner materializes substring_grams_sql once and runs
+    dedup_substring_over on it."""
+    inner = substring_grams_sql(d, table)
+    assert inner.startswith("\nWITH ")
+    body = inner[len("\nWITH "):]
+    head, _, tail = body.rpartition("\nSELECT ")
+    over = dedup_substring_over(d, "selg")
+    assert over.startswith("\nWITH ")
+    return (f"\nWITH {head},\nselg AS (\n  SELECT {tail.rstrip()}\n),\n"
+            f"{over[len('WITH '):].lstrip()}")
+
+
 # Eval-set decontamination: the held-out fraction (hash-deterministic,
 # like sample_hash) stands in for a benchmark suite; a training doc is
 # contaminated when >= threshold of its word-3-gram shingles appear
@@ -1452,6 +1564,12 @@ def spark_pipeline_df(spark, name: str, dim: int):
         v = _materialize(spark, name, ngram_shingles_sql(SPARK),
                          "__cs_decon_shingles")
         return spark.sql(decontaminate_over(SPARK, v))
+    if name == "dedup_substring":
+        # the selection half feeds the df filter AND both self-join
+        # sides — materialize once or the gram build runs 3x
+        v = _materialize(spark, name, substring_grams_sql(SPARK),
+                         "__cs_substr_grams")
+        return spark.sql(dedup_substring_over(SPARK, v))
     if name == "dedup_ngram_jaccard":
         v = _materialize(spark, name, ngram_shingles_sql(SPARK),
                          "__cs_ngram_shingles")
@@ -1479,6 +1597,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "dedup_exact": exact_dedup_sql,
         "dedup_minhash_lsh": minhash_pairs_sql,
         "dedup_ngram_jaccard": ngram_jaccard_sql,
+        "dedup_substring": dedup_substring_sql,
         "dedup_simhash": simhash_pairs_sql,
         "dedup_embedding": embedding_dedup_sql,
         "dedup_embedding_lsh": lambda d: embedding_lsh_pairs_sql(d, dim),

@@ -34,7 +34,8 @@ def engines(spark):
 @pytest.mark.parametrize("name", ["text_metrics", "token_stats",
                                   "dedup_exact", "dedup_ngram_jaccard",
                                   "dedup_minhash_lsh", "dedup_simhash",
-                                  "quality_filter", "decontaminate"])
+                                  "quality_filter", "decontaminate",
+                                  "dedup_substring"])
 def test_edge_corpus_parity(engines, name):
     spark, con = engines
     srows = sorted(tuple(str(x) for x in r)

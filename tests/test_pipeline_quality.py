@@ -138,3 +138,56 @@ def test_ann_sq8_recall_vs_brute():
     # recall@10 of the oversampled-then-reranked set vs exact top-10
     recall = len(set(sq8["vec_id"]) & set(brute["vec_id"])) / 10
     assert recall >= 0.8
+
+
+# --------------------------------------------------------------------------
+# dedup_substring: winnowed exact-substring detection (MOSS guarantee)
+# --------------------------------------------------------------------------
+
+def _substr_pairs(docs):
+    from columnstore_spark.functions.pipeline import all_pipeline_sql
+    df = _duck(all_pipeline_sql(64)["dedup_substring"]["duck"], docs)
+    return {(int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"])}
+
+
+def test_substring_guarantee_planted():
+    """Two docs sharing a verbatim run of k+w-1 = 31 chars in totally
+    different contexts MUST pair (the winnowing detection guarantee);
+    docs sharing at most k-1 = 23 chars CANNOT pair (a shared selected
+    gram is itself a 24-char shared run)."""
+    shared31 = "THE-QUICK-BROWN-FOX-JUMPS-OVER!"          # 31 chars
+    assert len(shared31) == 31
+    short20 = "ONLY-TWENTY-CHARS-AB"                       # 20 chars
+    assert len(short20) == 20
+    docs = [
+        (0, "aaaa bbbb cccc " + shared31 + " dddd eeee ffff gggg hhhh"),
+        (1, "zzzz yyyy xxxx wwww " + shared31 + " vvvv uuuu tttt"),
+        (2, "1111 2222 3333 " + short20 + " 4444 5555 6666 7777 8888"),
+        (3, "qqqq rrrr ssss " + short20 + " mmmm nnnn oooo pppp kkkk"),
+        (4, "totally unrelated content with nothing shared at all here"),
+    ]
+    pairs = _substr_pairs(docs)
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_substring_no_false_positives_testdata():
+    """Every reported pair at sf0.001 genuinely shares a 24-char
+    substring — checked against a brute-force Python k-gram set
+    intersection (exactness is the operator's defining claim)."""
+    import duckdb
+    from columnstore_spark.functions.pipeline import _SUB_K, all_pipeline_sql
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    df = con.sql(all_pipeline_sql(64)["dedup_substring"]["duck"]).df()
+    assert len(df) > 0
+    texts = dict(con.sql("SELECT doc_id, text FROM documents").fetchall())
+    grams = {i: {t[p:p + _SUB_K] for p in range(len(t) - _SUB_K + 1)}
+             for i, t in texts.items()}
+    for a, b, n in zip(df["doc_a"], df["doc_b"], df["n_shared"]):
+        shared = grams[int(a)] & grams[int(b)]
+        assert shared, (a, b)
+        # the winnowed count can never exceed the true shared-gram count
+        assert n <= len(shared), (a, b, n, len(shared))

@@ -270,3 +270,19 @@ def test_ann_sq8_single_corpus_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_substring_plan_shape(spark):
+    """The gram-selection half feeds the df filter and BOTH self-join
+    sides: it must be materialized once (no posexplode in the
+    consuming plan), and the pair join must be an equi hash join on
+    the gram text."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    df = spark_pipeline_df(spark, "dedup_substring", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" in plan
