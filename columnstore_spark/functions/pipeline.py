@@ -870,11 +870,18 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
     per doc (chunk longer docs upstream)."""
     gram = f"substr(text, CAST(p AS INT), {k})"
     h20 = f"({d.ph('gram')} % 1048576)"
+    # REPARTITION(doc_id) BEFORE the explode: the winnow window needs
+    # hashpartitioning(doc_id), and hash-distributing the docs (1x
+    # corpus bytes) lets Generate/Project carry that distribution up
+    # so the window adds NO exchange — versus shuffling the exploded
+    # (doc_id, p, combined) rows, ~24 bytes per corpus CHAR (24x
+    # amplified at 100 TB). DuckDB reads the hint as a comment.
     return f"""
 WITH pos AS (
   {d.explode_select('doc_id, text',
                     d.seq('1', f'length(text) - {k - 1}'), 'p',
-                    f'(SELECT doc_id, text FROM {table} '
+                    f'(SELECT /*+ REPARTITION(doc_id) */ doc_id, text '
+                    f'FROM {table} '
                     f'WHERE length(text) >= {k}) dk')}
 ),
 g AS (

@@ -286,3 +286,23 @@ def test_dedup_substring_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_dedup_substring_window_shuffles_docs_not_grams(spark):
+    """The winnow window must inherit hashpartitioning(doc_id) from
+    the PRE-explode REPARTITION hint (1x corpus bytes) — an
+    ENSURE_REQUIREMENTS exchange above the explode would shuffle
+    (doc_id, p, combined) rows, ~24 bytes per corpus CHAR at scale."""
+    import re
+
+    from columnstore_spark.functions.pipeline import (
+        SPARK as SPARK_D,
+        substring_grams_sql,
+    )
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    sel = spark.sql(substring_grams_sql(SPARK_D))
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    hash_ex = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert hash_ex, "expected the hinted doc-level repartition"
+    assert all("REPARTITION_BY_COL" in e for e in hash_ex), hash_ex
