@@ -867,7 +867,9 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
     hash ranks, the absolute position breaks ties leftmost — inside an
     identical window the position order equals the relative order, so
     both docs select the same gram. Positions are capped at 2^25 chars
-    per doc (chunk longer docs upstream)."""
+    per doc; docs at or beyond the radix are EXCLUDED from pairing
+    (enforced in the doc filter — chunk megadocs upstream; silent
+    position aliasing is not an acceptable failure mode)."""
     gram = f"substr(text, CAST(p AS INT), {k})"
     h20 = f"({d.ph('gram')} % 1048576)"
     # REPARTITION(doc_id) BEFORE the explode: the winnow window needs
@@ -876,13 +878,16 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
     # so the window adds NO exchange — versus shuffling the exploded
     # (doc_id, p, combined) rows, ~24 bytes per corpus CHAR (24x
     # amplified at 100 TB). DuckDB reads the hint as a comment.
+    # the radix guard: beyond 2^25 chars, p would alias under the %
+    # decode and select wrong grams — excluded docs are a visible
+    # contract, silent mis-selection is not (chunk megadocs upstream)
+    dk = (f'(SELECT /*+ REPARTITION(doc_id) */ doc_id, text '
+          f'FROM {table} WHERE length(text) >= {k} '
+          f'AND length(text) < {_SUB_POS_RADIX}) dk')
     return f"""
 WITH pos AS (
   {d.explode_select('doc_id, text',
-                    d.seq('1', f'length(text) - {k - 1}'), 'p',
-                    f'(SELECT /*+ REPARTITION(doc_id) */ doc_id, text '
-                    f'FROM {table} '
-                    f'WHERE length(text) >= {k}) dk')}
+                    d.seq('1', f'length(text) - {k - 1}'), 'p', dk)}
 ),
 g AS (
   SELECT doc_id, p, {gram} AS gram FROM pos
