@@ -827,75 +827,84 @@ def ngram_jaccard_sql(d: Dialect, table: str = "documents",
 
 def _with_shingles(d: Dialect, table: str, over: str) -> str:
     """Fold ngram_shingles_sql into a leading `sh` CTE ahead of an
-    over-form query that references `sh`: "WITH a AS (...) SELECT ..."
-    becomes "WITH a AS (...), sh AS (SELECT ...), <over's CTEs> ..."
-    — split at the top-level SELECT that ends the shingle CTE list."""
-    shingles = ngram_shingles_sql(d, table)
-    assert shingles.startswith("\nWITH ")
-    inner = shingles[len("\nWITH "):]
-    head, _, tail = inner.rpartition("\nSELECT ")
-    assert over.startswith("\nWITH ")
-    return (f"\nWITH {head},\nsh AS (\n  SELECT {tail.rstrip()}\n),\n"
-            f"{over[len('WITH '):].lstrip()}")
+    over-form query that references `sh` (`_splice_cte`)."""
+    return _splice_cte(ngram_shingles_sql(d, table), "sh", over)
 
 
 # Exact-substring dedup via winnowing (Schleimer et al. SIGMOD'03 —
 # the MOSS algorithm; exact substring overlap is the dedup criterion
 # in Lee et al. 2022 "Deduplicating Training Data Makes Language
 # Models Better"). Detection guarantee: any substring shared verbatim
-# by two docs of length >= SUB_K + SUB_W - 1 chars contains a full
-# window of identical char-k-grams, and winnowing selects the same
-# gram from an identical window in both docs (min by (hash, leftmost)
-# — relative order inside the window is what ties break on, so the
-# choice is alignment-invariant). Candidates join on the GRAM TEXT,
-# not its hash, so every reported pair truly shares a k-char run —
-# false positives are impossible by construction.
+# by two in-radix docs of length >= SUB_K + SUB_W - 1 chars contains a
+# full window of identical char-k-grams, and winnowing selects the
+# same gram from an identical window in both docs (min by (hash,
+# leftmost) — relative order inside the window is what ties break on,
+# so the choice is alignment-invariant). Candidates join on the GRAM
+# TEXT, not its hash, so every reported pair truly shares a k-char run
+# — false positives are impossible by construction. Grams shared by
+# more than SUB_MAX_DF docs pair each doc with the gram's CLUSTER
+# REPRESENTATIVE (min doc_id) instead of all-pairs, so boilerplate
+# stays linear, nothing is silently dropped, and downstream connected
+# components (dedup_clusters) recover the full duplicate cluster.
 _SUB_K = 24        # gram length (chars)
 _SUB_W = 8         # winnow window (grams); guarantee length = 31
-_SUB_MAX_DF = 64   # boilerplate guard: grams in > max_df docs dropped
+_SUB_MAX_DF = 64   # hot-gram threshold: above it, star pairs not all-pairs
 _SUB_POS_RADIX = 1 << 25   # position fits under the hash in int64
+
+
+def _splice_cte(inner: str, alias: str, over: str) -> str:
+    """Fold a "WITH a AS (...) SELECT ..." query into a leading
+    `alias` CTE ahead of an over-form query referencing it: split the
+    inner SQL at the top-level SELECT that ends its CTE list (CTE
+    SELECTs are indented; the top-level one is not), then merge the
+    over's WITH list."""
+    assert inner.startswith("\nWITH ")
+    body = inner[len("\nWITH "):]
+    head, _, tail = body.rpartition("\nSELECT ")
+    assert over.startswith("\nWITH ")
+    return (f"\nWITH {head},\n{alias} AS (\n  SELECT {tail.rstrip()}\n),\n"
+            f"{over[len('WITH '):].lstrip()}")
 
 
 def substring_grams_sql(d: Dialect, table: str = "documents",
                         k: int = _SUB_K, w: int = _SUB_W) -> str:
-    """(doc_id, p, gram) — each document's winnow-SELECTED char-k-grams
-    (~1/w of all positions), separated so Spark can materialize it
-    once (the pair stage references it three times: the df filter and
-    both sides of the self-join).
+    """DISTINCT (doc_id, gram) over each document's winnow-SELECTED
+    char-k-grams (~1/w of all positions), separated so Spark can
+    materialize it once (the pair stage references it three times:
+    the df rollup and both join sides).
 
     The windowed min runs over combined = h20 * 2^25 + p: the 20-bit
     hash ranks, the absolute position breaks ties leftmost — inside an
     identical window the position order equals the relative order, so
-    both docs select the same gram. Positions are capped at 2^25 chars
+    both docs select the same gram. The gram TEXT is NOT carried
+    through the window (that would put 24 bytes per corpus char on the
+    sort); selected positions join back to the 1-row-per-doc table and
+    re-slice only the ~n/w winners. Positions are capped at 2^25 chars
     per doc; docs at or beyond the radix are EXCLUDED from pairing
     (enforced in the doc filter — chunk megadocs upstream; silent
     position aliasing is not an acceptable failure mode)."""
     gram = f"substr(text, CAST(p AS INT), {k})"
-    h20 = f"({d.ph('gram')} % 1048576)"
+    h20 = f"({d.ph(gram)} % 1048576)"
     # REPARTITION(doc_id) BEFORE the explode: the winnow window needs
     # hashpartitioning(doc_id), and hash-distributing the docs (1x
     # corpus bytes) lets Generate/Project carry that distribution up
     # so the window adds NO exchange — versus shuffling the exploded
     # (doc_id, p, combined) rows, ~24 bytes per corpus CHAR (24x
     # amplified at 100 TB). DuckDB reads the hint as a comment.
-    # the radix guard: beyond 2^25 chars, p would alias under the %
+    # The radix guard: beyond 2^25 chars, p would alias under the %
     # decode and select wrong grams — excluded docs are a visible
-    # contract, silent mis-selection is not (chunk megadocs upstream)
+    # contract, silent mis-selection is not.
+    flt = (f"length(text) >= {k} AND length(text) < {_SUB_POS_RADIX}")
     dk = (f'(SELECT /*+ REPARTITION(doc_id) */ doc_id, text '
-          f'FROM {table} WHERE length(text) >= {k} '
-          f'AND length(text) < {_SUB_POS_RADIX}) dk')
+          f'FROM {table} WHERE {flt}) dk')
     return f"""
 WITH pos AS (
   {d.explode_select('doc_id, text',
                     d.seq('1', f'length(text) - {k - 1}'), 'p', dk)}
 ),
-g AS (
-  SELECT doc_id, p, {gram} AS gram FROM pos
-),
 hashed AS (
-  SELECT doc_id, p, gram,
-         {h20} * {_SUB_POS_RADIX} + p AS combined
-  FROM g
+  SELECT doc_id, p, {h20} * {_SUB_POS_RADIX} + p AS combined
+  FROM pos
 ),
 winnowed AS (
   SELECT doc_id,
@@ -909,38 +918,56 @@ sel_pos AS (
          sel_combined % {_SUB_POS_RADIX} AS p
   FROM winnowed
 )
-SELECT s.doc_id, s.p, g.gram
-FROM sel_pos s JOIN g ON g.doc_id = s.doc_id AND g.p = s.p
+SELECT DISTINCT s.doc_id, {gram.replace('text', 'd2.text')} AS gram
+FROM sel_pos s
+JOIN (SELECT /*+ REPARTITION(doc_id) */ doc_id, text
+      FROM {table} WHERE {flt}) d2
+  ON s.doc_id = d2.doc_id
 """
 
 
 def dedup_substring_over(d: Dialect, sel: str = "selg",
                          max_df: int = _SUB_MAX_DF) -> str:
-    """Pair stage over a materialized (doc_id, p, gram) selection:
-    drop boilerplate grams (> max_df docs — the hot-key guard, same
-    role as the prefix filter's rarest-first ordering), equi-join on
-    the gram text, count distinct shared grams per pair.
+    """Pair stage over a materialized DISTINCT (doc_id, gram)
+    selection: grams in 2..max_df docs equi-join all-pairs; HOTTER
+    grams (boilerplate) emit one pair per doc against the gram's
+    cluster representative (min doc_id) — linear in the gram's
+    document frequency, never quadratic, and nothing silently drops:
+    every doc sharing a guaranteed-length run is connected to its
+    duplication cluster, which dedup_clusters recovers whole.
 
     Scale shape: the join key is the selected gram (~1/w of corpus
-    positions survive selection); hot grams are capped by max_df so a
-    boilerplate string cannot go quadratic; the pair aggregate is a
-    groupBy with map-side partials."""
+    positions survive selection); singleton grams never enter a join;
+    the pair aggregate is a groupBy with map-side partials. n_shared
+    sums the rare-gram and hot-gram branches — their gram sets are
+    disjoint by the df split, so the sum is a true distinct count."""
     return f"""
 WITH df AS (
-  SELECT gram, count(DISTINCT doc_id) AS n_docs
+  SELECT gram, count(*) AS n_docs, min(doc_id) AS rep
   FROM {sel} GROUP BY gram
 ),
 kept AS (
   SELECT s.doc_id, s.gram
   FROM {sel} s JOIN df ON s.gram = df.gram
-  WHERE df.n_docs <= {max_df}
+  WHERE df.n_docs BETWEEN 2 AND {max_df}
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         count(DISTINCT a.gram) AS n_shared
+rare_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM kept a JOIN kept b
     ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+star_pairs AS (
+  SELECT df.rep AS doc_a, s.doc_id AS doc_b, count(*) AS n_shared
+  FROM {sel} s JOIN df ON s.gram = df.gram
+  WHERE df.n_docs > {max_df} AND s.doc_id != df.rep
+  GROUP BY df.rep, s.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, SUM(n_shared) AS n_shared
+  FROM (SELECT * FROM rare_pairs
+        UNION ALL SELECT * FROM star_pairs) u
+  GROUP BY doc_a, doc_b
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a,
        CAST(doc_b AS BIGINT) AS doc_b,
@@ -953,14 +980,8 @@ def dedup_substring_sql(d: Dialect, table: str = "documents") -> str:
     """Combined single-statement spine (the DuckDB oracle side); the
     Spark runner materializes substring_grams_sql once and runs
     dedup_substring_over on it."""
-    inner = substring_grams_sql(d, table)
-    assert inner.startswith("\nWITH ")
-    body = inner[len("\nWITH "):]
-    head, _, tail = body.rpartition("\nSELECT ")
-    over = dedup_substring_over(d, "selg")
-    assert over.startswith("\nWITH ")
-    return (f"\nWITH {head},\nselg AS (\n  SELECT {tail.rstrip()}\n),\n"
-            f"{over[len('WITH '):].lstrip()}")
+    return _splice_cte(substring_grams_sql(d, table), "selg",
+                       dedup_substring_over(d, "selg"))
 
 
 # Eval-set decontamination: the held-out fraction (hash-deterministic,

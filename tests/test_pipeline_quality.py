@@ -191,3 +191,26 @@ def test_substring_no_false_positives_testdata():
         assert shared, (a, b)
         # the winnowed count can never exceed the true shared-gram count
         assert n <= len(shared), (a, b, n, len(shared))
+
+
+def test_substring_hot_gram_stays_linear():
+    """A 40-char run shared by 100 docs (boilerplate, df > max_df=64)
+    must connect every doc to the cluster representative (min doc_id)
+    — 99 star pairs — NOT 4950 all-pairs; unique tails stay unpaired."""
+    run40 = "SHARED-BOILERPLATE-LICENSE-HEADER-40CHR!"
+    assert len(run40) == 40
+    docs = [(i, f"{run40} unique tail number {i} padding words here")
+            for i in range(100)]
+    docs.append((500, "completely unrelated document with its own text"))
+    from columnstore_spark.functions.pipeline import all_pipeline_sql
+    df = _duck(all_pipeline_sql(64)["dedup_substring"]["duck"], docs)
+    pairs = {(int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"])}
+    star = {(0, i) for i in range(1, 100)}
+    assert star <= pairs, "every doc must connect to the representative"
+    # linear, not quadratic: the hot run contributes 99 star pairs;
+    # the digit-boundary grams (e.g. "...number 5" shared by docs
+    # 5,50..59) are genuinely-shared RARE grams and may add a few
+    # hundred true pairs — all-pairs over the hot run alone would be
+    # C(100,2) = 4950
+    assert len(pairs) < 1500, len(pairs)
+    assert not any(500 in p for p in pairs)
