@@ -327,6 +327,46 @@ WHERE {u} < {rate}
 """
 
 
+def sample_temperature_sql(d: Dialect, table: str = "documents") -> str:
+    """Temperature-sampled language mixing at T=2 (alpha=0.5) — the
+    XLM-R / mBERT rebalancing step (Conneau et al. 2020): sampling
+    probabilities proportional to p_lang^alpha flatten the language
+    distribution, upweighting the tail. Unlike sample_stratified's
+    hand-set rates, the per-language keep rate DERIVES from the corpus
+    itself: rate_l = floor(1000 * sqrt(min_count / n_l)) permille —
+    the rarest language is kept whole and every other language is
+    downsampled by sqrt of its size ratio, which is exactly
+    p^0.5-proportional sampling.
+
+    Engine parity is exact by IEEE-754: /, * and sqrt are all
+    correctly-rounded operations, so both engines compute
+    bit-identical rates (no pow(), whose libm rounding differs).
+    Scale: one tiny per-language aggregate (map-side partials,
+    n_langs rows) broadcast back onto the corpus; the keep decision
+    is the same map-only salted hash as sample_hash."""
+    u = f"{d.ph(_salted(d, 'u3', 't.doc_id', 't.lang'))} % 1000"
+    rate = ("CAST(floor(1000 * sqrt(m.min_count "
+            "/ CAST(c.n_lang AS DOUBLE))) AS BIGINT)")
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_lang FROM {table} GROUP BY lang
+),
+mn AS (
+  SELECT min(n_lang) AS min_count FROM counts
+),
+rates AS (
+  SELECT c.lang, c.n_lang, {rate} AS rate_permille
+  FROM counts c CROSS JOIN mn m
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang,
+       CAST(r.n_lang AS BIGINT) AS n_lang,
+       r.rate_permille,
+       CAST({u} AS BIGINT) AS sample_u
+FROM {table} t JOIN rates r ON t.lang = r.lang
+WHERE {u} < r.rate_permille
+"""
+
+
 _PACK_BUDGET = 512   # tokens per packed sequence
 _PACK_BUCKETS = 8    # independent packing lanes (scale = O(cluster))
 # lane radix for globally-unique pack ids: lane * 2^44 + local index.
@@ -1626,6 +1666,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "decontaminate": decontaminate_sql,
         "sample_hash": sample_hash_sql,
         "sample_stratified": sample_stratified_sql,
+        "sample_temperature": sample_temperature_sql,
         "pack_sequences": pack_sequences_sql,
         "dedup_exact": exact_dedup_sql,
         "dedup_minhash_lsh": minhash_pairs_sql,

@@ -135,3 +135,33 @@ def test_pack_sequences_invariants(spark, docs_registered):
         assert (g["pack_id"] == lane * _PACK_LANE_RADIX
                 + cum // _PACK_BUDGET).all()
         assert g["pack_id"].is_monotonic_increasing
+
+
+def test_sample_temperature_rates_and_subset(spark, docs_registered):
+    """Temperature (alpha=0.5) mixing: every language's keep rate must
+    equal floor(1000*sqrt(min_count/n_lang)) computed independently in
+    Python; the rarest language is kept whole; kept rows are a subset
+    of the corpus and the run is deterministic."""
+    import math
+
+    docs = docs_registered
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    min_count = min(counts.values())
+    out = spark_pipeline_df(spark, "sample_temperature", DIM)
+    rows = out.collect()
+    rates = {}
+    for r in rows:
+        rates.setdefault(r["lang"], r["rate_permille"])
+        assert r["rate_permille"] == rates[r["lang"]]
+        assert r["sample_u"] < r["rate_permille"]
+        assert r["n_lang"] == counts[r["lang"]]
+    for lang, rate in rates.items():
+        assert rate == math.floor(
+            1000 * math.sqrt(min_count / counts[lang])), lang
+    rare = min(counts, key=counts.get)
+    assert rates[rare] == 1000  # rarest language kept whole
+    # deterministic: a rerun yields the identical kept set
+    again = {r["doc_id"] for r in
+             spark_pipeline_df(spark, "sample_temperature", DIM).collect()}
+    assert again == {r["doc_id"] for r in rows}

@@ -309,3 +309,16 @@ def test_dedup_substring_window_shuffles_docs_not_grams(spark):
     hash_ex = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
     assert hash_ex, "expected the hinted doc-level repartition"
     assert all("REPARTITION_BY_COL" in e for e in hash_ex), hash_ex
+
+
+def test_sample_temperature_broadcast_rates(spark):
+    """Temperature mixing derives rates from a tiny per-language
+    aggregate: the corpus side must stay one scan with the rates
+    BROADCAST onto it — a sort-merge join would shuffle the corpus to
+    attach n_langs rows."""
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    plan = _executed_plan(spark_pipeline_df(spark, "sample_temperature", 64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
