@@ -343,26 +343,40 @@ def sample_temperature_sql(d: Dialect, table: str = "documents") -> str:
     bit-identical rates (no pow(), whose libm rounding differs).
     Scale: one tiny per-language aggregate (map-side partials,
     n_langs rows) broadcast back onto the corpus; the keep decision
-    is the same map-only salted hash as sample_hash."""
+    is the same map-only salted hash as sample_hash.
+
+    Edges: rates floor at 1 permille (a head language must be
+    downweighted, never deleted — one stray mislabeled doc would
+    otherwise zero it out); NULL-lang docs form their own ''-keyed
+    stratum and are sampled like any other (the _salted hash already
+    coalesces lang, so the decision variable is consistent)."""
     u = f"{d.ph(_salted(d, 'u3', 't.doc_id', 't.lang'))} % 1000"
-    rate = ("CAST(floor(1000 * sqrt(m.min_count "
-            "/ CAST(c.n_lang AS DOUBLE))) AS BIGINT)")
+    # greatest(..., 1): a language 10^6x larger than the rarest would
+    # floor to rate 0 and be DELETED from the sample — temperature
+    # sampling downweights heads, never eliminates them (one stray
+    # mislabeled doc must not erase the dominant language).
+    rate = ("greatest(CAST(floor(1000 * sqrt(m.min_count "
+            "/ CAST(c.n_lang AS DOUBLE))) AS BIGINT), 1)")
+    st = "STRING" if d.spark else "VARCHAR"
+    lk = f"COALESCE(CAST(lang AS {st}), '')"
+    tlk = f"COALESCE(CAST(t.lang AS {st}), '')"
     return f"""
 WITH counts AS (
-  SELECT lang, count(*) AS n_lang FROM {table} GROUP BY lang
+  SELECT {lk} AS lang_key, count(*) AS n_lang
+  FROM {table} GROUP BY {lk}
 ),
 mn AS (
   SELECT min(n_lang) AS min_count FROM counts
 ),
 rates AS (
-  SELECT c.lang, c.n_lang, {rate} AS rate_permille
+  SELECT c.lang_key, c.n_lang, {rate} AS rate_permille
   FROM counts c CROSS JOIN mn m
 )
 SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang,
        CAST(r.n_lang AS BIGINT) AS n_lang,
        r.rate_permille,
        CAST({u} AS BIGINT) AS sample_u
-FROM {table} t JOIN rates r ON t.lang = r.lang
+FROM {table} t JOIN rates r ON {tlk} = r.lang_key
 WHERE {u} < r.rate_permille
 """
 
@@ -1050,11 +1064,16 @@ def decontaminate_over(d: Dialect, sh: str = "sh",
     u = f"{d.ph(_salted(d, 'dc', 'doc_id'))} % 1000"
     ev_from = "(SELECT doc_id, shingles FROM flags WHERE is_eval = 1) fe"
     tr_from = "(SELECT doc_id, shingles FROM flags WHERE is_eval = 0) ft"
-    # flag gates on the SAME rounded value the contamination column
-    # reports — a raw-fraction gate could contradict the rounded
-    # report at the boundary (0.49995 reads as 0.5 but unflagged)
-    frac = (f"round(COALESCE(n_overlap, 0) "
-            f"/ CAST({d.size('f.shingles')} AS DOUBLE), 4)")
+    # the flag gates on the RAW fraction — bit-exact in both engines
+    # by IEEE-754 division. Gating on round(frac, 4) would hang the
+    # 0/1 column on engine-divergent round-half semantics (Spark
+    # HALF_UPs the shortest decimal repr; DuckDB rounds the scaled
+    # binary value) — same raw-gate policy as quality_filter. At the
+    # exact boundary the ROUNDED display can read 0.5 with flagged=0
+    # (0.49995 rounds up); that cosmetic skew is the safe direction.
+    frac_raw = (f"(COALESCE(n_overlap, 0) "
+                f"/ CAST({d.size('f.shingles')} AS DOUBLE))")
+    frac = f"round({frac_raw}, 4)"
     return f"""
 WITH flags AS (
   SELECT doc_id, shingles,
@@ -1077,7 +1096,7 @@ SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
        CAST({d.size('f.shingles')} AS BIGINT) AS n_shingles,
        CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
        CAST({frac} AS DOUBLE) AS contamination,
-       CAST(CASE WHEN {frac} >= {threshold} THEN 1 ELSE 0 END AS INT)
+       CAST(CASE WHEN {frac_raw} >= {threshold} THEN 1 ELSE 0 END AS INT)
          AS flagged
 FROM flags f LEFT JOIN hits ON f.doc_id = hits.doc_id
 WHERE f.is_eval = 0

@@ -112,8 +112,12 @@ def test_decontaminate_invariants_testdata(spark):
     df = spark_pipeline_df(spark, "decontaminate", 64).toPandas()
     assert (df["n_overlap"] <= df["n_shingles"]).all()
     assert (df["n_shingles"] > 0).all()
-    flag = df["contamination"] >= 0.5
-    assert (df["flagged"] == flag.astype(int)).all()
+    # the flag gates on the RAW fraction (engine-bit-exact); the
+    # reported column is rounded to 4 decimals, so only rows clear of
+    # the rounding boundary are asserted
+    clear = (df["contamination"] - 0.5).abs() > 1e-4
+    flag = df.loc[clear, "contamination"] >= 0.5
+    assert (df.loc[clear, "flagged"] == flag.astype(int)).all()
     # the testdata corpus contains exact duplicates straddling the
     # split -> at least one fully-contaminated train doc
     assert (df["contamination"] == 1.0).any()

@@ -165,3 +165,38 @@ def test_sample_temperature_rates_and_subset(spark, docs_registered):
     again = {r["doc_id"] for r in
              spark_pipeline_df(spark, "sample_temperature", DIM).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_sample_temperature_edges_duckdb():
+    """Planted edges (DuckDB side — the same spine Spark runs): a
+    head language whose derived rate floors to 0 is clamped to 1
+    permille, never deleted; NULL-lang docs form their own stratum
+    and are sampled, not dropped."""
+    import duckdb
+
+    from columnstore_spark.functions.pipeline import all_pipeline_sql
+
+    sql = all_pipeline_sql(DIM)["sample_temperature"]["duck"]
+
+    con = duckdb.connect()
+    con.sql("create table documents as "
+            "select i as doc_id, "
+            "case when i = 0 then 'rare' else 'big' end as lang "
+            "from range(1100000) t(i)")
+    df = con.sql(sql).df()
+    big = df[df["lang"] == "big"]
+    # floor(1000*sqrt(1/1099999)) = 0 -> clamped to 1 permille
+    assert (big["rate_permille"] == 1).all()
+    assert len(big) > 0, "head language must never be deleted"
+    assert set(df[df["lang"] == "rare"]["rate_permille"]) <= {1000}
+
+    con2 = duckdb.connect()
+    con2.sql("create table documents as "
+             "select i as doc_id, "
+             "case when i < 5 then NULL else 'en' end as lang "
+             "from range(105) t(i)")
+    df2 = con2.sql(sql).df()
+    nulls = df2[df2["lang"].isna()]
+    assert len(nulls) > 0, "NULL-lang stratum must be sampled"
+    assert (nulls["rate_permille"] == 1000).all()  # rarest stratum
+    assert (df2[~df2["lang"].isna()]["rate_permille"] == 223).all()
