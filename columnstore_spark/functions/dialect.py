@@ -117,6 +117,11 @@ class Dialect:
         """Integer (floor-toward-zero) division of non-negative ints."""
         raise NotImplementedError
 
+    def null_safe_eq(self, a: str, b: str) -> str:
+        """NULL-safe equality predicate: true when both sides are NULL,
+        never NULL itself (join keys over nullable columns)."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     spark = True
@@ -173,6 +178,7 @@ class SparkDialect(Dialect):
         return (f"CAST(CASE WHEN length({s}) > 0 THEN "
                 f"conv(substr(hex(encode({s}, 'utf-8')), 1, 2), 16, 10) "
                 f"ELSE 0 END AS INT)")
+    def null_safe_eq(self, a, b): return f"({a} <=> {b})"
 
 
 class DuckDialect(Dialect):
@@ -227,6 +233,7 @@ class DuckDialect(Dialect):
         return (f"CAST(CASE WHEN octet_length(encode({s})) > 0 THEN "
                 f"CAST(concat('0x', substr(hex(encode({s})), 1, 2)) AS INT) "
                 f"ELSE 0 END AS INT)")
+    def null_safe_eq(self, a, b): return f"({a} IS NOT DISTINCT FROM {b})"
 
 
 SPARK = SparkDialect()
