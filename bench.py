@@ -335,6 +335,18 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_topk"] = _best(q_topk)
 
+        # q_topk_where — the FILTERED variant: the predicate's
+        # manifest keep-set intersects before threshold seeding
+        def q_topk_where():
+            _noop(topk(segs_on_disk, "ts", 20,
+                       columns=["conv_id", "turn_idx", "ts"],
+                       tie_cols=("conv_id", "turn_idx"),
+                       logical_type="timestamp_us",
+                       where=("role", "assistant"),
+                       where_logical="string"))
+
+        timings["q_topk_where"] = _best(q_topk_where)
+
         # q_quantile — exact type-1 quantiles off the per-segment
         # dictionary histogram: the cumulative window sorts DISTINCT
         # values (NDV rows), never table rows
@@ -391,6 +403,14 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         from columnstore_spark.functions.multimodal import fake_sample_frames
         timings["q_media_frame_sample"] = _best(
             lambda: _noop(fake_sample_frames(
+                media_frame(docs).repartitionByRange(cpus, "doc_id"))))
+
+        # real netpbm P6 parse per image (pure numpy, no image lib)
+        from columnstore_spark.functions.multimodal import (
+            ppm_decode_features,
+        )
+        timings["q_media_decode_real"] = _best(
+            lambda: _noop(ppm_decode_features(
                 media_frame(docs).repartitionByRange(cpus, "doc_id"))))
 
         from columnstore_spark.sources.storage import iceberg_available

@@ -10,7 +10,7 @@ import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 import __spark_entry__ as E  # noqa: E402
 from columnstore_spark.session import get_spark  # noqa: E402
 

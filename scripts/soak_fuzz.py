@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from columnstore_spark.codecs import chooser  # noqa: E402
 from columnstore_spark.codecs.query import (  # noqa: E402

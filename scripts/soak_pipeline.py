@@ -20,7 +20,7 @@ import random
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 import duckdb  # noqa: E402
 

@@ -71,7 +71,7 @@ def test_media_entropy_rows_only(spark):
 
 
 def test_rows_only_queries(spark):
-    df = entrymod.queries()["compression_summary"](spark, SF_DIR)
+    df = entrymod.queries()["compression_codecs"](spark, SF_DIR)
     rows = {r["column"]: r for r in df.collect()}
     assert set(rows) == set(entrymod.TRANSCRIPT_COLS)
     for c, r in rows.items():

@@ -86,22 +86,40 @@ def test_quality_filter_discriminates_on_testdata():
 # --------------------------------------------------------------------------
 
 def test_decontaminate_planted_duplicates():
-    """50 verbatim copies of one text: the hash split puts some in eval
-    with near-certainty, so every TRAIN copy must come back with
-    contamination 1.0 and flagged; unique filler docs stay clean."""
+    """Verbatim copies of one text planted DETERMINISTICALLY on both
+    sides of the benchmark split (membership computed up front with
+    the same 'bm' hash, not left to chance — the benchmark is 2% of
+    docs, so random planting could miss it): every TRAIN copy must
+    come back with contamination 1.0 and flagged; unique filler docs
+    stay clean."""
+    from columnstore_spark.functions.pipeline import (
+        _BM_PERMILLE,
+        DUCK,
+        _salted,
+    )
+
+    con = duckdb.connect()
+    u = f"{DUCK.ph(_salted(DUCK, 'bm', 'doc_id'))} % 1000"
+    member = con.sql(
+        f"SELECT doc_id, ({u}) < {_BM_PERMILLE} AS bm FROM "
+        "(SELECT unnest(range(0, 2000)) AS doc_id) d").df()
+    bench_ids = list(member[member.bm]["doc_id"].astype(int))[:3]
+    train_ids = list(member[~member.bm]["doc_id"].astype(int))[:47]
+    assert bench_ids, "no benchmark member in id range (salt broke)"
     dup = "alpha beta gamma delta epsilon zeta eta theta"
-    docs = [(i, dup) for i in range(50)]
-    docs += [(100 + i, f"unique{i} filler{i} words{i} body{i} tail{i}")
-             for i in range(20)]
+    docs = [(i, dup) for i in bench_ids + train_ids]
+    filler_ids = [3000 + i for i in range(20)]
+    docs += [(i, f"unique{i} filler{i} words{i} body{i} tail{i}")
+             for i in filler_ids]
     df = _duck(all_pipeline_sql(64)["decontaminate"]["duck"], docs)
     out_ids = set(df["doc_id"].astype(int))
-    eval_ids = {i for i, _ in docs} - out_ids  # all docs have >=3 tokens
-    dup_eval = {i for i in eval_ids if i < 50}
-    assert dup_eval, "hash split left no duplicate in eval (seed broke)"
-    dup_train = df[df["doc_id"] < 50]
+    # benchmark docs never appear in the train-side report
+    assert out_ids.isdisjoint(bench_ids)
+    dup_train = df[df["doc_id"].isin(train_ids)]
+    assert len(dup_train) == len([i for i in train_ids])
     assert (dup_train["contamination"] == 1.0).all()
     assert (dup_train["flagged"] == 1).all()
-    filler = df[df["doc_id"] >= 100]
+    filler = df[df["doc_id"] >= 3000]
     assert (filler["flagged"] == 0).all()
     assert (filler["contamination"] == 0.0).all()
 
@@ -118,9 +136,19 @@ def test_decontaminate_invariants_testdata(spark):
     clear = (df["contamination"] - 0.5).abs() > 1e-4
     flag = df.loc[clear, "contamination"] >= 0.5
     assert (df.loc[clear, "flagged"] == flag.astype(int)).all()
-    # the testdata corpus contains exact duplicates straddling the
-    # split -> at least one fully-contaminated train doc
-    assert (df["contamination"] == 1.0).any()
+    # report covers exactly the train side (corpus minus benchmark
+    # docs minus sub-3-token docs), and the benchmark's shingles DO
+    # overlap the corpus (nonzero contamination somewhere). The
+    # guaranteed contamination-1.0 case is pinned deterministically in
+    # test_decontaminate_planted_duplicates — at a 2% benchmark rate
+    # the 500-doc testdata corpus need not straddle a duplicate pair.
+    n_bench = _duck(
+        "SELECT count(*) AS n FROM documents WHERE "
+        "CAST(concat('0x',substr(md5(concat('bm|', "
+        "COALESCE(CAST(doc_id AS VARCHAR), ''))),1,15)) AS BIGINT) "
+        "% 1000 < 20").iloc[0]["n"]
+    assert len(df) == 500 - int(n_bench)
+    assert (df["contamination"] > 0).any()
 
 
 # --------------------------------------------------------------------------

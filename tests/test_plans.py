@@ -233,10 +233,12 @@ def test_pack_sequences_single_lane_exchange(spark):
 
 
 def test_decontaminate_plan_shape(spark):
-    """The contamination hit join must be an equi hash join on the
-    shingle hash (never all-pairs), with the shingle build materialized
-    ONCE — `flags` feeds both the eval and train branches, and Catalyst
-    would otherwise re-inline the explode+window build into each."""
+    """The contamination hit join must be a BROADCAST equi hash join
+    on the shingle hash (never all-pairs, never a corpus shuffle): the
+    eval side is a separate benchmark-sized relation, so its DISTINCT
+    shingle set broadcasts at any corpus scale (round-3 verdict #3).
+    Both shingle builds are materialized (no explode re-inlined into
+    the consuming plan)."""
     from columnstore_spark.functions.pipeline import spark_pipeline_df
 
     register_testdata(spark, SF_DIR, ("documents",))
@@ -246,6 +248,8 @@ def test_decontaminate_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" in plan
+    # the benchmark-shingle hit join is pinned broadcast
+    assert "BroadcastHashJoin" in plan
 
 
 def test_quality_filter_is_map_only(spark):

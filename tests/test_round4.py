@@ -1,0 +1,160 @@
+"""Round-4 additions.
+
+Pins the round-3 verdict/advice items landed this round:
+- pack_sequences' Spark-side lane default must TRACK cluster
+  parallelism (the fixed 8 lanes capped the lane sort at 8 tasks at
+  any cluster size) while the oracle spine keeps its pinned count;
+- filtered top-k (`topk(where=...)`) must agree with the plain
+  sort+filter result and keep a sound threshold under the filter;
+- the substring-dedup exclusion set (megadocs + sub-gram docs) must
+  be queryable, matching the gram builder's own filter exactly;
+- the PPM decoder must parse real netpbm P6 streams (comments,
+  arbitrary header whitespace) and reject malformed ones;
+- temperature sampling must keep NULL-lang and empty-string-lang
+  documents in SEPARATE strata (null-safe stratum join).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pack_default_tracks_parallelism(spark):
+    from columnstore_spark.functions.pipeline import (
+        _PACK_MAX_BUCKETS,
+        default_pack_buckets,
+        pack_sequences_df,
+    )
+    from columnstore_spark.sources.transcripts import register_testdata
+
+    par = spark.sparkContext.defaultParallelism
+    assert default_pack_buckets(spark) == max(
+        1, min(2 * par, _PACK_MAX_BUCKETS))
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    df = pack_sequences_df(spark)
+    lanes = df.select("lane").distinct().collect()
+    n_buckets = default_pack_buckets(spark)
+    assert all(0 <= r["lane"] < n_buckets for r in lanes)
+    # lane-local packing invariants hold at ANY lane count: offsets
+    # stay inside the budget and pack ids carry the lane radix
+    bad = df.where((F.col("pack_offset") < 0)
+                   | (F.col("pack_offset") >= 512)
+                   | (F.col("pack_id") % (1 << 44) < 0)
+                   | ((F.col("pack_id") / (1 << 44)).cast("long")
+                      != F.col("lane"))).count()
+    assert bad == 0
+
+
+def test_topk_where_matches_plain_filter(spark, transcripts):
+    from columnstore_spark.operators import encode, topk
+
+    segs = encode(transcripts,
+                  rowgroup_expr=F.expr(
+                      "CAST(substring(conv_id, 2) AS BIGINT) % 8"))
+    got = topk(segs, "ts", 15, columns=["conv_id", "turn_idx", "ts"],
+               tie_cols=("conv_id", "turn_idx"),
+               where=("role", "assistant"),
+               where_logical="string").collect()
+    exp = (transcripts.where(F.col("role") == "assistant")
+           .where(F.col("ts").isNotNull())
+           .orderBy(F.col("ts").desc(), "conv_id", "turn_idx")
+           .limit(15).select("conv_id", "turn_idx", "ts").collect())
+    assert got == exp
+
+
+def test_topk_where_no_match_is_empty(spark, transcripts):
+    from columnstore_spark.operators import encode, topk
+
+    segs = encode(transcripts,
+                  rowgroup_expr=F.expr(
+                      "CAST(substring(conv_id, 2) AS BIGINT) % 8"))
+    got = topk(segs, "ts", 5, columns=["conv_id", "turn_idx", "ts"],
+               where=("role", "no_such_role"),
+               where_logical="string").collect()
+    assert got == []
+
+
+def test_substring_excluded_matches_builder_filter(spark):
+    """excluded(reasons) + included(gram builder's doc filter) must
+    partition the corpus exactly."""
+    from columnstore_spark.functions.pipeline import (
+        _SUB_K,
+        _SUB_POS_RADIX,
+        SPARK as SPARK_D,
+        substring_excluded_sql,
+    )
+    from columnstore_spark.sources.transcripts import register_testdata
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    total = spark.table("documents").count()
+    excl = spark.sql(substring_excluded_sql(SPARK_D)).collect()
+    incl = spark.sql(
+        f"SELECT count(*) AS n FROM documents WHERE length(text) >= "
+        f"{_SUB_K} AND length(text) < {_SUB_POS_RADIX}"
+    ).collect()[0]["n"]
+    assert incl + len(excl) == total
+    for r in excl:
+        assert r["reason"] in ("megadoc", "short")
+        if r["reason"] == "short":
+            assert r["n_chars"] < _SUB_K
+
+
+def test_decode_ppm_real_parser():
+    from columnstore_spark.functions.multimodal import (
+        decode_image,
+        decode_ppm,
+    )
+
+    body = bytes(range(24))
+    img = b"P6\n# a comment line\n 4\t2 \n255\n" + body
+    arr = decode_ppm(img)
+    assert arr.shape == (2, 4, 3)
+    assert arr.tobytes() == body
+    # dispatch: decode_image routes P6 to the real parser
+    out = decode_image(b"P6\n1 1\n255\n\x01\x02\x03")
+    assert out["width"] == 1 and out["height"] == 1
+    assert out["pixels"].tolist() == [[[1, 2, 3]]]
+    # non-PPM formats remain gated
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+    # malformed streams are rejected, not mis-parsed
+    for bad in (b"P5\n1 1\n255\n\x00",          # wrong magic
+                b"P6\n1 1\n65535\n\x00\x00",    # 16-bit maxval
+                b"P6\n2 2\n255\n\x00",          # truncated pixels
+                b"P6\n1\n255"):                 # truncated header
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_temperature_null_and_empty_lang_separate(spark):
+    """A corpus holding both NULL-lang and ''-lang docs must derive
+    two separate strata (the round-3 advice hazard: a COALESCE key
+    merged them, skewing both rates)."""
+    from columnstore_spark.functions.pipeline import (
+        SPARK as SPARK_D,
+        sample_temperature_sql,
+    )
+
+    rows = ([(i, None) for i in range(40)]
+            + [(100 + i, "") for i in range(4)]
+            + [(200 + i, "en") for i in range(400)])
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    df.createOrReplaceTempView("t4_temp_docs")
+    out = spark.sql(
+        sample_temperature_sql(SPARK_D, table="t4_temp_docs")).collect()
+    n_lang = {(r["lang"],): r["n_lang"] for r in out}
+    # the rarest stratum ('' at 4 docs) keeps rate 1000; NULL (40)
+    # and en (400) derive sqrt-ratio rates from THEIR OWN sizes
+    for r in out:
+        if r["lang"] is None:
+            assert r["n_lang"] == 40
+            assert r["rate_permille"] == int(
+                np.floor(1000 * np.sqrt(4 / 40.0)))
+        elif r["lang"] == "":
+            assert r["n_lang"] == 4
+            assert r["rate_permille"] == 1000
+        else:
+            assert r["n_lang"] == 400
