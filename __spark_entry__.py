@@ -621,7 +621,14 @@ def _q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = quantiles(segs, "ts", _QUANTILE_QS).select(
         F.lit("ts").alias("col_name"), "q",
         F.unix_micros(F.col("value")).alias("value"))
-    return tu.unionAll(ts)
+    # FILTERED quantiles (round-3 verdict #8): manifest keep-set +
+    # encoded matching-gather feed the same histogram machinery
+    tw = quantiles(segs, "turn_idx", _QUANTILE_QS,
+                   where=("role", "tool"),
+                   where_logical="string").select(
+        F.lit("turn_idx|role=tool").alias("col_name"), "q",
+        F.col("value").cast("long").alias("value"))
+    return tu.unionAll(ts).unionAll(tw)
 
 
 def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,14 +1181,17 @@ def _quantile_oracle() -> str:
     # at unlucky n — both engines must run the same float arithmetic
     qlist = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
     parts = []
-    for col, vexpr in (("turn_idx", "CAST(turn_idx AS BIGINT)"),
-                       ("ts", "epoch_us(ts)")):
+    for tag, col, vexpr, extra in (
+            ("turn_idx", "turn_idx", "CAST(turn_idx AS BIGINT)", ""),
+            ("ts", "ts", "epoch_us(ts)", ""),
+            ("turn_idx|role=tool", "turn_idx", "CAST(turn_idx AS BIGINT)",
+             " AND role = 'tool'")):
         parts.append(f"""
-SELECT '{col}' AS col_name, q, CAST(min(v) AS BIGINT) AS value
+SELECT '{tag}' AS col_name, q, CAST(min(v) AS BIGINT) AS value
 FROM (
   SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
   FROM (SELECT {vexpr} AS v, count(*) AS c FROM t
-        WHERE {col} IS NOT NULL GROUP BY 1) h
+        WHERE {col} IS NOT NULL{extra} GROUP BY 1) h
 ) c CROSS JOIN (VALUES {qlist}) qs(q)
 WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
 GROUP BY q""")

@@ -361,6 +361,17 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         timings["q_quantile"] = _best(q_quantile)
 
+        # q_quantile_where — filtered: manifest keep-set + encoded
+        # matching-gather feed the same histogram machinery
+        def q_quantile_where():
+            _noop(quantiles(segs_on_disk, "turn_idx",
+                            [0.1, 0.5, 0.9, 0.99],
+                            value_type=T.IntegerType(),
+                            where=("role", "assistant"),
+                            where_logical="string"))
+
+        timings["q_quantile_where"] = _best(q_quantile_where)
+
         # q_compression_summary — per-column codec/bytes rollup
         timings["q_compression_summary"] = _best(
             lambda: _noop(manifest_of(segs_on_disk).groupBy("column")

@@ -236,7 +236,9 @@ def count_distinct(segments: DataFrame, column: str,
 
 
 def quantiles(segments: DataFrame, column: str, qs: list[float],
-              value_type: T.DataType | None = None) -> DataFrame:
+              value_type: T.DataType | None = None,
+              where: tuple[str, object] | None = None,
+              where_logical: str | None = None) -> DataFrame:
     """EXACT type-1 quantiles (order statistics) of `column` in the
     encoded domain -> (q: double, value) rows, one per DISTINCT
     requested q (the result is keyed by the q column).
@@ -254,7 +256,16 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
     metadata-scale for the dictionary-friendly columns this targets
     (a 10^12-row store with a 10^5-value column sorts 10^5 rows); for
     truly high-NDV columns the histogram is still bounded by NDV, the
-    same bound `distinct` carries. Quantile targets broadcast."""
+    same bound `distinct` carries. Quantile targets broadcast.
+
+    `where=(col, value)` pushes an equality filter into the quantile
+    (round-3 verdict #8): the predicate's manifest keep-set prunes
+    rowgroups first, then the encoded matching-gather
+    (`decode_matching` — dictionary probe + run clipping) decodes ONLY
+    the probe column's matching ranges; the histogram aggregates those
+    rows with the same map-side partials. Payload read = the where
+    column's probes plus the probe column's matching ranges — the
+    unrelated columns never decode."""
     for q in qs:
         if not (0.0 <= float(q) <= 1.0):
             raise ValueError(f"quantile {q!r} outside [0, 1]")
@@ -263,9 +274,24 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
     # duplicated input would trip positional-zip callers)
     qs = sorted({float(q) for q in qs})
     from pyspark.sql import Window
-    hist = (_distinct_stage(segments, column, value_type)
-            .where(F.col("value").isNotNull())
-            .groupBy("value").agg(F.sum("cnt").alias("cnt")))
+    if where is None:
+        hist = (_distinct_stage(segments, column, value_type)
+                .where(F.col("value").isNotNull())
+                .groupBy("value").agg(F.sum("cnt").alias("cnt")))
+    else:
+        from ..plans.pruning import prune_rowgroups_by_value
+        from .decode import decode_matching, schema_from_segments
+        # schema from the UNPRUNED frame: a fully selective predicate
+        # may empty the segment set, and the result must be an empty
+        # frame of the right shape, not a schema-inference failure
+        schema = schema_from_segments(segments)
+        pruned = prune_rowgroups_by_value(
+            segments, where[0], where[1], logical_type=where_logical)
+        rows = decode_matching(pruned, where[0], where[1],
+                               columns=[column], schema=schema)
+        hist = (rows.where(F.col(column).isNotNull())
+                .groupBy(F.col(column).alias("value"))
+                .agg(F.count("*").cast("long").alias("cnt")))
     w_cum = (Window.orderBy("value")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = (Window.partitionBy()

@@ -108,10 +108,9 @@ def topk(segments: DataFrame, column: str, k: int,
     degrades to decode-all-survivors (correct, just less pruned)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    if where is not None:
-        from ..plans.pruning import prune_rowgroups_by_value
-        segments = prune_rowgroups_by_value(
-            segments, where[0], where[1], logical_type=where_logical)
+    # schema + logical type come from the UNPRUNED frame: a fully
+    # selective where-prune may legitimately empty the segment set,
+    # and the result must then be an empty frame of the right shape
     schema = schema_from_segments(segments)
     if logical_type is None:
         row = (segments.where(F.col("column") == column)
@@ -119,6 +118,10 @@ def topk(segments: DataFrame, column: str, k: int,
         if row is None:
             raise ValueError(f"no segments for column {column!r}")
         logical_type = row["logical_type"]
+    if where is not None:
+        from ..plans.pruning import prune_rowgroups_by_value
+        segments = prune_rowgroups_by_value(
+            segments, where[0], where[1], logical_type=where_logical)
 
     order = [F.col(column).desc() if descending else F.col(column).asc()]
     order += [F.col(c).asc() for c in tie_cols]

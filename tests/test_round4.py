@@ -65,6 +65,28 @@ def test_topk_where_matches_plain_filter(spark, transcripts):
     assert got == exp
 
 
+def test_quantile_where_matches_plain_filter(spark, transcripts):
+    from columnstore_spark.operators import encode
+    from columnstore_spark.operators.aggregate import quantiles
+
+    segs = encode(transcripts,
+                  rowgroup_expr=F.expr(
+                      "CAST(substring(conv_id, 2) AS BIGINT) % 8"))
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {r["q"]: r["value"]
+           for r in quantiles(segs, "turn_idx", qs,
+                              where=("role", "assistant"),
+                              where_logical="string").collect()}
+    vals = sorted(r["turn_idx"] for r in transcripts
+                  .where((F.col("role") == "assistant")
+                         & F.col("turn_idx").isNotNull())
+                  .select("turn_idx").collect())
+    import math
+    for q in qs:
+        k = max(math.ceil(q * len(vals)), 1)
+        assert got[q] == vals[k - 1], q
+
+
 def test_topk_where_no_match_is_empty(spark, transcripts):
     from columnstore_spark.operators import encode, topk
 
@@ -75,6 +97,54 @@ def test_topk_where_no_match_is_empty(spark, transcripts):
                where=("role", "no_such_role"),
                where_logical="string").collect()
     assert got == []
+
+
+def test_filtered_pushdown_random_differential(spark):
+    """Seeded-random differential: filtered top-k and filtered
+    quantiles over a skewed random frame (nulls in both probe and
+    filter columns, duplicate keys, one dominant filter value) must
+    equal the plain DataFrame filter+sort / filter+order-statistic
+    results, for several (k, predicate) combinations — exercising the
+    seed-undercoverage fallback (few matching rows) and the pruned
+    fast path (selective predicate) alike."""
+    import math
+    import random
+
+    from columnstore_spark.operators import encode, topk
+    from columnstore_spark.operators.aggregate import quantiles
+
+    rng = random.Random(20240821)
+    rows = []
+    for i in range(4000):
+        cat = rng.choice(["hot", "hot", "hot", "warm", "cold",
+                          "rare", None])
+        val = None if rng.random() < 0.05 else rng.randrange(0, 500)
+        rows.append((i, cat, val))
+    df = spark.createDataFrame(rows, "id: long, cat: string, v: int")
+    segs = encode(df, order=("id",),
+                  rowgroup_expr=F.pmod(F.col("id"), F.lit(8)))
+
+    for cat, k in (("hot", 25), ("rare", 7), ("cold", 200),
+                   ("absent", 5)):
+        got = topk(segs, "v", k, columns=["id", "v"], tie_cols=("id",),
+                   where=("cat", cat), where_logical="string").collect()
+        exp = (df.where((F.col("cat") == cat) & F.col("v").isNotNull())
+               .orderBy(F.col("v").desc(), "id")
+               .limit(k).select("id", "v").collect())
+        assert got == exp, (cat, k)
+
+    qs = [0.0, 0.33, 0.5, 0.77, 1.0]
+    for cat in ("hot", "rare"):
+        got = {r["q"]: r["value"]
+               for r in quantiles(segs, "v", qs, where=("cat", cat),
+                                  where_logical="string").collect()}
+        vals = sorted(r["v"] for r in df
+                      .where((F.col("cat") == cat)
+                             & F.col("v").isNotNull())
+                      .select("v").collect())
+        for q in qs:
+            kth = max(math.ceil(q * len(vals)), 1)
+            assert got[q] == vals[kth - 1], (cat, q)
 
 
 def test_substring_excluded_matches_builder_filter(spark):
