@@ -390,8 +390,9 @@ def run(sf_dir: str, cpus: int, replicate: int) -> dict:
         for name in ("dedup_minhash_lsh", "dedup_simhash",
                      "dedup_embedding_lsh", "dedup_ngram_jaccard",
                      "dedup_clusters", "decontaminate",
-                     "dedup_substring",
+                     "dedup_substring", "dedup_substring_fast",
                      "ann_cosine_topk", "ann_ivf", "ann_sq8",
+                     "ann_batch",
                      "text_metrics", "quality_filter",
                      "pack_sequences"):
             timings[f"q_{name}"] = _best(

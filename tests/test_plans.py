@@ -263,7 +263,26 @@ def test_quality_filter_is_map_only(spark):
     assert "Exchange" not in plan
 
 
-def test_ann_sq8_single_corpus_pass(spark):
+def test_ann_batch_two_phase_topk(spark):
+    """Grouped top-k must run the two-phase shape: the first window
+    partitions on (query_id, sub) — fine-grained groups spread over
+    the cluster — and only the k-per-subkey survivors reach the
+    per-query global window. A single PARTITION BY query_id window
+    over the scored relation would sort corpus-sized input on one
+    task per query."""
+    import re
+
+    from columnstore_spark.functions.pipeline import spark_pipeline_df
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    df = spark_pipeline_df(spark, "ann_batch", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert len(windows) == 2, plan
+    # executed bottom-up: the LAST listed window node in the printed
+    # (top-down) plan is phase 1 — it must carry the sub key
+    assert "sub" in windows[-1], windows
+    assert "CartesianProduct" not in plan
     """The quantized candidate stage is one corpus scan against a
     1-row broadcast query (the same accepted shape as ann_brute);
     the exact re-rank touches only k*oversample rows."""

@@ -172,6 +172,48 @@ def test_substring_excluded_matches_builder_filter(spark):
             assert r["n_chars"] < _SUB_K
 
 
+def test_substring_fast_hash_keeps_guarantee(spark):
+    """The Spark-only xxhash64 gram ranking must preserve the winnow
+    detection guarantee — shared runs >= k+w-1 = 31 chars pair, runs
+    <= k-1 = 23 chars cannot — and the fast grams must agree with the
+    portable spine on WHICH DOCS pair for planted inputs (the selected
+    gram positions may differ; detectability may not)."""
+    from columnstore_spark.functions.pipeline import (
+        SPARK as SPARK_D,
+        dedup_substring_over,
+        substring_grams_sql,
+    )
+
+    shared31 = "THE-QUICK-BROWN-FOX-JUMPS-OVER!"
+    short20 = "ONLY-TWENTY-CHARS-AB"
+    docs = [
+        (0, "aaaa bbbb cccc " + shared31 + " dddd eeee ffff gggg hhhh"),
+        (1, "zzzz yyyy xxxx wwww " + shared31 + " vvvv uuuu tttt"),
+        (2, "1111 2222 3333 " + short20 + " 4444 5555 6666 7777 8888"),
+        (3, "qqqq rrrr ssss " + short20 + " mmmm nnnn oooo pppp kkkk"),
+        (4, "totally unrelated content with nothing shared at all here"),
+    ]
+    spark.createDataFrame(docs, "doc_id: long, text: string") \
+        .createOrReplaceTempView("r4_subfast_docs")
+    results = {}
+    for fast in (False, True):
+        g = spark.sql(substring_grams_sql(
+            SPARK_D, table="r4_subfast_docs", fast_hash=fast))
+        g.createOrReplaceTempView("r4_subfast_grams")
+        out = spark.sql(
+            dedup_substring_over(SPARK_D, "r4_subfast_grams")).collect()
+        results[fast] = {(r["doc_a"], r["doc_b"]) for r in out}
+    for fast, pairs in results.items():
+        assert (0, 1) in pairs, fast
+        assert (2, 3) not in pairs, fast
+        assert not any(4 in p for p in pairs), fast
+    assert results[False] == results[True]
+    # the oracle dialect refuses the Spark-only path
+    from columnstore_spark.functions.pipeline import DUCK
+    with pytest.raises(ValueError):
+        substring_grams_sql(DUCK, fast_hash=True)
+
+
 def test_decode_ppm_real_parser():
     from columnstore_spark.functions.multimodal import (
         decode_image,
