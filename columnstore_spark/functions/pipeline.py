@@ -958,9 +958,43 @@ def _splice_cte(inner: str, alias: str, over: str) -> str:
             f"{over[len('WITH '):].lstrip()}")
 
 
+def substring_units_sql(d: Dialect, table: str = "documents",
+                        k: int = _SUB_K, w: int = _SUB_W,
+                        radix: int = _SUB_POS_RADIX) -> str:
+    """(doc_id, unit, text) with megadocs split into OVERLAPPING
+    chunks sized under the position radix — the engine-side answer to
+    the 2^25-char exclusion (round-3 advice made the exclusion
+    observable; this removes it). Overlap = k + w - 2 chars, so every
+    guarantee-length run (k + w - 1 = 31 chars) lies wholly inside at
+    least one chunk of each doc carrying it — winnowing inside that
+    chunk then selects the same gram on both sides exactly as in the
+    unchunked proof. In-radix docs pass through as their single
+    unit 0, bit-identically."""
+    overlap = k + w - 2
+    chunk = radix - 1
+    step = chunk - overlap
+    ln = "length(text)"
+    n_chunks = f"CAST(ceil(({ln} - {overlap}) / CAST({step} AS DOUBLE)) AS BIGINT)"
+    piece = f"substr(text, CAST(c * {step} + 1 AS BIGINT), {chunk})"
+    exploded = d.explode_select(
+        "doc_id, text", d.seq("0", f"{n_chunks} - 1"), "c",
+        f"(SELECT doc_id, text FROM {table} "
+        f"WHERE {ln} >= {radix}) mg")
+    return f"""
+SELECT doc_id, CAST(0 AS BIGINT) AS unit, text
+FROM {table} WHERE {ln} >= {k} AND {ln} < {radix}
+UNION ALL
+SELECT doc_id, CAST(c AS BIGINT) AS unit, {piece} AS text
+FROM ({exploded}) ch
+WHERE length({piece}) >= {k}
+"""
+
+
 def substring_grams_sql(d: Dialect, table: str = "documents",
                         k: int = _SUB_K, w: int = _SUB_W,
-                        fast_hash: bool = False) -> str:
+                        fast_hash: bool = False,
+                        chunk_megadocs: bool = False,
+                        radix: int = _SUB_POS_RADIX) -> str:
     """DISTINCT (doc_id, gram) over each document's winnow-SELECTED
     char-k-grams (~1/w of all positions), separated so Spark can
     materialize it once (the pair stage references it three times:
@@ -996,43 +1030,59 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
     else:
         h20 = f"({d.ph(gram)} % 1048576)"
     # REPARTITION(doc_id) BEFORE the explode: the winnow window needs
-    # hashpartitioning(doc_id), and hash-distributing the docs (1x
-    # corpus bytes) lets Generate/Project carry that distribution up
-    # so the window adds NO exchange — versus shuffling the exploded
-    # (doc_id, p, combined) rows, ~24 bytes per corpus CHAR (24x
-    # amplified at 100 TB). DuckDB reads the hint as a comment.
-    # The radix guard: beyond 2^25 chars, p would alias under the %
-    # decode and select wrong grams — excluded docs are a visible
-    # contract, silent mis-selection is not.
-    flt = (f"length(text) >= {k} AND length(text) < {_SUB_POS_RADIX}")
-    dk = (f'(SELECT /*+ REPARTITION(doc_id) */ doc_id, text '
-          f'FROM {table} WHERE {flt}) dk')
+    # hashpartitioning on its partition key, and hash-distributing the
+    # docs (1x corpus bytes) lets Generate/Project carry that
+    # distribution up so the window adds NO exchange — versus
+    # shuffling the exploded (doc_id, p, combined) rows, ~24 bytes per
+    # corpus CHAR (24x amplified at 100 TB). DuckDB reads the hint as
+    # a comment.
+    # The radix guard: beyond `radix` chars, p would alias under the %
+    # decode and select wrong grams. chunk_megadocs=True routes
+    # oversized docs through overlapping in-radix units
+    # (substring_units_sql — the guarantee-preserving split) and
+    # collapses selected grams back to doc level, so the pair stage is
+    # identical; with it off, excluded docs remain a visible contract
+    # (substring_excluded_sql), never silent mis-selection.
+    if chunk_megadocs:
+        key, keysel = "doc_id, unit", "doc_id, unit"
+        # indented embed: _splice_cte finds the top-level SELECT as
+        # the last NON-indented one, so nested SELECTs must indent
+        units = substring_units_sql(d, table, k, w, radix) \
+            .replace("\n", "\n    ")
+        src = (f"(SELECT /*+ REPARTITION(doc_id, unit) */ doc_id, "
+               f"unit, text FROM ({units}) u)")
+    else:
+        key, keysel = "doc_id", "doc_id"
+        flt = f"length(text) >= {k} AND length(text) < {radix}"
+        src = (f"(SELECT /*+ REPARTITION(doc_id) */ doc_id, text "
+               f"FROM {table} WHERE {flt})")
     return f"""
 WITH pos AS (
-  {d.explode_select('doc_id, text',
-                    d.seq('1', f'length(text) - {k - 1}'), 'p', dk)}
+  {d.explode_select(keysel + ', text',
+                    d.seq('1', f'length(text) - {k - 1}'), 'p',
+                    src + ' dk')}
 ),
 hashed AS (
-  SELECT doc_id, p, {h20} * {_SUB_POS_RADIX} + p AS combined
+  SELECT {keysel}, p, {h20} * {radix} + p AS combined
   FROM pos
 ),
 winnowed AS (
-  SELECT doc_id,
-         min(combined) OVER (PARTITION BY doc_id ORDER BY p
+  SELECT {keysel},
+         min(combined) OVER (PARTITION BY {key} ORDER BY p
                              ROWS BETWEEN CURRENT ROW
                              AND {w - 1} FOLLOWING) AS sel_combined
   FROM hashed
 ),
 sel_pos AS (
-  SELECT DISTINCT doc_id,
-         sel_combined % {_SUB_POS_RADIX} AS p
+  SELECT DISTINCT {keysel},
+         sel_combined % {radix} AS p
   FROM winnowed
 )
 SELECT DISTINCT s.doc_id, {gram.replace('text', 'd2.text')} AS gram
 FROM sel_pos s
-JOIN (SELECT /*+ REPARTITION(doc_id) */ doc_id, text
-      FROM {table} WHERE {flt}) d2
-  ON s.doc_id = d2.doc_id
+JOIN {src} d2
+  ON {' AND '.join(f's.{c.strip()} = d2.{c.strip()}'
+                   for c in keysel.split(','))}
 """
 
 

@@ -214,6 +214,120 @@ def test_substring_fast_hash_keeps_guarantee(spark):
         substring_grams_sql(DUCK, fast_hash=True)
 
 
+def _substr_pairs_duck(docs, **kw):
+    import duckdb
+
+    from columnstore_spark.functions.pipeline import (
+        DUCK,
+        _splice_cte,
+        dedup_substring_over,
+        substring_grams_sql,
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    con.sql("create table documents as select * from "
+            f"(values {vals}) v(doc_id, text)")
+    sql = _splice_cte(substring_grams_sql(DUCK, **kw), "selg",
+                      dedup_substring_over(DUCK, "selg"))
+    df = con.sql(sql).df()
+    return {(int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"])}
+
+
+def test_substring_megadoc_chunking_guarantee():
+    """chunk_megadocs=True must detect a >=31-char run shared by two
+    OVER-RADIX docs — including one placed to straddle a chunk
+    boundary — where the default path excludes both docs. Tested at a
+    small radix (200 chars: chunk 199, overlap 30, step 169) so the
+    megadoc machinery runs on test-sized strings; the arithmetic is
+    radix-independent."""
+    import random
+
+    rng = random.Random(7)
+
+    def filler(n):
+        return "".join(rng.choice("abcdefghij") for _ in range(n))
+
+    shared31 = "THE-QUICK-BROWN-FOX-JUMPS-OVER!"
+    assert len(shared31) == 31
+    # doc 0: run straddles the first chunk boundary (chars 170-199
+    # region); doc 1: run sits mid-doc; both docs are ~500 chars,
+    # far over the 200-char test radix
+    d0 = filler(155) + shared31 + filler(314)
+    d1 = filler(380) + shared31 + filler(89)
+    d2 = filler(500)  # unrelated megadoc
+    docs = [(0, d0), (1, d1), (2, d2)]
+
+    # default path: megadocs are EXCLUDED -> no pairs at all
+    assert _substr_pairs_duck(docs, radix=200) == set()
+    # chunked path: the shared run must pair, the unrelated doc not
+    pairs = _substr_pairs_duck(docs, radix=200, chunk_megadocs=True)
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_substring_chunked_identical_for_inradix_corpus():
+    """With every doc under the radix, chunk_megadocs=True must be a
+    bit-identical no-op (single unit 0 per doc): same selected grams,
+    same pairs, on the real sf0.001 corpus."""
+    import duckdb
+
+    from columnstore_spark.functions.pipeline import (
+        DUCK,
+        _splice_cte,
+        dedup_substring_over,
+        substring_grams_sql,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    out = {}
+    for chunked in (False, True):
+        sql = _splice_cte(
+            substring_grams_sql(DUCK, chunk_megadocs=chunked), "selg",
+            dedup_substring_over(DUCK, "selg"))
+        df = con.sql(sql).df().sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+        out[chunked] = df
+    assert out[False].equals(out[True])
+
+
+def test_substring_chunked_engine_parity(spark):
+    """Spark and DuckDB must agree on the CHUNKED spine (megadocs
+    present, small radix) — the same dual-dialect parity contract the
+    registry spine carries."""
+    import random
+
+    from columnstore_spark.functions.pipeline import (
+        DUCK,
+        SPARK as SPARK_D,
+        dedup_substring_over,
+        substring_grams_sql,
+    )
+
+    rng = random.Random(11)
+    base = "".join(rng.choice("abcdefghij") for _ in range(600))
+    run = "SHARED-EXACT-RUN-OF-40-CHARACTERS-HERE!!"
+    docs = [(0, base[:210] + run + base[210:420]),
+            (1, base[420:] + run + base[:150]),
+            (2, "".join(rng.choice("klmnopqrst") for _ in range(450)))]
+
+    duck_pairs = _substr_pairs_duck(docs, radix=200,
+                                    chunk_megadocs=True)
+    spark.createDataFrame(docs, "doc_id: long, text: string") \
+        .createOrReplaceTempView("r4_mega_docs")
+    g = spark.sql(substring_grams_sql(SPARK_D, table="r4_mega_docs",
+                                      radix=200, chunk_megadocs=True))
+    g.createOrReplaceTempView("r4_mega_grams")
+    rows = spark.sql(
+        dedup_substring_over(SPARK_D, "r4_mega_grams")).collect()
+    spark_pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert spark_pairs == duck_pairs
+    assert (0, 1) in spark_pairs
+    # duck side of the DIALECT pair must refuse nothing: same builder,
+    # same arithmetic — the parity above is the contract
+    assert DUCK is not SPARK_D
+
+
 def test_decode_ppm_real_parser():
     from columnstore_spark.functions.multimodal import (
         decode_image,
