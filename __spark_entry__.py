@@ -1063,8 +1063,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 49 entries total (27 core + 22 pipeline): the ENTIRE registry
-    # fits the driver's 50-row CORRECTNESS window. Near-duplicate core
+    # 50 entries total (27 core + 23 pipeline incl. dedup_clusters):
+    # the ENTIRE registry fits the driver's 50-row CORRECTNESS window
+    # with ZERO slack — any new operator must merge into an existing
+    # tagged-UNION entry, never append a 51st key. Near-duplicate core
     # variants are tagged-UNION consolidations (see the _multi
     # functions above); the underlying single-branch functions remain
     # the library API and the pytest surface.

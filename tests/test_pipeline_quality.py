@@ -142,12 +142,17 @@ def test_decontaminate_invariants_testdata(spark):
     # guaranteed contamination-1.0 case is pinned deterministically in
     # test_decontaminate_planted_duplicates — at a 2% benchmark rate
     # the 500-doc testdata corpus need not straddle a duplicate pair.
+    bm = ("CAST(concat('0x',substr(md5(concat('bm|', "
+          "COALESCE(CAST(doc_id AS VARCHAR), ''))),1,15)) AS BIGINT) "
+          "% 1000 < 20")
     n_bench = _duck(
-        "SELECT count(*) AS n FROM documents WHERE "
-        "CAST(concat('0x',substr(md5(concat('bm|', "
-        "COALESCE(CAST(doc_id AS VARCHAR), ''))),1,15)) AS BIGINT) "
-        "% 1000 < 20").iloc[0]["n"]
-    assert len(df) == 500 - int(n_bench)
+        f"SELECT count(*) AS n FROM documents WHERE {bm}").iloc[0]["n"]
+    # sub-3-token train docs carry no shingles and are absent too
+    n_short_train = _duck(
+        "SELECT count(*) AS n FROM documents WHERE NOT (" + bm + ") "
+        "AND len(list_filter(regexp_split_to_array(lower(trim(text)), "
+        "'[^a-z0-9]+'), x -> x != '')) < 3").iloc[0]["n"]
+    assert len(df) == 500 - int(n_bench) - int(n_short_train)
     assert (df["contamination"] > 0).any()
 
 

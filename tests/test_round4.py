@@ -291,6 +291,59 @@ def test_substring_chunked_identical_for_inradix_corpus():
     assert out[False].equals(out[True])
 
 
+def test_substring_chunked_df_materialized_units(spark):
+    """The Spark production helper (units materialized ONCE, then
+    grams, then pairs) must produce the same pairs as the combined
+    chunked spine — and its executed plan must consume the
+    materialized units (Scan ExistingRDD), not re-embed the unit
+    split."""
+    import random
+
+    from columnstore_spark.functions.pipeline import (
+        dedup_substring_chunked_df,
+    )
+
+    rng = random.Random(5)
+    base = "".join(rng.choice("abcdefghij") for _ in range(700))
+    run = "ANOTHER-SHARED-RUN-OF-31-CHAR!!"
+    docs = [(0, base[:230] + run + base[230:460]),
+            (1, base[460:] + run + base[:120]),
+            (2, "".join(rng.choice("klmnopqrst") for _ in range(420)))]
+    duck_pairs = _substr_pairs_duck(docs, radix=200,
+                                    chunk_megadocs=True)
+    spark.createDataFrame(docs, "doc_id: long, text: string") \
+        .createOrReplaceTempView("r4_mega2_docs")
+    df = dedup_substring_chunked_df(spark, table="r4_mega2_docs",
+                                    radix=200)
+    got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    assert got == duck_pairs
+    assert (0, 1) in got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+
+
+def test_substring_excluded_tracks_radix_and_chunking(spark):
+    """The exclusion report must mirror the gram builder's actual
+    configuration: at a custom radix, over-radix docs report as
+    megadocs; with chunking on, only sub-k docs are excluded."""
+    from columnstore_spark.functions.pipeline import (
+        SPARK as SPARK_D,
+        substring_excluded_sql,
+    )
+
+    docs = [(0, "x" * 10), (1, "y" * 100), (2, "z" * 300)]
+    spark.createDataFrame(docs, "doc_id: long, text: string") \
+        .createOrReplaceTempView("r4_excl_docs")
+
+    def reasons(**kw):
+        rows = spark.sql(substring_excluded_sql(
+            SPARK_D, table="r4_excl_docs", **kw)).collect()
+        return {r["doc_id"]: r["reason"] for r in rows}
+
+    assert reasons(radix=200) == {0: "short", 2: "megadoc"}
+    assert reasons(radix=200, chunk_megadocs=True) == {0: "short"}
+
+
 def test_substring_chunked_engine_parity(spark):
     """Spark and DuckDB must agree on the CHUNKED spine (megadocs
     present, small radix) — the same dual-dialect parity contract the
