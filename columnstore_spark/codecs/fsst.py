@@ -58,6 +58,17 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
     time, so near-zero-gain merges are pure slowdown (the speed half of
     the reference's Size/Speed tradeoff, `Encoding.cs:70-75`).
     """
+    return _train_with_residual(sample, max_merges)[0]
+
+
+def _train_with_residual(sample: bytes, max_merges: int = MAX_MERGES,
+                         ) -> tuple[list[tuple[int, int]], int]:
+    """train() plus the trainer's own compressed-sample length — the
+    greedy replace passes already compress the sample as a side
+    effect, so the chooser's ratio estimate is free instead of paying
+    a second trial _apply_merges pass (the two application orders
+    differ by <1% on the overlap-resolution margin, well within
+    estimate tolerance)."""
     merges: list[tuple[int, int]] = []
     blob = bytes(sample)  # sample may be a zero-copy memoryview slice
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 9)
@@ -74,7 +85,7 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
         new_code = 0x80 + len(merges)
         merges.append((a, b))
         blob = blob.replace(bytes([a, b]), bytes([new_code]))
-    return merges
+    return merges, len(blob)
 
 
 def _apply_merges(low: bytes, merges: list[tuple[int, int]]) -> bytes:
@@ -282,17 +293,26 @@ def decode(body: memoryview, n: int, logical: str) -> "V.VarChunk":
 def estimate_size(vals: "V.VarChunk",
                   sample_bytes: int = ESTIMATE_SAMPLE_BYTES,
                   max_merges: int = MAX_MERGES) -> int:
-    """Trial-encode a sample; extrapolate the ratio to the full blob."""
+    """Estimate from the trainer's own compressed residual; extrapolate
+    the ratio to the full blob. No trial _apply_merges pass: the
+    trainer's greedy replaces compress its sample as a side effect
+    (<1% from the rounds-apply result), and the train sample's
+    low:high byte split stands in for the estimate sample's."""
     blob = vals.blob
     if len(blob) == 0:
         return 16
     global _last_trained
     sample = blob[:sample_bytes]
     low, high_pos, high = _split_high(sample)
-    merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
+    train_low = low[:TRAIN_SAMPLE_BYTES]
+    merges, trained_len = _train_with_residual(train_low, max_merges)
     _last_trained = (_chunk_key(vals), merges)
-    enc = _apply_merges(low, merges)
-    sample_out = len(enc) + 2 * high_pos.size
-    ratio = sample_out / max(len(sample), 1)
+    # per-byte output estimate: trained ratio on the low stream, plus
+    # 2 bytes per high byte (position varint + literal), scaled from
+    # the sample's observed low/high mix
+    low_frac = len(low) / max(len(sample), 1)
+    low_ratio = trained_len / max(len(train_low), 1)
+    high_frac = 1.0 - low_frac
+    ratio = low_frac * low_ratio + high_frac * 2.0
     lens_bytes = int(bitpack.varint_nbytes(vals.lengths.astype(np.uint64)).sum())
     return int(len(blob) * ratio) + lens_bytes + 2 * len(merges) + 16
