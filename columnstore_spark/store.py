@@ -1688,21 +1688,33 @@ class TranscriptColumnStore:
             self.warehouse.committed_segments(self.spark), column,
             value_type=self._value_type(column))
 
-    def quantile(self, column: str, qs: list[float]) -> DataFrame:
+    def quantile(self, column: str, qs: list[float],
+                 where: tuple[str, object] | None = None) -> DataFrame:
         """EXACT type-1 quantiles of `column` -> (q, value) rows,
         computed in the encoded domain (`operators/aggregate.quantiles`):
         the global histogram is the union of per-segment dictionaries
         (dict run lengths ARE the counts — no row ever expands), so
         the sort is over DISTINCT values, not table rows. NULLs
         excluded, SQL-style; deterministic (order statistics, not
-        approx_percentile)."""
+        approx_percentile).
+
+        `where=(col, value)` restricts to matching rows, pushed down:
+        manifest keep-set prune + encoded matching-gather — only the
+        probe column's matching ranges decode. The filter value must
+        be in the column's stored domain (the same contract as
+        `query_by_value`'s encoded path — strings and ints natively,
+        timestamps as stored epoch units)."""
         from .operators.aggregate import quantiles
+        m = self._manifest_or_raise()
+        wcols = [where[0]] if where is not None else []
         if self._schema_log():
-            self._guard_materialized(self._manifest_or_raise(),
-                                     [column], "quantile")
+            self._guard_materialized(m, [column, *wcols], "quantile")
         return quantiles(
             self.warehouse.committed_segments(self.spark), column, qs,
-            value_type=self._value_type(column))
+            value_type=self._value_type(column),
+            where=where,
+            where_logical=(self._logical_type(m, where[0])
+                           if where is not None else None))
 
     def _value_type(self, column: str):
         """Spark type of `column` from the manifest's logical_type —
@@ -1754,21 +1766,32 @@ class TranscriptColumnStore:
 
     def topk(self, column: str, k: int, descending: bool = True,
              columns: list[str] | None = None,
-             tie_cols: tuple[str, ...] = ()) -> DataFrame:
+             tie_cols: tuple[str, ...] = (),
+             where: tuple[str, object] | None = None) -> DataFrame:
         """k rows with the extreme non-null `column` values, driven by
         manifest bounds (`operators/topk.py`): a seed rowgroup yields
         the k-th-value threshold, bounds prune everything that can't
         clear it, and only the survivors decode — payload read scales
-        with k, not the store."""
+        with k, not the store.
+
+        `where=(col, value)` pushes an equality filter into the top-k
+        (keep-set prune before threshold seeding; exact filter
+        re-applied on the survivors). Same stored-domain contract as
+        `quantile(where=...)`."""
         from .operators.topk import topk
         m = self._manifest_or_raise()
+        wcols = [where[0]] if where is not None else []
         if self._schema_log():
             self._guard_materialized(
-                m, [column, *tie_cols, *(columns or [])], "topk")
+                m, [column, *tie_cols, *(columns or []), *wcols],
+                "topk")
         out = topk(self.warehouse.committed_segments(self.spark),
                    column, k, descending=descending, columns=columns,
                    tie_cols=tie_cols,
-                   logical_type=self._logical_type(m, column))
+                   logical_type=self._logical_type(m, column),
+                   where=where,
+                   where_logical=(self._logical_type(m, where[0])
+                                  if where is not None else None))
         return out if columns is not None else self._align_effective(out)
 
     # -- queries (S3/S4) -----------------------------------------------------

@@ -65,6 +65,44 @@ def test_topk_where_matches_plain_filter(spark, transcripts):
     assert got == exp
 
 
+def test_facade_topk_quantile_where(spark, transcripts):
+    """The store facade's topk/quantile accept the pushed-down filter
+    and agree with plain DataFrame filter+sort / order statistics."""
+    import math
+    import shutil
+    import tempfile
+
+    from columnstore_spark.store import TranscriptColumnStore
+
+    root = tempfile.mkdtemp(prefix="cs_r4_where_")
+    try:
+        store = TranscriptColumnStore(spark, root, num_rowgroups=8,
+                                      rows_per_segment=1_000_000)
+        store.add_range(transcripts)
+        store.close()
+        got = store.topk("ts", 10, columns=["conv_id", "turn_idx", "ts"],
+                         tie_cols=("conv_id", "turn_idx"),
+                         where=("role", "user")).collect()
+        exp = (transcripts.where((F.col("role") == "user")
+                                 & F.col("ts").isNotNull())
+               .orderBy(F.col("ts").desc(), "conv_id", "turn_idx")
+               .limit(10).select("conv_id", "turn_idx", "ts").collect())
+        assert got == exp
+        qs = [0.0, 0.5, 1.0]
+        gq = {r["q"]: r["value"]
+              for r in store.quantile("turn_idx", qs,
+                                      where=("role", "user")).collect()}
+        vals = sorted(r["turn_idx"] for r in transcripts
+                      .where((F.col("role") == "user")
+                             & F.col("turn_idx").isNotNull())
+                      .select("turn_idx").collect())
+        for q in qs:
+            k = max(math.ceil(q * len(vals)), 1)
+            assert gq[q] == vals[k - 1], q
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_quantile_where_matches_plain_filter(spark, transcripts):
     from columnstore_spark.operators import encode
     from columnstore_spark.operators.aggregate import quantiles
@@ -406,6 +444,35 @@ def test_decode_ppm_real_parser():
                 b"P6\n1\n255"):                 # truncated header
         with pytest.raises(ValueError):
             decode_ppm(bad)
+
+
+def test_decode_ppm_property_roundtrip():
+    """Any well-formed P6 stream — arbitrary dims, arbitrary pixel
+    bytes, arbitrary legal header whitespace/comments — must parse to
+    exactly its pixel array."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from columnstore_spark.functions.multimodal import decode_ppm
+
+    ws = st.sampled_from([b" ", b"\n", b"\t", b"\r", b"\n# note\n"])
+
+    @settings(max_examples=150, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 9),
+           s1=ws, s2=ws, s3=st.sampled_from([b" ", b"\n", b"\t"]),
+           lead=st.sampled_from([b"", b"# leading comment\n"]),
+           data=st.data())
+    def check(w, h, s1, s2, s3, lead, data):
+        body = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * 3,
+            max_size=w * h * 3)))
+        stream = (b"P6" + s1 + lead + str(w).encode() + s2
+                  + str(h).encode() + s1 + b"255" + s3 + body)
+        arr = decode_ppm(stream)
+        assert arr.shape == (h, w, 3)
+        assert arr.tobytes() == body
+
+    check()
 
 
 def test_temperature_null_and_empty_lang_separate(spark):
