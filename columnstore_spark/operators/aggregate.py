@@ -266,14 +266,6 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
     rows with the same map-side partials. Payload read = the where
     column's probes plus the probe column's matching ranges — the
     unrelated columns never decode."""
-    for q in qs:
-        if not (0.0 <= float(q) <= 1.0):
-            raise ValueError(f"quantile {q!r} outside [0, 1]")
-    # one output row per DISTINCT q (the result is keyed by the q
-    # column; silently returning fewer rows than len(qs) for a
-    # duplicated input would trip positional-zip callers)
-    qs = sorted({float(q) for q in qs})
-    from pyspark.sql import Window
     if where is None:
         hist = (_distinct_stage(segments, column, value_type)
                 .where(F.col("value").isNotNull())
@@ -292,6 +284,22 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
         hist = (rows.where(F.col(column).isNotNull())
                 .groupBy(F.col(column).alias("value"))
                 .agg(F.count("*").cast("long").alias("cnt")))
+    return finish_quantiles(hist, qs, segments.sparkSession)
+
+
+def finish_quantiles(hist: DataFrame, qs: list[float],
+                     spark) -> DataFrame:
+    """Type-1 quantiles from a (value, cnt) histogram — the shared
+    tail of quantiles() and the facade's decode-fallback path, so both
+    run the identical order-statistic arithmetic."""
+    for q in qs:
+        if not (0.0 <= float(q) <= 1.0):
+            raise ValueError(f"quantile {q!r} outside [0, 1]")
+    # one output row per DISTINCT q (the result is keyed by the q
+    # column; silently returning fewer rows than len(qs) for a
+    # duplicated input would trip positional-zip callers)
+    qs = sorted({float(q) for q in qs})
+    from pyspark.sql import Window
     w_cum = (Window.orderBy("value")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = (Window.partitionBy()
@@ -299,7 +307,6 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
                           Window.unboundedFollowing))
     cum = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
                .withColumn("n", F.sum("cnt").over(w_all)))
-    spark = segments.sparkSession
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     rank = F.greatest(F.ceil(F.col("q") * F.col("n")).cast("long"),
                       F.lit(1).cast("long"))

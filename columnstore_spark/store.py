@@ -1700,21 +1700,46 @@ class TranscriptColumnStore:
 
         `where=(col, value)` restricts to matching rows, pushed down:
         manifest keep-set prune + encoded matching-gather — only the
-        probe column's matching ranges decode. The filter value must
-        be in the column's stored domain (the same contract as
-        `query_by_value`'s encoded path — strings and ints natively,
-        timestamps as stored epoch units)."""
-        from .operators.aggregate import quantiles
+        probe column's matching ranges decode. Values are natural
+        Python (strings/ints natively; tz-aware datetimes normalized
+        to naive UTC); probe/column pairs whose Spark coercion the
+        exact-typed kernels can't reproduce fall back to
+        decode-then-filter over the pruned segments — same results
+        (identical order-statistic arithmetic via finish_quantiles),
+        fewer skipped bytes. Unknown columns raise."""
+        from .operators.aggregate import finish_quantiles, quantiles
+        from .operators.decode import _spark_type_of
         m = self._manifest_or_raise()
-        wcols = [where[0]] if where is not None else []
+        if where is None:
+            if self._schema_log():
+                self._guard_materialized(m, [column], "quantile")
+            return quantiles(
+                self.warehouse.committed_segments(self.spark), column,
+                qs, value_type=self._value_type(column))
+        wcol, wval = where
+        wval = _naive_utc(wval)
         if self._schema_log():
-            self._guard_materialized(m, [column, *wcols], "quantile")
+            self._guard_materialized(m, [column, wcol], "quantile")
+        # both logical types in ONE manifest job; a typo must raise,
+        # never silently prune everything into an empty result
+        lts = self._logical_types(m, [column, wcol])
+        for c in (column, wcol):
+            if c not in lts:
+                raise ValueError(f"unknown column {c!r}")
+        if not _kernel_safe_probe(lts[wcol] or "", wval):
+            pruned, _ = self._pruned_segments(m, wcol, wval, wval,
+                                              eq=True)
+            hist = (decode(pruned, schema=schema_from_segments(m),
+                           columns=sorted({column, wcol}))
+                    .where(F.col(wcol) == F.lit(wval))
+                    .where(F.col(column).isNotNull())
+                    .groupBy(F.col(column).alias("value"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+            return finish_quantiles(hist, qs, self.spark)
         return quantiles(
             self.warehouse.committed_segments(self.spark), column, qs,
-            value_type=self._value_type(column),
-            where=where,
-            where_logical=(self._logical_type(m, where[0])
-                           if where is not None else None))
+            value_type=_spark_type_of(lts[column]),
+            where=(wcol, wval), where_logical=lts[wcol])
 
     def _value_type(self, column: str):
         """Spark type of `column` from the manifest's logical_type —
@@ -1776,8 +1801,10 @@ class TranscriptColumnStore:
 
         `where=(col, value)` pushes an equality filter into the top-k
         (keep-set prune before threshold seeding; exact filter
-        re-applied on the survivors). Same stored-domain contract as
-        `quantile(where=...)`."""
+        re-applied on the survivors). Same value contract as
+        `quantile(where=...)`: natural Python values, tz-aware
+        datetimes normalized to naive UTC, coercion-dependent probes
+        fall back to decode-then-filter, unknown columns raise."""
         from .operators.topk import topk
         m = self._manifest_or_raise()
         wcols = [where[0]] if where is not None else []
@@ -1785,12 +1812,40 @@ class TranscriptColumnStore:
             self._guard_materialized(
                 m, [column, *tie_cols, *(columns or []), *wcols],
                 "topk")
+        lts = self._logical_types(m, [column, *wcols])
+        for c in (column, *wcols):
+            if c not in lts:
+                raise ValueError(f"unknown column {c!r}")
+        if where is not None:
+            wcol, wval = where[0], _naive_utc(where[1])
+            if not _kernel_safe_probe(lts[wcol] or "", wval):
+                # decode-then-filter fallback over the pruned
+                # segments: the kernels may only ever see probes whose
+                # exact-typed equality matches Spark's coercion
+                pruned, _ = self._pruned_segments(m, wcol, wval, wval,
+                                                  eq=True)
+                need = (None if columns is None else
+                        sorted({*columns, column, *tie_cols, wcol}))
+                order = [F.col(column).desc() if descending
+                         else F.col(column).asc()]
+                order += [F.col(c).asc() for c in tie_cols]
+                out_cols = (columns if columns is not None
+                            else [f.name for f in
+                                  schema_from_segments(m).fields])
+                out = (decode(pruned, schema=schema_from_segments(m),
+                              columns=need)
+                       .where(F.col(wcol) == F.lit(wval))
+                       .where(F.col(column).isNotNull())
+                       .orderBy(*order).limit(k).select(*out_cols))
+                return (out if columns is not None
+                        else self._align_effective(out))
+            where = (wcol, wval)
         out = topk(self.warehouse.committed_segments(self.spark),
                    column, k, descending=descending, columns=columns,
                    tie_cols=tie_cols,
-                   logical_type=self._logical_type(m, column),
+                   logical_type=lts[column],
                    where=where,
-                   where_logical=(self._logical_type(m, where[0])
+                   where_logical=(lts[where[0]]
                                   if where is not None else None))
         return out if columns is not None else self._align_effective(out)
 

@@ -99,6 +99,31 @@ def test_facade_topk_quantile_where(spark, transcripts):
         for q in qs:
             k = max(math.ceil(q * len(vals)), 1)
             assert gq[q] == vals[k - 1], q
+
+        # a misspelled filter column must RAISE, never silently prune
+        # everything into an empty result
+        for call in (lambda: store.topk("ts", 3, where=("rloe", "x")),
+                     lambda: store.quantile("turn_idx", [0.5],
+                                            where=("rloe", "x"))):
+            with pytest.raises(ValueError):
+                call()
+
+        # coercion-dependent probe (string '7' on the int turn_idx
+        # column): both paths must fall back to decode+Spark-predicate
+        # and agree with the plain DataFrame result
+        got7 = store.topk("ts", 5, columns=["conv_id", "turn_idx", "ts"],
+                          tie_cols=("conv_id",),
+                          where=("turn_idx", "7")).collect()
+        exp7 = (transcripts.where((F.col("turn_idx") == "7")
+                                  & F.col("ts").isNotNull())
+                .orderBy(F.col("ts").desc(), "conv_id")
+                .limit(5).select("conv_id", "turn_idx", "ts").collect())
+        assert got7 == exp7 and len(got7) == 5
+        gq7 = {r["q"]: r["value"]
+               for r in store.quantile("turn_idx", [0.0, 1.0],
+                                       where=("turn_idx", "7"))
+               .collect()}
+        assert gq7 == {0.0: 7, 1.0: 7}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
