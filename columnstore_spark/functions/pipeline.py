@@ -1868,6 +1868,23 @@ FROM final WHERE rank <= {k}
 """
 
 
+def ann_batch_df(spark, dim: int, table: str = "embeddings",
+                 stride: int = 97, k: int = 5,
+                 subkeys: int | None = None):
+    """Spark-side batch-ANN API: `subkeys` defaults to
+    default_pack_buckets(spark) — O(cluster parallelism), the same
+    scale rule as pack_sequences' lanes (the phase-1 shuffle spreads
+    over n_queries x subkeys groups, so the subkey count is the
+    parallelism knob). The driver registry pins subkeys=16 so the
+    DuckDB oracle runs the identical spine; the subkey split never
+    changes results (phase 2 re-ranks under the same total order)."""
+    if subkeys is None:
+        subkeys = default_pack_buckets(spark)
+    return spark.sql(ann_batch_sql(SPARK, dim, table=table,
+                                   stride=stride, k=k,
+                                   subkeys=subkeys))
+
+
 def media_meta_sql(d: Dialect, table: str = "documents") -> str:
     """Typed metadata for opaque media blobs (here: the utf-8 bytes of
     text stand in for image payloads). Strong-oracle side of the

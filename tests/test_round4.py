@@ -128,6 +128,24 @@ def test_facade_topk_quantile_where(spark, transcripts):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_ann_batch_subkeys_invariant(spark):
+    """The subkey split is a parallelism knob, never a results knob:
+    ann_batch at 4, 16, and the scale-aware default subkeys must
+    return identical rows (phase 2 re-ranks under one total order)."""
+    from columnstore_spark.functions.pipeline import ann_batch_df
+    from columnstore_spark.sources.transcripts import register_testdata
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    dim = len(spark.table("embeddings")
+              .select("embedding").head()["embedding"])
+    outs = []
+    for sk in (4, 16, None):
+        df = ann_batch_df(spark, dim, subkeys=sk)
+        outs.append(sorted(tuple(r) for r in df.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+
+
 def test_quantile_where_matches_plain_filter(spark, transcripts):
     from columnstore_spark.operators import encode
     from columnstore_spark.operators.aggregate import quantiles
