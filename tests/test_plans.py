@@ -334,6 +334,32 @@ def test_dedup_substring_window_shuffles_docs_not_grams(spark):
     assert all("REPARTITION_BY_COL" in e for e in hash_ex), hash_ex
 
 
+def test_substring_chunked_units_shuffle_shape(spark):
+    """The chunked gram build must shuffle at the (doc_id, unit)
+    level via the REPARTITION hint — docs/units, not exploded gram
+    positions — the same scale contract the default path gates."""
+    import re
+
+    from columnstore_spark.functions.pipeline import (
+        SPARK as SPARK_D,
+        substring_grams_sql,
+    )
+
+    register_testdata(spark, SF_DIR, ("documents",))
+    sel = spark.sql(substring_grams_sql(SPARK_D, chunk_megadocs=True))
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    hash_ex = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    # the hinted (doc_id, unit) repartition feeds the winnow window...
+    assert any("REPARTITION_BY_COL" in e and "unit" in e
+               for e in hash_ex), hash_ex
+    # ...and NO exchange may carry the exploded per-position stream
+    # (p/combined: ~24 amplified bytes per corpus char at scale); the
+    # only non-hinted exchange is the final DISTINCT over SELECTED
+    # grams, already thinned to ~1/w of positions
+    assert not any(("combined" in e or re.search(r"\bp#", e))
+                   for e in hash_ex), hash_ex
+
+
 def test_sample_temperature_broadcast_rates(spark):
     """Temperature mixing derives rates from a tiny per-language
     aggregate: the corpus side must stay one scan with the rates
