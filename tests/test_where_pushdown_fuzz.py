@@ -1,0 +1,85 @@
+"""Seeded randomized differential for the facade's filtered
+topk/quantile pushdown (round 4): random frames mixing string, int,
+timestamp, and float columns with nulls and skew; random equality
+filters including the historically hazardous probe shapes (tz-aware
+datetimes, float probes on int columns, string probes on ints, absent
+values). Every (filter, probe-column) draw must match the plain
+DataFrame filter+sort / filter+order-statistic result — whichever
+path (encoded kernel or decode fallback) the facade routes it down.
+"""
+
+import datetime as dt
+import math
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def wstore(spark):
+    rng = random.Random(424242)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(3000):
+        cat = rng.choice(["a", "a", "b", "c", None])
+        v = None if rng.random() < 0.06 else rng.randrange(0, 40)
+        ts = (None if rng.random() < 0.04
+              else base + dt.timedelta(minutes=rng.randrange(0, 10000)))
+        x = None if rng.random() < 0.05 else round(rng.uniform(0, 5), 2)
+        rows.append((i, cat, v, ts, x))
+    df = spark.createDataFrame(
+        rows, "id: long, cat: string, v: int, ts: timestamp, x: double")
+    root = tempfile.mkdtemp(prefix="cs_wfuzz_")
+    from columnstore_spark.store import TranscriptColumnStore
+    store = TranscriptColumnStore(spark, root, num_rowgroups=8,
+                                  rows_per_segment=1_000_000)
+    store.add_range(df)
+    store.close()
+    yield store, df
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _probes():
+    base = dt.datetime(2024, 3, 1)
+    utc = dt.timezone.utc
+    return [
+        ("cat", "a"), ("cat", "zz-absent"),
+        ("v", 7), ("v", 7.0), ("v", "7"), ("v", 999),
+        ("v", 6.5),                                  # non-integral float
+        ("ts", base + dt.timedelta(minutes=60)),     # naive present-ish
+        ("ts", (base + dt.timedelta(minutes=60)).replace(tzinfo=utc)),
+        ("x", 1.25), ("x", float("nan")),
+    ]
+
+
+@pytest.mark.parametrize("wcol,wval", _probes())
+def test_topk_where_fuzz(spark, wstore, wcol, wval):
+    store, df = wstore
+    got = store.topk("id", 12, columns=["id", "v"],
+                     tie_cols=(), where=(wcol, wval)).collect()
+    exp = (df.where(F.col(wcol) == F.lit(wval))
+           .where(F.col("id").isNotNull())
+           .orderBy(F.col("id").desc())
+           .limit(12).select("id", "v").collect())
+    assert got == exp, (wcol, wval)
+
+
+@pytest.mark.parametrize("wcol,wval", _probes())
+def test_quantile_where_fuzz(spark, wstore, wcol, wval):
+    store, df = wstore
+    qs = [0.0, 0.5, 1.0]
+    got = {r["q"]: r["value"]
+           for r in store.quantile("v", qs, where=(wcol, wval))
+           .collect()}
+    vals = sorted(r["v"] for r in df
+                  .where(F.col(wcol) == F.lit(wval))
+                  .where(F.col("v").isNotNull()).select("v").collect())
+    if not vals:
+        assert got == {}, (wcol, wval)
+        return
+    for q in qs:
+        k = max(math.ceil(q * len(vals)), 1)
+        assert got[q] == vals[k - 1], (wcol, wval, q)
