@@ -57,18 +57,13 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
     accepted merge costs one C-level pass over the FULL blob at apply
     time, so near-zero-gain merges are pure slowdown (the speed half of
     the reference's Size/Speed tradeoff, `Encoding.cs:70-75`).
+
+    The trainer's own replace residual is deliberately NOT exposed as
+    a size estimate: its exhaustive sequential replaces compress
+    repetitive data 20-50% better than the rounds-based encoder
+    achieves, so `estimate_size` trial-applies the REAL encoder
+    instead — do not wire the residual back into the chooser.
     """
-    return _train_with_residual(sample, max_merges)[0]
-
-
-def _train_with_residual(sample: bytes, max_merges: int = MAX_MERGES,
-                         ) -> tuple[list[tuple[int, int]], int]:
-    """train() plus the trainer's own compressed-sample length — the
-    greedy replace passes already compress the sample as a side
-    effect, so the chooser's ratio estimate is free instead of paying
-    a second trial _apply_merges pass (the two application orders
-    differ by <1% on the overlap-resolution margin, well within
-    estimate tolerance)."""
     merges: list[tuple[int, int]] = []
     blob = bytes(sample)  # sample may be a zero-copy memoryview slice
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 9)
@@ -85,7 +80,7 @@ def _train_with_residual(sample: bytes, max_merges: int = MAX_MERGES,
         new_code = 0x80 + len(merges)
         merges.append((a, b))
         blob = blob.replace(bytes([a, b]), bytes([new_code]))
-    return merges, len(blob)
+    return merges
 
 
 def _apply_merges(low: bytes, merges: list[tuple[int, int]]) -> bytes:
@@ -293,16 +288,15 @@ def decode(body: memoryview, n: int, logical: str) -> "V.VarChunk":
 def estimate_size(vals: "V.VarChunk",
                   sample_bytes: int = ESTIMATE_SAMPLE_BYTES,
                   max_merges: int = MAX_MERGES) -> int:
-    """Trial-encode the TRAIN sample with the real encoder; extrapolate
-    the ratio to the full blob. The trial _apply_merges runs on the
-    16 KiB train sample, not the 64 KiB estimate sample (4x cheaper,
-    same ratio fidelity on the tested corpora) — the trainer's own
-    replace residual is NOT used: its exhaustive sequential replaces
-    compress repetitive data 20-50% better than the rounds-based
-    encoder achieves (measured on conv_id-like ids), which would bias
-    the chooser toward FSST on exactly the chunks where a dictionary
-    codec wins. The low:high byte mix is counted over the full
-    estimate sample without extracting the high bytes."""
+    """Trial-encode with the REAL encoder over the full estimate
+    sample and extrapolate the ratio to the blob. Training still reads
+    only its 16 KiB slice (the cheap half); the trial apply covers the
+    whole 64 KiB sample because merges trained on a head slice
+    compress that slice ~20% better than the rest of the data on
+    id-like columns — a train-slice-only ratio reads optimistic, and
+    so does the trainer's own replace residual (see train()). The
+    low:high byte mix is counted over the sample without extracting
+    the high bytes."""
     blob = vals.blob
     if len(blob) == 0:
         return 16
@@ -311,9 +305,11 @@ def estimate_size(vals: "V.VarChunk",
         # two-region sample: a pure prefix over-represents the blob's
         # head (sorted id-like columns compress their first 64 KiB far
         # better than their middle — measured 1.2-1.5x optimistic), so
-        # half the sample comes from the midpoint
+        # half the sample comes from the midpoint. max(half, ...):
+        # for blobs just past sample_bytes the naive midpoint would
+        # overlap the head region and double-weight head bytes
         half = sample_bytes // 2
-        mid = (len(blob) - half) // 2
+        mid = max(half, (len(blob) - half) // 2)
         sample = bytes(blob[:half]) + bytes(blob[mid:mid + half])
     else:
         sample = blob[:sample_bytes]
@@ -322,11 +318,11 @@ def estimate_size(vals: "V.VarChunk",
     low = arr[mask].tobytes() if not mask.all() else bytes(sample)
     merges = train(low[:TRAIN_SAMPLE_BYTES], max_merges)
     _last_trained = (_chunk_key(vals), merges)
-    # trial-apply over the FULL estimate sample (not just the train
-    # slice): merges trained on a 16 KiB head compress that head
-    # better than the rest of the data, so a train-slice-only ratio
-    # reads ~20% optimistic on id-like columns
-    trial_low = low[:sample_bytes]
+    # trial-apply over the sample's FULL low stream (not just the
+    # train slice): merges trained on a 16 KiB head compress that
+    # head better than the rest of the data, so a train-slice-only
+    # ratio reads ~20% optimistic on id-like columns
+    trial_low = low
     enc = _apply_merges(trial_low, merges)
     # per-byte output estimate: the real encoder's ratio on the low
     # stream, plus 2 bytes per high byte (position varint + literal),

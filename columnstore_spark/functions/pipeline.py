@@ -1003,7 +1003,24 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
                         k: int = _SUB_K, w: int = _SUB_W,
                         fast_hash: bool = False,
                         chunk_megadocs: bool = False,
-                        radix: int = _SUB_POS_RADIX) -> str:
+                        radix: int = _SUB_POS_RADIX,
+                        units_source: str | None = None) -> str:
+    """See the body comments; `units_source` names an ALREADY
+    MATERIALIZED (doc_id, unit, text) relation to use as the chunked
+    source instead of embedding the unit split inline (the combined
+    spine otherwise embeds it twice — the pos source and the gram
+    join-back; dedup_substring_chunked_df materializes it once).
+    Implies the chunk_megadocs keying."""
+    return _substring_grams_body(d, table, k, w, fast_hash,
+                                 chunk_megadocs or units_source
+                                 is not None,
+                                 radix, units_source)
+
+
+def _substring_grams_body(d: Dialect, table: str,
+                          k: int, w: int, fast_hash: bool,
+                          chunk_megadocs: bool, radix: int,
+                          units_source: str | None) -> str:
     """DISTINCT (doc_id, gram) over each document's winnow-SELECTED
     char-k-grams (~1/w of all positions), separated so Spark can
     materialize it once (the pair stage references it three times:
@@ -1054,12 +1071,16 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
     # (substring_excluded_sql), never silent mis-selection.
     if chunk_megadocs:
         key, keysel = "doc_id, unit", "doc_id, unit"
-        # indented embed: _splice_cte finds the top-level SELECT as
-        # the last NON-indented one, so nested SELECTs must indent
-        units = substring_units_sql(d, table, k, w, radix) \
-            .replace("\n", "\n    ")
+        if units_source is not None:
+            inner = units_source
+        else:
+            # indented embed: _splice_cte finds the top-level SELECT
+            # as the last NON-indented one, so nested SELECTs indent
+            units = substring_units_sql(d, table, k, w, radix) \
+                .replace("\n", "\n    ")
+            inner = f"({units}) u"
         src = (f"(SELECT /*+ REPARTITION(doc_id, unit) */ doc_id, "
-               f"unit, text FROM ({units}) u)")
+               f"unit, text FROM {inner})")
     else:
         key, keysel = "doc_id", "doc_id"
         flt = f"length(text) >= {k} AND length(text) < {radix}"
@@ -1166,53 +1187,12 @@ def dedup_substring_chunked_df(spark, table: str = "documents",
     uv = _materialize(spark, f"substr_units:{table}",
                       substring_units_sql(SPARK, table, k, w, radix),
                       "__cs_substr_units")
-    gram_sql = _chunked_grams_over_units(SPARK, uv, k, w, fast_hash,
-                                         radix)
+    gram_sql = substring_grams_sql(SPARK, table=table, k=k, w=w,
+                                   fast_hash=fast_hash, radix=radix,
+                                   units_source=uv)
     gv = _materialize(spark, f"substr_grams_chunked:{table}", gram_sql,
                       "__cs_substr_grams_chunked")
     return spark.sql(dedup_substring_over(SPARK, gv))
-
-
-def _chunked_grams_over_units(d: Dialect, units: str, k: int, w: int,
-                              fast_hash: bool, radix: int) -> str:
-    """Gram selection over a MATERIALIZED (doc_id, unit, text) units
-    relation — the per-unit winnow + doc-level collapse of
-    substring_grams_sql(chunk_megadocs=True) without re-embedding the
-    unit split."""
-    gram = f"substr(text, CAST(p AS INT), {k})"
-    if fast_hash:
-        h20 = f"(xxhash64({gram}) & 1048575)"
-    else:
-        h20 = f"({d.ph(gram)} % 1048576)"
-    src = (f"(SELECT /*+ REPARTITION(doc_id, unit) */ doc_id, unit, "
-           f"text FROM {units})")
-    return f"""
-WITH pos AS (
-  {d.explode_select('doc_id, unit, text',
-                    d.seq('1', f'length(text) - {k - 1}'), 'p',
-                    src + ' dk')}
-),
-hashed AS (
-  SELECT doc_id, unit, p, {h20} * {radix} + p AS combined
-  FROM pos
-),
-winnowed AS (
-  SELECT doc_id, unit,
-         min(combined) OVER (PARTITION BY doc_id, unit ORDER BY p
-                             ROWS BETWEEN CURRENT ROW
-                             AND {w - 1} FOLLOWING) AS sel_combined
-  FROM hashed
-),
-sel_pos AS (
-  SELECT DISTINCT doc_id, unit,
-         sel_combined % {radix} AS p
-  FROM winnowed
-)
-SELECT DISTINCT s.doc_id, {gram.replace('text', 'd2.text')} AS gram
-FROM sel_pos s
-JOIN {src} d2
-  ON s.doc_id = d2.doc_id AND s.unit = d2.unit
-"""
 
 
 def substring_excluded_sql(d: Dialect, table: str = "documents",

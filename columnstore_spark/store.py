@@ -1726,10 +1726,23 @@ class TranscriptColumnStore:
         for c in (column, wcol):
             if c not in lts:
                 raise ValueError(f"unknown column {c!r}")
+        schema = schema_from_segments(m)
+        if wval is None:
+            # facade convention (query_where): a None value means
+            # IS NULL — exact n_nulls prune + validity-bitmap probe
+            segs = prune_rowgroups_by_null(
+                self.warehouse.committed_segments(self.spark), wcol)
+            rows = decode_matching_null(segs, wcol, columns=[column],
+                                        schema=schema)
+            hist = (rows.where(F.col(column).isNotNull())
+                    .groupBy(F.col(column).alias("value"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+            return finish_quantiles(hist, qs, self.spark)
         if not _kernel_safe_probe(lts[wcol] or "", wval):
             pruned, _ = self._pruned_segments(m, wcol, wval, wval,
-                                              eq=True)
-            hist = (decode(pruned, schema=schema_from_segments(m),
+                                              eq=True,
+                                              logical_type=lts[wcol])
+            hist = (decode(pruned, schema=schema,
                            columns=sorted({column, wcol}))
                     .where(F.col(wcol) == F.lit(wval))
                     .where(F.col(column).isNotNull())
@@ -1818,24 +1831,36 @@ class TranscriptColumnStore:
                 raise ValueError(f"unknown column {c!r}")
         if where is not None:
             wcol, wval = where[0], _naive_utc(where[1])
-            if not _kernel_safe_probe(lts[wcol] or "", wval):
-                # decode-then-filter fallback over the pruned
-                # segments: the kernels may only ever see probes whose
-                # exact-typed equality matches Spark's coercion
-                pruned, _ = self._pruned_segments(m, wcol, wval, wval,
-                                                  eq=True)
+            null_filter = wval is None  # facade convention: IS NULL
+            if null_filter or not _kernel_safe_probe(lts[wcol] or "",
+                                                     wval):
+                # IS NULL rides the n_nulls prune + validity-bitmap
+                # probe; coercion-dependent probes decode-then-filter
+                # over the pruned segments (the kernels may only ever
+                # see probes whose exact-typed equality matches
+                # Spark's coercion). Schema computed once.
+                schema = schema_from_segments(m)
                 need = (None if columns is None else
                         sorted({*columns, column, *tie_cols, wcol}))
                 order = [F.col(column).desc() if descending
                          else F.col(column).asc()]
                 order += [F.col(c).asc() for c in tie_cols]
                 out_cols = (columns if columns is not None
-                            else [f.name for f in
-                                  schema_from_segments(m).fields])
-                out = (decode(pruned, schema=schema_from_segments(m),
-                              columns=need)
-                       .where(F.col(wcol) == F.lit(wval))
-                       .where(F.col(column).isNotNull())
+                            else [f.name for f in schema.fields])
+                if null_filter:
+                    segs = prune_rowgroups_by_null(
+                        self.warehouse.committed_segments(self.spark),
+                        wcol)
+                    rows = decode_matching_null(segs, wcol,
+                                                columns=need,
+                                                schema=schema)
+                else:
+                    pruned, _ = self._pruned_segments(
+                        m, wcol, wval, wval, eq=True,
+                        logical_type=lts[wcol])
+                    rows = (decode(pruned, schema=schema, columns=need)
+                            .where(F.col(wcol) == F.lit(wval)))
+                out = (rows.where(F.col(column).isNotNull())
                        .orderBy(*order).limit(k).select(*out_cols))
                 return (out if columns is not None
                         else self._align_effective(out))
@@ -1876,7 +1901,8 @@ class TranscriptColumnStore:
         return {r["column"]: r["logical_type"] for r in rows}
 
     def _pruned_segments(self, m: DataFrame, column: str, lo, hi,
-                         eq: bool) -> DataFrame:
+                         eq: bool,
+                         logical_type: str | None = None) -> DataFrame:
         """Segments restricted to rowgroups that may match the probe.
 
         The predicate is evaluated on the MANIFEST (metadata table —
@@ -1884,8 +1910,11 @@ class TranscriptColumnStore:
         `rowgroup_id IN (...)` filter on the segments table, which the
         parquet scan uses to skip whole row groups (PushedFilters —
         gated in tests/test_plans.py). Oversized keep-sets fall back to
-        the left-semi join, which scales to any id count."""
-        lt = self._logical_type(m, column)
+        the left-semi join, which scales to any id count. Pass
+        `logical_type` when the caller already resolved it (one
+        metadata job for a multi-column query, not one per column)."""
+        lt = (logical_type if logical_type is not None
+              else self._logical_type(m, column))
         segs = self.warehouse.committed_segments(self.spark)
         ids = prune_rowgroup_ids(m, column, lo, hi, eq, logical_type=lt)
         if ids is not None:

@@ -67,6 +67,26 @@ def test_topk_where_fuzz(spark, wstore, wcol, wval):
     assert got == exp, (wcol, wval)
 
 
+@pytest.mark.parametrize("wcol", ["cat", "v", "ts", "x"])
+def test_where_none_means_is_null(spark, wstore, wcol):
+    """Facade convention (as in query_where): a None filter value
+    means IS NULL — served by the n_nulls prune + validity-bitmap
+    probe, never a silently-empty `== NULL` comparison."""
+    store, df = wstore
+    got = store.topk("id", 9, columns=["id"], where=(wcol, None)).collect()
+    exp = (df.where(F.col(wcol).isNull())
+           .orderBy(F.col("id").desc()).limit(9).select("id").collect())
+    assert got == exp and len(got) == 9
+    gq = {r["q"]: r["value"]
+          for r in store.quantile("v", [0.0, 1.0],
+                                  where=(wcol, None)).collect()}
+    vals = sorted(r["v"] for r in df
+                  .where(F.col(wcol).isNull() & F.col("v").isNotNull())
+                  .select("v").collect())
+    # filtering v IS NULL leaves no non-null v values by construction
+    assert gq == ({0.0: vals[0], 1.0: vals[-1]} if vals else {})
+
+
 @pytest.mark.parametrize("wcol,wval", _probes())
 def test_quantile_where_fuzz(spark, wstore, wcol, wval):
     store, df = wstore
