@@ -628,7 +628,17 @@ def _q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    where_logical="string").select(
         F.lit("turn_idx|role=tool").alias("col_name"), "q",
         F.col("value").cast("long").alias("value"))
-    return tu.unionAll(ts).unionAll(tw)
+    # CONJUNCTIVE filtered quantiles (round-5): equality + range
+    # predicate dict — every keep-set intersects on the manifest, the
+    # kernel-safe equality drives the matching-gather, the range
+    # re-applies as Spark's exact BETWEEN
+    tw2 = quantiles(segs, "turn_idx", _QUANTILE_QS,
+                    where={"role": "tool", "turn_idx": (1, 8)},
+                    where_logicals={"role": "string",
+                                    "turn_idx": "int32"}).select(
+        F.lit("turn_idx|tool&ti").alias("col_name"), "q",
+        F.col("value").cast("long").alias("value"))
+    return tu.unionAll(ts).unionAll(tw).unionAll(tw2)
 
 
 def _q_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,7 +1008,17 @@ def _q_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                      tie_cols=("conv_id", "turn_idx"),
                      where=("role", "assistant"),
                      where_logical="string"), *cols)
-    return a.unionAll(b)
+    # CONJUNCTIVE filtered top-k (round-5): equality + range predicate
+    # dict — both keep-sets prune before threshold seeding, tau comes
+    # from rows matching the FULL conjunction, and the exact Spark
+    # predicate re-applies on the decoded survivors
+    c = _tagged("asst_range10",
+                topk(segs, "ts", 10, columns=cols,
+                     tie_cols=("conv_id", "turn_idx"),
+                     where={"role": "assistant", "turn_idx": (2, 6)},
+                     where_logicals={"role": "string",
+                                     "turn_idx": "int32"}), *cols)
+    return a.unionAll(b).unionAll(c)
 
 
 def _q_compression_summary2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,7 +1207,9 @@ def _quantile_oracle() -> str:
             ("turn_idx", "turn_idx", "CAST(turn_idx AS BIGINT)", ""),
             ("ts", "ts", "epoch_us(ts)", ""),
             ("turn_idx|role=tool", "turn_idx", "CAST(turn_idx AS BIGINT)",
-             " AND role = 'tool'")):
+             " AND role = 'tool'"),
+            ("turn_idx|tool&ti", "turn_idx", "CAST(turn_idx AS BIGINT)",
+             " AND role = 'tool' AND turn_idx BETWEEN 1 AND 8")):
         parts.append(f"""
 SELECT '{tag}' AS col_name, q, CAST(min(v) AS BIGINT) AS value
 FROM (
@@ -1374,7 +1396,12 @@ def oracle_sql() -> dict[str, str]:
             "turn_idx, ts FROM ("
             "SELECT conv_id, turn_idx, ts FROM t WHERE ts IS NOT NULL "
             "AND role = 'assistant' "
-            "ORDER BY ts DESC, conv_id, turn_idx LIMIT 15) b",
+            "ORDER BY ts DESC, conv_id, turn_idx LIMIT 15) b "
+            "UNION ALL SELECT 'asst_range10' AS probe, conv_id, "
+            "turn_idx, ts FROM ("
+            "SELECT conv_id, turn_idx, ts FROM t WHERE ts IS NOT NULL "
+            "AND role = 'assistant' AND turn_idx BETWEEN 2 AND 6 "
+            "ORDER BY ts DESC, conv_id, turn_idx LIMIT 10) c",
         "compression_summary": _compression_summary_oracle(),
         "embeddings_roundtrip":
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "

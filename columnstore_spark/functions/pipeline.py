@@ -1002,7 +1002,7 @@ WHERE length({piece}) >= {k}
 def substring_grams_sql(d: Dialect, table: str = "documents",
                         k: int = _SUB_K, w: int = _SUB_W,
                         fast_hash: bool = False,
-                        chunk_megadocs: bool = False,
+                        chunk_megadocs: bool = True,
                         radix: int = _SUB_POS_RADIX,
                         units_source: str | None = None) -> str:
     """See the body comments; `units_source` names an ALREADY
@@ -1010,7 +1010,14 @@ def substring_grams_sql(d: Dialect, table: str = "documents",
     source instead of embedding the unit split inline (the combined
     spine otherwise embeds it twice — the pos source and the gram
     join-back; dedup_substring_chunked_df materializes it once).
-    Implies the chunk_megadocs keying."""
+    Implies the chunk_megadocs keying.
+
+    `chunk_megadocs` defaults to True (round-4 verdict #2 -> round-5):
+    chunking is bit-identical on in-radix corpora (tests/test_round4)
+    and removes the silent-contract risk of >=radix-char docs being
+    excluded from pairing; pass False to get the legacy
+    whole-doc-only spine plus the `substring_excluded_sql` exclusion
+    report."""
     return _substring_grams_body(d, table, k, w, fast_hash,
                                  chunk_megadocs or units_source
                                  is not None,
@@ -1198,7 +1205,7 @@ def dedup_substring_chunked_df(spark, table: str = "documents",
 def substring_excluded_sql(d: Dialect, table: str = "documents",
                            k: int = _SUB_K,
                            radix: int = _SUB_POS_RADIX,
-                           chunk_megadocs: bool = False) -> str:
+                           chunk_megadocs: bool = True) -> str:
     """The docs substring_grams_sql EXCLUDES from pairing, as a
     queryable side output (round-3 advice: the >=31-char detection
     guarantee holds only for included docs, and the exclusion must be
@@ -2026,19 +2033,17 @@ def spark_pipeline_df(spark, name: str, dim: int):
             "__cs_decon_eval_sh")
         return spark.sql(decontaminate_tables_over(SPARK, tr, ev))
     if name == "dedup_substring":
-        # the selection half feeds the df filter AND both self-join
-        # sides — materialize once or the gram build runs 3x
-        v = _materialize(spark, name, substring_grams_sql(SPARK),
-                         "__cs_substr_grams")
-        return spark.sql(dedup_substring_over(SPARK, v))
+        # chunk_megadocs is the production default (round-5): the
+        # chunked _df path materializes the units relation once, then
+        # the gram selection once (it feeds the df filter AND both
+        # self-join sides); the DuckDB oracle runs the same chunked
+        # md5 spine via dedup_substring_sql
+        return dedup_substring_chunked_df(spark)
     if name == "dedup_substring_fast":
         # Spark-only production path: xxhash64 gram ranking (same
         # winnowing guarantee, ~2x cheaper hash step); the md5 spine
         # above stays the oracle-checked reference
-        v = _materialize(spark, name,
-                         substring_grams_sql(SPARK, fast_hash=True),
-                         "__cs_substr_grams_fast")
-        return spark.sql(dedup_substring_over(SPARK, v))
+        return dedup_substring_chunked_df(spark, fast_hash=True)
     if name == "dedup_ngram_jaccard":
         v = _materialize(spark, name, ngram_shingles_sql(SPARK),
                          "__cs_ngram_shingles")

@@ -38,6 +38,13 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame
+
+from ..plans.predicates import (
+    _exact_pred_cond,
+    _kernel_safe_pred,
+    normalize_where,
+    prune_conjunctive,
+)
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -237,8 +244,9 @@ def count_distinct(segments: DataFrame, column: str,
 
 def quantiles(segments: DataFrame, column: str, qs: list[float],
               value_type: T.DataType | None = None,
-              where: tuple[str, object] | None = None,
-              where_logical: str | None = None) -> DataFrame:
+              where=None,
+              where_logical: str | None = None,
+              where_logicals: dict[str, str] | None = None) -> DataFrame:
     """EXACT type-1 quantiles (order statistics) of `column` in the
     encoded domain -> (q: double, value) rows, one per DISTINCT
     requested q (the result is keyed by the q column).
@@ -258,32 +266,87 @@ def quantiles(segments: DataFrame, column: str, qs: list[float],
     truly high-NDV columns the histogram is still bounded by NDV, the
     same bound `distinct` carries. Quantile targets broadcast.
 
-    `where=(col, value)` pushes an equality filter into the quantile
-    (round-3 verdict #8): the predicate's manifest keep-set prunes
-    rowgroups first, then the encoded matching-gather
-    (`decode_matching` — dictionary probe + run clipping) decodes ONLY
-    the probe column's matching ranges; the histogram aggregates those
-    rows with the same map-side partials. Payload read = the where
-    column's probes plus the probe column's matching ranges — the
-    unrelated columns never decode."""
-    if where is None:
+    `where=` pushes a row filter into the quantile (round-3 verdict
+    #8, generalized round 5): either the legacy single-equality
+    `(column, value)` tuple or a `query_where`-shaped conjunctive
+    predicate dict `{column: probe}` (`None` IS NULL, 2-tuple
+    inclusive range, list/set IN-list, else equality). Every
+    predicate's manifest keep-condition prunes rowgroups first
+    (keep-sets intersect), then ONE kernel-safe predicate drives the
+    encoded matching-gather (`decode_matching[_in/_null/_range]` —
+    dictionary probe + run clipping decodes only matching ranges,
+    projected to the probe + predicate columns), and the FULL
+    conjunction re-applies as Spark's own filter on the gathered rows
+    before the histogram aggregates them with the same map-side
+    partials. A predicate whose Spark coercion the exact-typed
+    kernels cannot reproduce (`_kernel_safe_pred` — e.g. a string
+    probe on an int column) never drives the gather: when no
+    predicate is safe, the pruned survivors decode and Spark's
+    predicate does all the filtering — same rows, fewer skipped
+    bytes (this closes the round-4 ADVICE gap where a
+    coercion-dependent probe could silently under-match)."""
+    norm = normalize_where(segments, where, where_logical,
+                           where_logicals)
+    if not norm:
         hist = (_distinct_stage(segments, column, value_type)
                 .where(F.col("value").isNotNull())
                 .groupBy("value").agg(F.sum("cnt").alias("cnt")))
+        return finish_quantiles(hist, qs, segments.sparkSession)
+    from .decode import (
+        decode,
+        decode_matching,
+        decode_matching_in,
+        decode_matching_null,
+        decode_matching_range,
+        schema_from_segments,
+    )
+    # schema from the UNPRUNED frame: a fully selective predicate
+    # may empty the segment set, and the result must be an empty
+    # frame of the right shape, not a schema-inference failure
+    schema = schema_from_segments(segments)
+    if any(kind == "in" and not payload
+           for _c, kind, payload, _lt in norm):
+        # IN () matches nothing -> empty histogram, no rows
+        rows = decode(segments.where(F.lit(False)), schema=schema,
+                      columns=[column])
     else:
-        from ..plans.pruning import prune_rowgroups_by_value
-        from .decode import decode_matching, schema_from_segments
-        # schema from the UNPRUNED frame: a fully selective predicate
-        # may empty the segment set, and the result must be an empty
-        # frame of the right shape, not a schema-inference failure
-        schema = schema_from_segments(segments)
-        pruned = prune_rowgroups_by_value(
-            segments, where[0], where[1], logical_type=where_logical)
-        rows = decode_matching(pruned, where[0], where[1],
-                               columns=[column], schema=schema)
-        hist = (rows.where(F.col(column).isNotNull())
-                .groupBy(F.col(column).alias("value"))
-                .agg(F.count("*").cast("long").alias("cnt")))
+        pruned = prune_conjunctive(segments, norm)
+        driver = None  # gather driver: first kernel-safe predicate,
+        # point shapes preferred (eq/in prune hardest, then the
+        # always-safe validity probe, then the superset range kernel)
+        for pref in ("eq", "in", "null", "range"):
+            for p in norm:
+                if p[1] == pref and _kernel_safe_pred(p[1], p[2], p[3]):
+                    driver = p
+                    break
+            if driver is not None:
+                break
+        # the eq/in/null kernels are EXACT for kernel-safe probes, so
+        # the driver needn't re-filter (its column then needn't even
+        # decode); the range kernel is a conservative superset and
+        # always re-filters
+        rest = (norm if driver is None or driver[1] == "range"
+                else [p for p in norm if p is not driver])
+        need = sorted({column, *[p[0] for p in rest]})
+        if driver is None:
+            rows = decode(pruned, schema=schema, columns=need)
+        elif driver[1] == "eq":
+            rows = decode_matching(pruned, driver[0], driver[2],
+                                   columns=need, schema=schema)
+        elif driver[1] == "in":
+            rows = decode_matching_in(pruned, driver[0], driver[2],
+                                      columns=need, schema=schema)
+        elif driver[1] == "null":
+            rows = decode_matching_null(pruned, driver[0],
+                                        columns=need, schema=schema)
+        else:
+            rows = decode_matching_range(pruned, driver[0], *driver[2],
+                                         columns=need, schema=schema)
+        if rest:
+            rows = rows.where(_exact_pred_cond(rest, any_mode=False))
+    hist = (rows.where(F.col(column).isNotNull())
+            .groupBy(F.col(column).alias("value"))
+            .agg(F.count("*").cast("long").alias("cnt")))
     return finish_quantiles(hist, qs, segments.sparkSession)
 
 

@@ -43,6 +43,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..codecs.stats import _REPR_CAP
+from ..plans.predicates import (
+    _exact_pred_cond,
+    normalize_where,
+    prune_conjunctive,
+)
 from ..plans.pruning import (
     _ASCII_RE,
     _ISIN_CAP,
@@ -88,24 +93,33 @@ def topk(segments: DataFrame, column: str, k: int,
          descending: bool = True, columns: list[str] | None = None,
          tie_cols: tuple[str, ...] = (),
          logical_type: str | None = None,
-         where: tuple[str, object] | None = None,
-         where_logical: str | None = None) -> DataFrame:
+         where=None,
+         where_logical: str | None = None,
+         where_logicals: dict[str, str] | None = None) -> DataFrame:
     """k rows with the largest (default) or smallest non-null `column`
     values, ordered by (`column`, *tie_cols*); pass unique `tie_cols`
     for a deterministic result under ties. `columns` projects the
     output (the probe and tie columns are decoded regardless — only
     rows that survive the threshold ever decode).
 
-    `where=(col, value)` pushes an equality filter INTO the top-k
-    (round-3 verdict #8 — filtered ORDER BY ... LIMIT k stays
-    manifest-cheap): the predicate's manifest keep-set (typed bounds +
-    bloom) prunes rowgroups BEFORE threshold seeding, tau is the k-th
-    value among MATCHING seed rows (a subset's k-th order statistic
-    never exceeds the superset's, and a rowgroup's unfiltered bound
-    dominates its filtered one — both prune tests stay sound), and
-    the exact filter re-applies on the decoded survivors. When the
-    seed rowgroups hold fewer than k matching rows, the threshold
-    degrades to decode-all-survivors (correct, just less pruned)."""
+    `where=` pushes a row filter INTO the top-k (round-3 verdict #8,
+    generalized round 5 — filtered ORDER BY ... LIMIT k stays
+    manifest-cheap): either the legacy single-equality
+    `(column, value)` tuple or a `query_where`-shaped conjunctive
+    predicate dict `{column: probe}` (`None` IS NULL, 2-tuple
+    inclusive range, list/set IN-list, else equality). EVERY
+    predicate's manifest keep-condition prunes rowgroups BEFORE
+    threshold seeding (keep-sets intersect — typed bounds, blooms,
+    exact n_nulls), tau is the k-th value among rows matching the
+    FULL conjunction within the seed rowgroups (a subset's k-th order
+    statistic never exceeds the superset's, and a rowgroup's
+    unfiltered bound dominates its filtered one — both prune tests
+    stay sound under any subset filter), and the exact conjunction
+    re-applies on the decoded survivors as Spark's own predicate —
+    so coercion-dependent probes are always Spark-exact here (the
+    filter never runs on the encoded form). When the seed rowgroups
+    hold fewer than k matching rows, the threshold degrades to
+    decode-all-survivors (correct, just less pruned)."""
     if k <= 0:
         raise ValueError("k must be positive")
     # schema + logical type come from the UNPRUNED frame: a fully
@@ -118,22 +132,28 @@ def topk(segments: DataFrame, column: str, k: int,
         if row is None:
             raise ValueError(f"no segments for column {column!r}")
         logical_type = row["logical_type"]
-    if where is not None:
-        from ..plans.pruning import prune_rowgroups_by_value
-        segments = prune_rowgroups_by_value(
-            segments, where[0], where[1], logical_type=where_logical)
-
+    norm = normalize_where(segments, where, where_logical,
+                           where_logicals)
+    wcols = tuple(p[0] for p in norm)
     order = [F.col(column).desc() if descending else F.col(column).asc()]
     order += [F.col(c).asc() for c in tie_cols]
-    wcols = () if where is None else (where[0],)
     need = (None if columns is None
             else sorted({*columns, column, *tie_cols, *wcols}))
     out_cols = columns if columns is not None else [f.name
                                                     for f in schema.fields]
+    if any(kind == "in" and not payload
+           for _c, kind, payload, _lt in norm):
+        # IN () matches nothing -> empty result of the right shape
+        return (decode(segments.where(F.lit(False)), schema=schema,
+                       columns=need)
+                .select(*out_cols))
+    if norm:
+        segments = prune_conjunctive(segments, norm)
+    cond = _exact_pred_cond(norm, any_mode=False) if norm else None
 
     def row_filter(df: DataFrame) -> DataFrame:
-        if where is not None:
-            df = df.where(F.col(where[0]) == F.lit(where[1]))
+        if cond is not None:
+            df = df.where(cond)
         return df.where(F.col(column).isNotNull())
 
     def finish(segs: DataFrame) -> DataFrame:

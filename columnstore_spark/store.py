@@ -57,68 +57,16 @@ from .plans.pruning import (
     prune_rowgroups_by_value,
     prune_rowgroups_by_values,
 )
+from .plans.predicates import (
+    _exact_pred_cond,
+    _kernel_safe_probe,
+    _naive_utc,
+    _norm_one_pred,
+    _pred_keep_ids,
+)
 from .sources.warehouse import Warehouse
 
 _BATCH_SHIFT = 40  # rowgroup namespace per delta batch (as streaming)
-
-_INT_LOGICALS = {"int8", "int16", "int32", "int64",
-                 "uint8", "uint16", "uint32", "uint64", "bool"}
-_TS_LOGICALS = {"timestamp_s", "timestamp_ms", "timestamp_us",
-                "timestamp_ns"}
-
-
-def _naive_utc(value):
-    """tz-aware probes -> naive UTC (the decoded arrays' form; the
-    session tz is pinned UTC so the instant is unchanged)."""
-    import datetime as dt
-    if isinstance(value, dt.datetime) and value.tzinfo is not None:
-        return value.astimezone(dt.timezone.utc).replace(tzinfo=None)
-    return value
-
-
-_SCALAR_PROBES = (str, int, float, bool, bytes)
-
-
-def _exact_in_cond(column: str, probes) -> "F.Column":
-    """Spark's exact IN predicate over non-null probes. `Column.isin`
-    (the InSet-optimized form) only lifts scalar literals; array/
-    struct/map probes go through an OR of `== lit(v)` equalities —
-    `F.lit` builds nested literals where isin's boxing cannot.
-    Equivalent semantics: the null members are already dropped."""
-    import datetime as dt
-    from decimal import Decimal
-
-    scalars = (*_SCALAR_PROBES, Decimal, dt.date, dt.datetime)
-    if all(isinstance(v, scalars) for v in probes):
-        return F.col(column).isin(probes)
-    cond = F.lit(False)
-    for v in probes:
-        cond = cond | (F.col(column) == F.lit(v))
-    return cond
-
-
-def _dedup_probes(values) -> list:
-    """IN-list probes normalized: SQL-null members dropped, tz-aware
-    datetimes made naive-UTC, duplicates collapsed — including
-    UNHASHABLE probes (a list probe against a nested column must reach
-    the decode+isin fallback, not die in a set)."""
-    seen: set = set()
-    unhashable: list = []
-    out: list = []
-    for v in values:
-        if v is None:
-            continue
-        v = _naive_utc(v)
-        try:
-            if v in seen:
-                continue
-            seen.add(v)
-        except TypeError:
-            if any(v == u for u in unhashable):
-                continue
-            unhashable.append(v)
-        out.append(v)
-    return out
 
 
 def _inner_columns(columns: list[str] | None,
@@ -149,112 +97,6 @@ def _prefix_upper(prefix: str) -> str | None:
         return None
     b[-1] += 1
     return b.decode("ascii")
-
-
-def _norm_one_pred(col: str, probe, lt: str):
-    """One (column, probe) pair -> (col, kind, payload, lt) in the
-    shared shape both multi-predicate queries consume: `None` IS NULL,
-    2-tuple inclusive range, list/set IN-list (deduped; may come back
-    EMPTY — matches nothing, each caller decides between empty-result
-    and drop-the-branch), anything else equality. Timestamp probes
-    normalize to naive-UTC exactly once, here."""
-    if probe is None:
-        return (col, "null", None, lt)
-    if isinstance(probe, tuple) and len(probe) == 2:
-        return (col, "range",
-                (_naive_utc(probe[0]), _naive_utc(probe[1])), lt)
-    if isinstance(probe, (list, set, frozenset)):
-        return (col, "in", _dedup_probes(probe), lt)
-    return (col, "eq", _naive_utc(probe), lt)
-
-
-def _exact_pred_cond(norm, any_mode: bool):
-    """Fold the normalized predicates into Spark's own filter —
-    conjunction (`query_where`) or disjunction (`query_any`); result
-    semantics are exactly the DataFrame combination's."""
-    cond = F.lit(False) if any_mode else F.lit(True)
-    for col, kind, payload, _lt in norm:
-        c = F.col(col)
-        if kind == "eq":
-            one = c == F.lit(payload)
-        elif kind == "in":
-            one = _exact_in_cond(col, payload)
-        elif kind == "range":
-            one = c.between(F.lit(payload[0]), F.lit(payload[1]))
-        else:
-            one = c.isNull()
-        cond = (cond | one) if any_mode else (cond & one)
-    return cond
-
-
-def _pred_keep_ids(m: DataFrame, col: str, kind: str, payload, lt: str):
-    """Manifest keep-set (rowgroup id list) for one normalized
-    predicate, or None when this column/probe is unprunable in id-list
-    form. The single switch behind query_where's intersection AND
-    explain_where's truth table — one code path, no drift."""
-    if kind == "null":
-        return prune_rowgroup_ids_null(m, col)
-    if kind == "in":
-        return prune_rowgroup_ids_in(m, col, payload, logical_type=lt)
-    if kind == "range":
-        return prune_rowgroup_ids(m, col, payload[0], payload[1],
-                                  False, logical_type=lt)
-    return prune_rowgroup_ids(m, col, payload, payload, True,
-                              logical_type=lt)
-
-
-def _kernel_safe_probe(lt: str, value) -> bool:
-    """True when the encoded-form kernels' exact-typed equality agrees
-    with Spark's coercing equality for this (logical, probe) pair.
-    Anything else routes through decode + Spark's own predicate — the
-    kernels may only ever be a SUPERSET of Spark's semantics (the
-    trailing .where narrows); a probe the kernel under-matches
-    (string '7' on an int column, NaN on a float column, a float on a
-    decimal column under double coercion) must not reach them."""
-    import datetime as dt
-    from decimal import Decimal
-    if lt.startswith("nested:") or lt == "binary":
-        return False
-    if isinstance(value, bool):
-        return lt in _INT_LOGICALS
-    if lt == "string":
-        return isinstance(value, str)
-    if lt in _INT_LOGICALS:
-        if isinstance(value, int):
-            return True
-        if isinstance(value, float):
-            # Spark compares the INT COLUMN CAST TO DOUBLE against a
-            # float probe; above 2^53 distinct int64s collapse onto
-            # one double, so the kernel's exact int equality would
-            # under-match (e.g. stored 2^53+1 matches probe 2^53+0.0
-            # in Spark but not in the int domain). Same bijection
-            # bound as codecs/bloom.py. Non-integral and NaN probes
-            # route to the decode fallback.
-            return (value == value and abs(value) < 2.0 ** 53
-                    and value.is_integer())
-        return False
-    if lt in ("float32", "float64"):
-        if isinstance(value, int):
-            # Spark casts the literal to double; an int the double
-            # domain can't hold exactly would make the kernel's
-            # round-trip check under-match
-            return float(value) == value
-        if isinstance(value, float):
-            return value == value  # NaN: Spark's NaN==NaN is true
-        return False
-    if lt.startswith("decimal"):
-        # exact-decimal probes only; a float probe compares under
-        # Spark's decimal->double cast, which the unscaled-int kernel
-        # cannot reproduce
-        return isinstance(value, (int, Decimal))
-    if lt in _TS_LOGICALS:
-        return isinstance(value, dt.datetime)
-    if lt == "date32":
-        # a datetime probe on a date column coerces date->timestamp in
-        # Spark (midnight matches); the kernels treat it as a date
-        return isinstance(value, dt.date) and not isinstance(
-            value, dt.datetime)
-    return False
 
 
 class TranscriptColumnStore:
@@ -1689,7 +1531,7 @@ class TranscriptColumnStore:
             value_type=self._value_type(column))
 
     def quantile(self, column: str, qs: list[float],
-                 where: tuple[str, object] | None = None) -> DataFrame:
+                 where=None) -> DataFrame:
         """EXACT type-1 quantiles of `column` -> (q, value) rows,
         computed in the encoded domain (`operators/aggregate.quantiles`):
         the global histogram is the union of per-segment dictionaries
@@ -1698,61 +1540,41 @@ class TranscriptColumnStore:
         excluded, SQL-style; deterministic (order statistics, not
         approx_percentile).
 
-        `where=(col, value)` restricts to matching rows, pushed down:
-        manifest keep-set prune + encoded matching-gather — only the
-        probe column's matching ranges decode. Values are natural
-        Python (strings/ints natively; tz-aware datetimes normalized
-        to naive UTC); probe/column pairs whose Spark coercion the
-        exact-typed kernels can't reproduce fall back to
-        decode-then-filter over the pruned segments — same results
-        (identical order-statistic arithmetic via finish_quantiles),
+        `where=` restricts to matching rows, pushed down — either the
+        legacy `(col, value)` equality tuple or a `query_where`-shaped
+        conjunctive predicate dict `{column: probe}` (`None` IS NULL,
+        2-tuple inclusive range, list/set IN-list, else equality):
+        every predicate's manifest keep-set prunes, one kernel-safe
+        predicate drives the encoded matching-gather, and the full
+        conjunction re-applies as Spark's own filter. Values are
+        natural Python (tz-aware datetimes normalized to naive UTC);
+        predicates whose Spark coercion the exact-typed kernels can't
+        reproduce never drive the gather — they fall back to
+        decode-then-filter over the pruned segments, same results,
         fewer skipped bytes. Unknown columns raise."""
-        from .operators.aggregate import finish_quantiles, quantiles
+        from .operators.aggregate import quantiles
         from .operators.decode import _spark_type_of
         m = self._manifest_or_raise()
-        if where is None:
+        if where is None or where == {}:
             if self._schema_log():
                 self._guard_materialized(m, [column], "quantile")
             return quantiles(
                 self.warehouse.committed_segments(self.spark), column,
                 qs, value_type=self._value_type(column))
-        wcol, wval = where
-        wval = _naive_utc(wval)
+        wcols = ([where[0]] if isinstance(where, tuple)
+                 else list(where))
         if self._schema_log():
-            self._guard_materialized(m, [column, wcol], "quantile")
-        # both logical types in ONE manifest job; a typo must raise,
+            self._guard_materialized(m, [column, *wcols], "quantile")
+        # all logical types in ONE manifest job; a typo must raise,
         # never silently prune everything into an empty result
-        lts = self._logical_types(m, [column, wcol])
-        for c in (column, wcol):
+        lts = self._logical_types(m, [column, *wcols])
+        for c in (column, *wcols):
             if c not in lts:
                 raise ValueError(f"unknown column {c!r}")
-        schema = schema_from_segments(m)
-        if wval is None:
-            # facade convention (query_where): a None value means
-            # IS NULL — exact n_nulls prune + validity-bitmap probe
-            segs = prune_rowgroups_by_null(
-                self.warehouse.committed_segments(self.spark), wcol)
-            rows = decode_matching_null(segs, wcol, columns=[column],
-                                        schema=schema)
-            hist = (rows.where(F.col(column).isNotNull())
-                    .groupBy(F.col(column).alias("value"))
-                    .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-            return finish_quantiles(hist, qs, self.spark)
-        if not _kernel_safe_probe(lts[wcol] or "", wval):
-            pruned, _ = self._pruned_segments(m, wcol, wval, wval,
-                                              eq=True,
-                                              logical_type=lts[wcol])
-            hist = (decode(pruned, schema=schema,
-                           columns=sorted({column, wcol}))
-                    .where(F.col(wcol) == F.lit(wval))
-                    .where(F.col(column).isNotNull())
-                    .groupBy(F.col(column).alias("value"))
-                    .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-            return finish_quantiles(hist, qs, self.spark)
         return quantiles(
             self.warehouse.committed_segments(self.spark), column, qs,
             value_type=_spark_type_of(lts[column]),
-            where=(wcol, wval), where_logical=lts[wcol])
+            where=where, where_logicals=lts)
 
     def _value_type(self, column: str):
         """Spark type of `column` from the manifest's logical_type —
@@ -1812,15 +1634,22 @@ class TranscriptColumnStore:
         clear it, and only the survivors decode — payload read scales
         with k, not the store.
 
-        `where=(col, value)` pushes an equality filter into the top-k
-        (keep-set prune before threshold seeding; exact filter
-        re-applied on the survivors). Same value contract as
-        `quantile(where=...)`: natural Python values, tz-aware
-        datetimes normalized to naive UTC, coercion-dependent probes
-        fall back to decode-then-filter, unknown columns raise."""
+        `where=` pushes a row filter into the top-k — either the
+        legacy `(col, value)` equality tuple or a `query_where`-shaped
+        conjunctive predicate dict `{column: probe}` (`None` IS NULL,
+        2-tuple inclusive range, list/set IN-list, else equality):
+        every predicate's manifest keep-set prunes before threshold
+        seeding, and the exact conjunction re-applies as Spark's own
+        filter on the survivors — so coercion-dependent probes and
+        IS NULL need no separate path (the filter never runs on the
+        encoded form). Same value contract as `quantile(where=...)`:
+        natural Python values, tz-aware datetimes normalized to naive
+        UTC, unknown columns raise."""
         from .operators.topk import topk
         m = self._manifest_or_raise()
-        wcols = [where[0]] if where is not None else []
+        wcols = ([] if where is None
+                 else [where[0]] if isinstance(where, tuple)
+                 else list(where))
         if self._schema_log():
             self._guard_materialized(
                 m, [column, *tie_cols, *(columns or []), *wcols],
@@ -1829,49 +1658,11 @@ class TranscriptColumnStore:
         for c in (column, *wcols):
             if c not in lts:
                 raise ValueError(f"unknown column {c!r}")
-        if where is not None:
-            wcol, wval = where[0], _naive_utc(where[1])
-            null_filter = wval is None  # facade convention: IS NULL
-            if null_filter or not _kernel_safe_probe(lts[wcol] or "",
-                                                     wval):
-                # IS NULL rides the n_nulls prune + validity-bitmap
-                # probe; coercion-dependent probes decode-then-filter
-                # over the pruned segments (the kernels may only ever
-                # see probes whose exact-typed equality matches
-                # Spark's coercion). Schema computed once.
-                schema = schema_from_segments(m)
-                need = (None if columns is None else
-                        sorted({*columns, column, *tie_cols, wcol}))
-                order = [F.col(column).desc() if descending
-                         else F.col(column).asc()]
-                order += [F.col(c).asc() for c in tie_cols]
-                out_cols = (columns if columns is not None
-                            else [f.name for f in schema.fields])
-                if null_filter:
-                    segs = prune_rowgroups_by_null(
-                        self.warehouse.committed_segments(self.spark),
-                        wcol)
-                    rows = decode_matching_null(segs, wcol,
-                                                columns=need,
-                                                schema=schema)
-                else:
-                    pruned, _ = self._pruned_segments(
-                        m, wcol, wval, wval, eq=True,
-                        logical_type=lts[wcol])
-                    rows = (decode(pruned, schema=schema, columns=need)
-                            .where(F.col(wcol) == F.lit(wval)))
-                out = (rows.where(F.col(column).isNotNull())
-                       .orderBy(*order).limit(k).select(*out_cols))
-                return (out if columns is not None
-                        else self._align_effective(out))
-            where = (wcol, wval)
         out = topk(self.warehouse.committed_segments(self.spark),
                    column, k, descending=descending, columns=columns,
                    tie_cols=tie_cols,
                    logical_type=lts[column],
-                   where=where,
-                   where_logical=(lts[where[0]]
-                                  if where is not None else None))
+                   where=where, where_logicals=lts)
         return out if columns is not None else self._align_effective(out)
 
     # -- queries (S3/S4) -----------------------------------------------------

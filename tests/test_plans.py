@@ -283,6 +283,9 @@ def test_ann_batch_two_phase_topk(spark):
     # (top-down) plan is phase 1 — it must carry the sub key
     assert "sub" in windows[-1], windows
     assert "CartesianProduct" not in plan
+
+
+def test_ann_sq8_single_corpus_pass(spark):
     """The quantized candidate stage is one corpus scan against a
     1-row broadcast query (the same accepted shape as ann_brute);
     the exact re-rank touches only k*oversample rows."""
@@ -327,7 +330,9 @@ def test_dedup_substring_window_shuffles_docs_not_grams(spark):
     )
 
     register_testdata(spark, SF_DIR, ("documents",))
-    sel = spark.sql(substring_grams_sql(SPARK_D))
+    # the legacy whole-doc spine (chunking off) must keep its shape
+    # even though chunk_megadocs=True is now the default
+    sel = spark.sql(substring_grams_sql(SPARK_D, chunk_megadocs=False))
     plan = sel._jdf.queryExecution().executedPlan().toString()
     hash_ex = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
     assert hash_ex, "expected the hinted doc-level repartition"

@@ -241,13 +241,26 @@ def test_substring_excluded_matches_builder_filter(spark):
 
     register_testdata(spark, SF_DIR, ("documents",))
     total = spark.table("documents").count()
+    # round-5 default (chunk_megadocs=True): only sub-k docs are
+    # excluded — megadocs participate via their overlapping units
     excl = spark.sql(substring_excluded_sql(SPARK_D)).collect()
     incl = spark.sql(
         f"SELECT count(*) AS n FROM documents WHERE length(text) >= "
-        f"{_SUB_K} AND length(text) < {_SUB_POS_RADIX}"
+        f"{_SUB_K}"
     ).collect()[0]["n"]
     assert incl + len(excl) == total
     for r in excl:
+        assert r["reason"] == "short"
+        assert r["n_chars"] < _SUB_K
+    # legacy whole-doc mode keeps the radix exclusion observable
+    excl_legacy = spark.sql(substring_excluded_sql(
+        SPARK_D, chunk_megadocs=False)).collect()
+    incl_legacy = spark.sql(
+        f"SELECT count(*) AS n FROM documents WHERE length(text) >= "
+        f"{_SUB_K} AND length(text) < {_SUB_POS_RADIX}"
+    ).collect()[0]["n"]
+    assert incl_legacy + len(excl_legacy) == total
+    for r in excl_legacy:
         assert r["reason"] in ("megadoc", "short")
         if r["reason"] == "short":
             assert r["n_chars"] < _SUB_K
@@ -338,8 +351,9 @@ def test_substring_megadoc_chunking_guarantee():
     d2 = filler(500)  # unrelated megadoc
     docs = [(0, d0), (1, d1), (2, d2)]
 
-    # default path: megadocs are EXCLUDED -> no pairs at all
-    assert _substr_pairs_duck(docs, radix=200) == set()
+    # legacy whole-doc path: megadocs are EXCLUDED -> no pairs at all
+    assert _substr_pairs_duck(docs, radix=200,
+                              chunk_megadocs=False) == set()
     # chunked path: the shared run must pair, the unrelated doc not
     pairs = _substr_pairs_duck(docs, radix=200, chunk_megadocs=True)
     assert (0, 1) in pairs
@@ -421,8 +435,11 @@ def test_substring_excluded_tracks_radix_and_chunking(spark):
             SPARK_D, table="r4_excl_docs", **kw)).collect()
         return {r["doc_id"]: r["reason"] for r in rows}
 
-    assert reasons(radix=200) == {0: "short", 2: "megadoc"}
+    # chunking default (round 5): only sub-k docs are excluded
+    assert reasons(radix=200) == {0: "short"}
     assert reasons(radix=200, chunk_megadocs=True) == {0: "short"}
+    assert reasons(radix=200,
+                   chunk_megadocs=False) == {0: "short", 2: "megadoc"}
 
 
 def test_substring_chunked_engine_parity(spark):

@@ -103,3 +103,96 @@ def test_quantile_where_fuzz(spark, wstore, wcol, wval):
     for q in qs:
         k = max(math.ceil(q * len(vals)), 1)
         assert got[q] == vals[k - 1], (wcol, wval, q)
+
+
+# -- round 5: conjunctive predicate dicts -------------------------------------
+
+def _spark_cond(preds):
+    """The plain-DataFrame meaning of a query_where-shaped predicate
+    dict — the semantics the pushdown must reproduce exactly."""
+    cond = F.lit(True)
+    for col, probe in preds.items():
+        c = F.col(col)
+        if probe is None:
+            one = c.isNull()
+        elif isinstance(probe, tuple):
+            one = c.between(F.lit(probe[0]), F.lit(probe[1]))
+        elif isinstance(probe, (list, set)):
+            vals = [v for v in probe if v is not None]
+            one = c.isin(vals) if vals else F.lit(False)
+        else:
+            one = c == F.lit(probe)
+        cond = cond & one
+    return cond
+
+
+def _pred_dicts():
+    base = dt.datetime(2024, 3, 1)
+    utc = dt.timezone.utc
+    return [
+        {"cat": "a", "v": (5, 20)},                      # eq + range
+        {"v": (5, 20)},                                  # range alone
+        {"ts": (base, base + dt.timedelta(minutes=4000)),
+         "cat": "b"},                                    # ts range + eq
+        {"cat": ["a", "c"], "v": (0, 30)},               # IN + range
+        {"cat": None, "v": (0, 35)},                     # IS NULL + range
+        {"v": []},                                       # empty IN
+        {"cat": "a", "v": 7.0},                          # coercing float eq
+        {"cat": "a", "v": "7"},                          # kernel-unsafe eq
+        {"v": (5, 20), "x": (0.5, 3.5)},                 # two ranges
+        {"cat": ["a", "b", None], "x": (0.0, 4.0)},      # null IN member
+        {"ts": ((base + dt.timedelta(minutes=10)).replace(tzinfo=utc),
+                (base + dt.timedelta(minutes=5000)).replace(tzinfo=utc)),
+         "v": [3, 7, 11, 19]},                           # tz range + IN
+        {"cat": "a", "v": (5, 20), "x": (0.1, 4.9),
+         "ts": (base, base + dt.timedelta(minutes=9000))},  # 4-way AND
+    ]
+
+
+@pytest.mark.parametrize("preds", _pred_dicts())
+def test_topk_where_dict_fuzz(spark, wstore, preds):
+    store, df = wstore
+    got = store.topk("id", 10, columns=["id", "v"],
+                     where=preds).collect()
+    exp = (df.where(_spark_cond(preds))
+           .where(F.col("id").isNotNull())
+           .orderBy(F.col("id").desc())
+           .limit(10).select("id", "v").collect())
+    assert got == exp, preds
+
+
+@pytest.mark.parametrize("preds", _pred_dicts())
+def test_quantile_where_dict_fuzz(spark, wstore, preds):
+    store, df = wstore
+    qs = [0.0, 0.5, 1.0]
+    got = {r["q"]: r["value"]
+           for r in store.quantile("v", qs, where=preds).collect()}
+    vals = sorted(r["v"] for r in df
+                  .where(_spark_cond(preds))
+                  .where(F.col("v").isNotNull()).select("v").collect())
+    if not vals:
+        assert got == {}, preds
+        return
+    for q in qs:
+        k = max(math.ceil(q * len(vals)), 1)
+        assert got[q] == vals[k - 1], (preds, q)
+
+
+def test_operator_quantiles_unsafe_probe_direct(spark, wstore):
+    """Round-4 ADVICE #2: a DIRECT operator call (not via the facade)
+    with a coercion-dependent probe must match Spark semantics — the
+    kernel-safety gate now lives in the operator itself, so the
+    string-on-int probe routes to decode-then-filter instead of the
+    under-matching exact-typed gather."""
+    from columnstore_spark.operators.aggregate import quantiles
+
+    store, df = wstore
+    segs = store.warehouse.committed_segments(spark)
+    got = {r["q"]: r["value"]
+           for r in quantiles(segs, "id", [0.0, 1.0],
+                              where=("v", "7")).collect()}
+    vals = sorted(r["id"] for r in df
+                  .where(F.col("v") == F.lit("7"))
+                  .where(F.col("id").isNotNull()).select("id").collect())
+    assert vals, "fixture must hold v=7 rows"
+    assert got == {0.0: vals[0], 1.0: vals[-1]}
