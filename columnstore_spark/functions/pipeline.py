@@ -1736,24 +1736,7 @@ def ann_ivf_sql(d: Dialect, dim: int, table: str = "embeddings",
     product sequentially).
     """
     cos = d.cosine("c.e", "q.e")
-    if d.spark:
-        assigned = """
-assigned AS (
-  SELECT vec_id, max_by(cell_id, struct(dv, -cell_id)) AS cell_id,
-         any_value(e) AS e, any_value(label) AS label
-  FROM scored GROUP BY vec_id
-),"""
-    else:
-        assigned = """
-best AS (
-  SELECT vec_id, max(dv) AS bdv FROM scored GROUP BY vec_id
-),
-assigned AS (
-  SELECT s.vec_id, min(s.cell_id) AS cell_id,
-         any_value(s.e) AS e, any_value(s.label) AS label
-  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.dv = b.bdv
-  GROUP BY s.vec_id
-),"""
+    assigned = _ivf_assigned_sql(d, "scored")
     return f"""
 WITH emb AS (
   SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
@@ -1870,6 +1853,166 @@ def ann_batch_df(spark, dim: int, table: str = "embeddings",
     return spark.sql(ann_batch_sql(SPARK, dim, table=table,
                                    stride=stride, k=k,
                                    subkeys=subkeys))
+
+
+def _ivf_assigned_sql(d: Dialect, scored: str) -> str:
+    """The per-vector argmax cell assignment CTE fragment shared by
+    `ann_ivf_sql` and `ann_batch_ivf_sql` (see the dialect note on
+    ann_ivf_sql: Spark's struct-ordered max_by vs DuckDB's
+    max-join-back — identical results on bit-identical dot values)."""
+    if d.spark:
+        return f"""
+assigned AS (
+  SELECT vec_id, max_by(cell_id, struct(dv, -cell_id)) AS cell_id,
+         any_value(e) AS e, any_value(label) AS label
+  FROM {scored} GROUP BY vec_id
+),"""
+    return f"""
+best AS (
+  SELECT vec_id, max(dv) AS bdv FROM {scored} GROUP BY vec_id
+),
+assigned AS (
+  SELECT s.vec_id, min(s.cell_id) AS cell_id,
+         any_value(s.e) AS e, any_value(s.label) AS label
+  FROM {scored} s JOIN best b ON s.vec_id = b.vec_id AND s.dv = b.bdv
+  GROUP BY s.vec_id
+),"""
+
+
+def ann_batch_ivf_sql(d: Dialect, dim: int, table: str = "embeddings",
+                      queries_from: str | None = None,
+                      stride: int = 97, k: int = 5,
+                      n_cells: int = 8, nprobe: int = 2,
+                      seed_stride: int = 61,
+                      subkeys: int = 16) -> str:
+    """BATCH ANN routed through the IVF coarse cells (round-4 verdict
+    #3): a whole EXTERNAL query relation answered WITHOUT scoring the
+    full corpus per batch — each query probes its `nprobe` nearest
+    cells and scores only the corpus vectors ASSIGNED to those cells,
+    then the same shuffle-scale-correct two-phase grouped top-k as
+    `ann_batch_sql` ranks the candidates.
+
+    `queries_from` names the external query relation as a SQL select
+    with columns (query_id, qe: double array) — the decontaminate
+    pattern (a real, separately-provisioned benchmark/query table, not
+    an in-corpus filter). Defaults to the deterministic corpus-derived
+    stand-in (vec_id % stride = 0) so both engines synthesize the
+    identical relation for the oracle.
+
+    Scale shape at 100 TB: the cell index (`cents`, n_cells rows) and
+    the query relation both broadcast; corpus cell assignment is the
+    same one-pass map-side-combined aggregate as `ann_ivf_sql`
+    (amortized — a production deployment materializes `assigned`
+    once per corpus, not per batch); each query's candidate set is
+    ~nprobe/n_cells of the corpus, reached through an EQUI hash join
+    on cell_id (plan-gated: a broadcast hash join, never a corpus
+    cross join), so batch cost scales with n_queries x corpus/n_cells
+    x nprobe instead of n_queries x corpus. Recall rises with nprobe
+    at linear cost; exact cosine re-ranks within the probed cells."""
+    cos = d.cosine("c.e", "q.qe")
+    if queries_from is None:
+        queries_from = (f"SELECT vec_id AS query_id, e AS qe "
+                        f"FROM emb WHERE vec_id % {stride} = 0")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
+),
+q AS (
+  {queries_from}
+),
+cents AS (
+  SELECT vec_id AS cell_id, e AS w FROM emb
+  WHERE vec_id % {seed_stride} = 0
+  ORDER BY vec_id LIMIT {n_cells}
+),
+cscored AS (
+  SELECT a.vec_id, a.e, a.label, ct.cell_id,
+         {d.dot('a.e', 'ct.w')} AS dv
+  FROM emb a CROSS JOIN cents ct
+),{_ivf_assigned_sql(d, 'cscored')}
+qprobe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ct.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {d.dot('q.qe', 'ct.w')} DESC, ct.cell_id) AS rn
+    FROM q CROSS JOIN cents ct) p
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT /*+ BROADCAST(qp), BROADCAST(q) */
+         qp.query_id, c.vec_id, c.label,
+         round({cos}, 4) AS cosine,
+         c.vec_id % {subkeys} AS sub
+  FROM assigned c
+  JOIN qprobe qp ON c.cell_id = qp.cell_id
+  JOIN q ON q.query_id = qp.query_id
+  WHERE c.vec_id != qp.query_id
+),
+partial AS (
+  SELECT query_id, vec_id, label, cosine FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id, sub
+           ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored s) p
+  WHERE rn <= {k}
+),
+final AS (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rank
+  FROM partial
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine,
+       CAST(rank AS INT) AS rank,
+       CAST(label AS INT) AS label
+FROM final WHERE rank <= {k}
+"""
+
+
+def ann_batch_ivf_df(spark, dim: int, table: str = "embeddings",
+                     queries_table: str | None = None,
+                     stride: int = 97, k: int = 5,
+                     n_cells: int = 8, nprobe: int = 2,
+                     seed_stride: int = 61,
+                     subkeys: int | None = None):
+    """Spark-side IVF batch-ANN API over a REAL query table:
+    `queries_table` names a registered view/table with columns
+    (query_id: long, embedding: array<float/double>) — the external
+    retrieval shape (query embeddings arrive from a separate system,
+    exactly like decontaminate's benchmark relation). With None the
+    deterministic corpus-derived stand-in runs instead (the oracle
+    spine). `subkeys` scales with cluster parallelism as in
+    ann_batch_df."""
+    if subkeys is None:
+        subkeys = default_pack_buckets(spark)
+    qf = None
+    if queries_table is not None:
+        qf = (f"SELECT query_id, "
+              f"{SPARK.double_array('embedding')} AS qe "
+              f"FROM {queries_table}")
+    return spark.sql(ann_batch_ivf_sql(
+        SPARK, dim, table=table, queries_from=qf, stride=stride, k=k,
+        n_cells=n_cells, nprobe=nprobe, seed_stride=seed_stride,
+        subkeys=subkeys))
+
+
+def ann_batch_union_sql(d: Dialect, dim: int,
+                        table: str = "embeddings") -> str:
+    """The registry's tagged-UNION `ann_batch` entry (the 50-key
+    window has zero slack — round-4 verdict #8): the brute two-phase
+    batch spine and the IVF-routed batch spine over the same
+    stand-in query relation, distinguished by the variant column.
+    Both engines run both branches, so each stays hash-checked."""
+    brute = ann_batch_sql(d, dim, table=table).replace("\n", "\n  ")
+    ivf = ann_batch_ivf_sql(d, dim, table=table).replace("\n", "\n  ")
+    return f"""
+SELECT 'brute' AS variant, query_id, vec_id, cosine, rank, label
+FROM ({brute}) b
+UNION ALL
+SELECT 'ivf' AS variant, query_id, vec_id, cosine, rank, label
+FROM ({ivf}) i
+"""
 
 
 def media_meta_sql(d: Dialect, table: str = "documents") -> str:
@@ -2080,7 +2223,7 @@ def all_pipeline_sql(dim: int) -> dict[str, dict[str, str]]:
         "ann_lsh": lambda d: ann_lsh_sql(d, dim),
         "ann_sq8": ann_sq8_sql,
         "ann_ivf": lambda d: ann_ivf_sql(d, dim),
-        "ann_batch": lambda d: ann_batch_sql(d, dim),
+        "ann_batch": lambda d: ann_batch_union_sql(d, dim),
         "media_meta": media_meta_sql,
     }
     return {name: {"spark": fn(SPARK), "duck": fn(DUCK)}

@@ -272,10 +272,10 @@ def test_ann_batch_two_phase_topk(spark):
     task per query."""
     import re
 
-    from columnstore_spark.functions.pipeline import spark_pipeline_df
+    from columnstore_spark.functions.pipeline import ann_batch_df
 
     register_testdata(spark, SF_DIR, ("embeddings",))
-    df = spark_pipeline_df(spark, "ann_batch", 64)
+    df = ann_batch_df(spark, 64, subkeys=16)
     plan = df._jdf.queryExecution().executedPlan().toString()
     windows = re.findall(r"Window \[[^\n]*", plan)
     assert len(windows) == 2, plan
@@ -283,6 +283,47 @@ def test_ann_batch_two_phase_topk(spark):
     # (top-down) plan is phase 1 — it must carry the sub key
     assert "sub" in windows[-1], windows
     assert "CartesianProduct" not in plan
+
+
+def test_ann_batch_ivf_cell_probe_join(spark):
+    """The IVF-routed batch branch must reach its candidates through
+    an EQUI hash join on cell_id — each query scores only the corpus
+    vectors assigned to its probed cells, never the full corpus.
+    The probe side (n_queries x nprobe rows) broadcasts; the only
+    permitted nested-loop joins are the broadcast scoring joins
+    against the tiny cents/query relations (the ann_brute-accepted
+    shape). The two-phase grouped top-k shape carries over."""
+    import re
+
+    from columnstore_spark.functions.pipeline import ann_batch_ivf_df
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    df = ann_batch_ivf_df(spark, 64, subkeys=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    bhj = re.findall(r"BroadcastHashJoin \[[^\n]*", plan)
+    assert any("cell_id" in j for j in bhj), plan
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert any("sub" in w for w in windows), windows
+
+
+def test_ann_batch_ivf_external_query_table(spark):
+    """A REAL external query table (query_id, embedding) must flow
+    through the same spine: registering the stand-in queries as an
+    external view yields bit-identical results to the derived
+    default."""
+    from columnstore_spark.functions.pipeline import ann_batch_ivf_df
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    spark.sql(
+        "SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id % 97 = 0"
+    ).createOrReplaceTempView("ext_ann_queries")
+    base = ann_batch_ivf_df(spark, 64, subkeys=16).collect()
+    ext = ann_batch_ivf_df(spark, 64, subkeys=16,
+                           queries_table="ext_ann_queries").collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, ext))
+    assert base, "stand-in query relation must be non-empty"
 
 
 def test_ann_sq8_single_corpus_pass(spark):
