@@ -58,6 +58,8 @@ from .plans.pruning import (
     prune_rowgroups_by_values,
 )
 from .plans.predicates import (
+    _dedup_probes,
+    _exact_in_cond,
     _exact_pred_cond,
     _kernel_safe_probe,
     _naive_utc,
