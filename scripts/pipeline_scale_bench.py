@@ -99,7 +99,8 @@ def prep_inputs(op: str, base: str, scale: float = 1.0) -> str:
 
 
 def submit(zip_path: str, cores_max: int, op: str,
-           input_dir: str, timeout: int = 3000) -> dict:
+           input_dir: str, timeout: int = 3000,
+           local_dir: str | None = None) -> dict:
     cmd = ["taskset", "-c", DRIVER_CORES,
            f"{SPARK_HOME}/bin/spark-submit",
            "--master", MASTER_URL,
@@ -109,9 +110,15 @@ def submit(zip_path: str, cores_max: int, op: str,
            "--conf", "spark.executor.cores=2",
            "--conf", "spark.executor.memory=4g",
            "--conf", "spark.locality.wait=0s",
-           "--conf", "spark.sql.session.timeZone=UTC",
-           os.path.join(REPO, "scripts", "pipeline_scale_job.py"),
-           op, input_dir]
+           "--conf", "spark.sql.session.timeZone=UTC"]
+    if local_dir:
+        # control run: shuffle/spill blocks on tmpfs — isolates the
+        # single-box SHARED-DISK ceiling (all executors of both
+        # cluster sizes share one virtual disk; a real cluster gives
+        # every node its own) from genuine scaling loss
+        cmd += ["--conf", f"spark.local.dir={local_dir}"]
+    cmd += [os.path.join(REPO, "scripts", "pipeline_scale_job.py"),
+            op, input_dir]
     proc = sh(cmd, env={"PYSPARK_PYTHON": sys.executable}, check=False,
               timeout=timeout)
     for line in proc.stdout.splitlines():
@@ -129,6 +136,9 @@ def main() -> None:
     ap.add_argument("--base", default="/tmp/cs_pipe_bench")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="size multiplier (plumbing validation)")
+    ap.add_argument("--local-dir", default=None,
+                    help="spark.local.dir override (e.g. /dev/shm/... "
+                         "for the tmpfs shuffle control)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
@@ -149,7 +159,8 @@ def main() -> None:
             # sample of one level (same rationale as cluster_bench)
             for _ in range(args.repeats):
                 for cores in (2, 8):
-                    r = submit(zip_path, cores, op, inputs[op])
+                    r = submit(zip_path, cores, op, inputs[op],
+                               local_dir=args.local_dir)
                     runs[cores].append(r)
                     print(f"[{op} cores={cores}] wall={r['wall_s']}s "
                           f"rows_out={r['rows_out']} "
