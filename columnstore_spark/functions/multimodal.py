@@ -588,10 +588,14 @@ def bmp_decode_oracle_sql(table: str = "documents") -> str:
     grayscale palette. An empty text is the 1-byte zero image."""
     byte_i = ("CAST(concat('0x', substr(h, CAST(2*i-1 AS BIGINT), 2)) "
               "AS BIGINT)")
+    # n is NOT clamped to 1: an empty text has no hex digits to read
+    # (substr('' ...) would make the CAST throw); range(1, 1) is empty
+    # and the COALESCEs supply exactly the generator's 1-byte zero
+    # image (w=1, s=0), matching encode_bmp_rle8's empty-input path
     return f"""
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS h,
-         greatest(octet_length(encode(text)), 1) AS n
+         octet_length(encode(text)) AS n
   FROM {table}
 ),
 runs AS (

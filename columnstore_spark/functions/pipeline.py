@@ -1884,7 +1884,8 @@ def ann_batch_ivf_sql(d: Dialect, dim: int, table: str = "embeddings",
                       stride: int = 97, k: int = 5,
                       n_cells: int = 8, nprobe: int = 2,
                       seed_stride: int = 61,
-                      subkeys: int = 16) -> str:
+                      subkeys: int = 16,
+                      exclude_self: bool | None = None) -> str:
     """BATCH ANN routed through the IVF coarse cells (round-4 verdict
     #3): a whole EXTERNAL query relation answered WITHOUT scoring the
     full corpus per batch — each query probes its `nprobe` nearest
@@ -1908,11 +1909,23 @@ def ann_batch_ivf_sql(d: Dialect, dim: int, table: str = "embeddings",
     on cell_id (plan-gated: a broadcast hash join, never a corpus
     cross join), so batch cost scales with n_queries x corpus/n_cells
     x nprobe instead of n_queries x corpus. Recall rises with nprobe
-    at linear cost; exact cosine re-ranks within the probed cells."""
+    at linear cost; exact cosine re-ranks within the probed cells.
+
+    `exclude_self` drops the candidate whose vec_id equals the
+    query_id. Default: True for the corpus-derived stand-in (its
+    query ids ARE corpus vec_ids, and a self-match at cosine 1.0 is
+    noise), False for an EXTERNAL query relation — external query_ids
+    live in their own namespace, and excluding an accidentally
+    colliding vec_id would silently drop a legitimate (possibly
+    nearest) corpus neighbor from that query's top-k."""
     cos = d.cosine("c.e", "q.qe")
+    if exclude_self is None:
+        exclude_self = queries_from is None
     if queries_from is None:
         queries_from = (f"SELECT vec_id AS query_id, e AS qe "
                         f"FROM emb WHERE vec_id % {stride} = 0")
+    self_filter = ("WHERE c.vec_id != qp.query_id" if exclude_self
+                   else "")
     return f"""
 WITH emb AS (
   SELECT vec_id, {d.double_array('embedding')} AS e, label FROM {table}
@@ -1946,7 +1959,7 @@ scored AS (
   FROM assigned c
   JOIN qprobe qp ON c.cell_id = qp.cell_id
   JOIN q ON q.query_id = qp.query_id
-  WHERE c.vec_id != qp.query_id
+  {self_filter}
 ),
 partial AS (
   SELECT query_id, vec_id, label, cosine FROM (
@@ -1975,7 +1988,8 @@ def ann_batch_ivf_df(spark, dim: int, table: str = "embeddings",
                      stride: int = 97, k: int = 5,
                      n_cells: int = 8, nprobe: int = 2,
                      seed_stride: int = 61,
-                     subkeys: int | None = None):
+                     subkeys: int | None = None,
+                     exclude_self: bool | None = None):
     """Spark-side IVF batch-ANN API over a REAL query table:
     `queries_table` names a registered view/table with columns
     (query_id: long, embedding: array<float/double>) — the external
@@ -1983,7 +1997,10 @@ def ann_batch_ivf_df(spark, dim: int, table: str = "embeddings",
     exactly like decontaminate's benchmark relation). With None the
     deterministic corpus-derived stand-in runs instead (the oracle
     spine). `subkeys` scales with cluster parallelism as in
-    ann_batch_df."""
+    ann_batch_df. `exclude_self` (see ann_batch_ivf_sql) defaults to
+    True only for the stand-in: an external table's query_ids are a
+    separate namespace, so a query_id that happens to collide with a
+    vec_id must NOT cost that query a legitimate corpus neighbor."""
     if subkeys is None:
         subkeys = default_pack_buckets(spark)
     qf = None
@@ -1994,7 +2011,7 @@ def ann_batch_ivf_df(spark, dim: int, table: str = "embeddings",
     return spark.sql(ann_batch_ivf_sql(
         SPARK, dim, table=table, queries_from=qf, stride=stride, k=k,
         n_cells=n_cells, nprobe=nprobe, seed_stride=seed_stride,
-        subkeys=subkeys))
+        subkeys=subkeys, exclude_self=exclude_self))
 
 
 def ann_batch_union_sql(d: Dialect, dim: int,

@@ -17,6 +17,18 @@ Moved out of `store.py` so the operator layer (`operators/topk.py`,
 `operators/aggregate.py`) can consume predicates without importing the
 facade (store imports operators at module level — the reverse import
 would be circular).
+
+NOTE for the next predicate `kind`: TWO consumers dispatch a
+kernel-safe predicate to the encoded matching-gather and must both
+learn a new kind — `store.TranscriptColumnStore.query_where` (picks
+by manifest keep-set SIZE, the most selective safe predicate, and
+always re-applies the full conjunction) and
+`operators.aggregate.quantiles` (no keep-set sizes at operator level:
+picks by kind preference eq > in > null > range via
+`_kernel_safe_pred`, and skips re-filtering an exact driver). The
+prune switches (`_pred_keep_ids` here, `prune_conjunctive` below) are
+shared; the gather dispatch deliberately is not — the two policies
+use different information.
 """
 
 from __future__ import annotations

@@ -63,7 +63,11 @@ def prep_inputs(op: str, base: str, scale: float = 1.0) -> str:
     import pipeline_scale_job as J
     from columnstore_spark.session import get_spark
 
-    d = os.path.join(base, op)
+    # the cache key carries the scale: a dir generated for a 1%
+    # plumbing run must never be silently reused by a full-scale run
+    # (the timed samples would measure the fixed-cost regime while
+    # claiming the calibrated sizes)
+    d = os.path.join(base, op if scale == 1.0 else f"{op}_s{scale}")
     if os.path.exists(os.path.join(d, "meta.json")):
         return d
     os.makedirs(d, exist_ok=True)

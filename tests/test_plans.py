@@ -310,8 +310,8 @@ def test_ann_batch_ivf_cell_probe_join(spark):
 def test_ann_batch_ivf_external_query_table(spark):
     """A REAL external query table (query_id, embedding) must flow
     through the same spine: registering the stand-in queries as an
-    external view yields bit-identical results to the derived
-    default."""
+    external view (with the stand-in's self-exclusion pinned) yields
+    bit-identical results to the derived default."""
     from columnstore_spark.functions.pipeline import ann_batch_ivf_df
 
     register_testdata(spark, SF_DIR, ("embeddings",))
@@ -321,9 +321,29 @@ def test_ann_batch_ivf_external_query_table(spark):
     ).createOrReplaceTempView("ext_ann_queries")
     base = ann_batch_ivf_df(spark, 64, subkeys=16).collect()
     ext = ann_batch_ivf_df(spark, 64, subkeys=16,
-                           queries_table="ext_ann_queries").collect()
+                           queries_table="ext_ann_queries",
+                           exclude_self=True).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, ext))
     assert base, "stand-in query relation must be non-empty"
+
+
+def test_ann_batch_ivf_external_ids_keep_colliding_vecs(spark):
+    """External query_ids live in their OWN namespace: by default an
+    external table must NOT lose the corpus vector whose vec_id
+    happens to equal a query_id (it may be the true nearest
+    neighbor). Query with id 0 whose embedding IS corpus vector 0's:
+    vec_id 0 must appear in its results at cosine ~1.0."""
+    from columnstore_spark.functions.pipeline import ann_batch_ivf_df
+
+    register_testdata(spark, SF_DIR, ("embeddings",))
+    spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS query_id, embedding "
+        "FROM embeddings WHERE vec_id = 0"
+    ).createOrReplaceTempView("ext_ann_collide")
+    rows = ann_batch_ivf_df(spark, 64, subkeys=16,
+                            queries_table="ext_ann_collide").collect()
+    hits = {r["vec_id"]: r["cosine"] for r in rows}
+    assert 0 in hits and hits[0] == 1.0, rows
 
 
 def test_ann_sq8_single_corpus_pass(spark):
